@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin views over :mod:`recsys_mapreduce_mrjob_spark.registry` — every
+operator module registers its queries + DuckDB oracles there
+(SURVEY.md §2.2 is the checklist).
 """
 
 from __future__ import annotations
@@ -13,26 +11,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from recsys_mapreduce_mrjob_spark import registry
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+# Runtime-settable session configs the engine's oracle parity depends on
+# (SURVEY.md §7.4): the driver owns the SparkSession, so enforce at the
+# contract boundary rather than assuming our session factory built it.
+_SESSION_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _ensure_conf(spark: SparkSession) -> SparkSession:
+    for k, v in _SESSION_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the reference's full R2→R14 pipeline
+    (ratings → pairwise self-join → similarity metrics → per-item top-K)."""
+    registry.load_all()
+    return registry.QUERIES["q_topk_similar_items"](_ensure_conf(spark), SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    registry.load_all()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _wrap(fn):
+        return lambda spark, sf_dir: fn(_ensure_conf(spark), sf_dir)
+
+    return {name: _wrap(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every exact-checkable query."""
+    registry.load_all()
+    return dict(registry.ORACLES)

@@ -1,0 +1,37 @@
+"""Vector (embedding) column expressions via higher-order functions.
+
+Operates on ``array<float>`` columns (the ``embeddings.embedding``
+testdata column) entirely JVM-side: ``zip_with`` + ``aggregate`` keep the
+dot product / norms inside whole-stage codegen — no Python, no UDF, scales
+linearly with partition count.  This is the brute-force baseline path for
+similarity search; the LSH-bucketed scale path lives in
+``operators/embeddings.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM higher-order fns)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """‖a‖₂."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """cos(a, b) with 0.0 on zero-norm (same convention as
+    :func:`..functions.similarity.cosine`)."""
+    den = l2_norm(a) * l2_norm(b)
+    return F.when(den != 0.0, dot(a, b) / den).otherwise(F.lit(0.0))

@@ -1,0 +1,337 @@
+"""Recsys core — the reference's own pipeline, Spark-first (SURVEY.md §2.2.I).
+
+The reference (marcelcaraciolo/recsys-mapreduce-mrjob) chains 3 MR steps:
+parse → group-by-user → pairwise self-join → pair aggregation → similarity
+math → similarity-keyed re-sort → per-item top-K
+(``moviesSimilarities.py`` steps R2–R15, reconstructed — SURVEY.md §2.1).
+Each step boundary there is a full text+JSON materialization to disk; here
+the same dataflow is ONE lazy DataFrame plan: Catalyst fuses the projection
+chain, the pair aggregation gets map-side partial aggregation automatically
+(the "java Combiner" the reference's ``pairwise_items`` docstring wished
+for), and the ranking is a window function instead of a shuffle-sort trick.
+
+Scale notes (100 TB):
+  - The pairwise stage is a self-equi-join on ``user_id`` — shuffle-hash /
+    sort-merge partitioned by user, so pair generation is distributed and
+    never materializes a per-user combinations list in Python (the
+    reference's bottleneck).  AQE skew-join splits power users.
+  - ``item_x < item_y`` halves the pair space inside the join condition
+    (same trick as the reference's ``combinations``).
+  - ``n >= 2`` support pruning happens in the pair aggregation's HAVING,
+    before the similarity math and ranking shuffle.
+  - For 100 TB-class pair explosions the documented escalation is
+    DIMSUM-style magnitude pruning before the join (SURVEY.md §4.2) —
+    expressed as plain filters, no custom Catalyst rule needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..registry import register
+from ..sources.readers import RATINGS_ORACLE_CTE, derive_ratings
+
+
+def round6(c):
+    """round(·, 6) with -0.0 normalized to 0.0 (oracle-hash safety,
+    SURVEY.md §7.4)."""
+    return F.round(c, 6) + F.lit(0.0)
+
+
+# ---------------------------------------------------------------------------
+# Pure dataflow functions over an arbitrary (user_id, item_id, rating)
+# relation — unit-testable against the reference's docstring fixture
+# (FIXTURES.md §B.4) independent of the star schema.
+# ---------------------------------------------------------------------------
+
+
+def user_stats(ratings: DataFrame) -> DataFrame:
+    """R4: per-user ``(item_count, rating_sum)``
+    (ref ``count_ratings_users_freq``, moviesSimilarities.py:≈72–90)."""
+    return ratings.groupBy("user_id").agg(
+        F.count("item_id").alias("item_count"),
+        round6(F.sum("rating")).alias("rating_sum"),
+    )
+
+
+def item_rater_counts(ratings: DataFrame) -> DataFrame:
+    """R9 support: distinct raters per item (feeds real Jaccard — the
+    vectorSimilarities.py variant, not the movies job's 0.0 placeholder)."""
+    return ratings.groupBy("item_id").agg(
+        F.count_distinct("user_id").alias("n_raters")
+    )
+
+
+def pairwise_stats(ratings: DataFrame, min_support: int = 2) -> DataFrame:
+    """R5+R6: ordered item pairs with sufficient statistics.
+
+    Reference: ``pairwise_items`` mapper emits all C(items,2) pairs per
+    user posting list, ``calculate_similarity`` reducer accumulates
+    ``(n, Σxy, Σx, Σy, Σx², Σy²)`` (moviesSimilarities.py:≈92–140).  Here:
+    a self-equi-join on user (distributed, no per-user Python loop) with the
+    ``item_x < item_y`` ordering folded into the join, then one hash
+    aggregation (partial map-side + final — the combiner the reference
+    lacked).
+    """
+    a = ratings.alias("a")
+    b = ratings.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.item_id") < F.col("b.item_id")),
+    )
+    stats = pairs.groupBy(
+        F.col("a.item_id").alias("item_x"),
+        F.col("b.item_id").alias("item_y"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a.rating") * F.col("b.rating")).alias("sxy"),
+        F.sum(F.col("a.rating")).alias("sx"),
+        F.sum(F.col("b.rating")).alias("sy"),
+        F.sum(F.col("a.rating") * F.col("a.rating")).alias("sxx"),
+        F.sum(F.col("b.rating") * F.col("b.rating")).alias("syy"),
+    )
+    return stats.where(F.col("n") >= min_support)
+
+
+def item_similarity(ratings: DataFrame, min_support: int = 2) -> DataFrame:
+    """R7–R11: all five reference similarity metrics per ordered pair.
+
+    Output: ``item_x, item_y, n, corr, cos, reg_corr, jaccard, norm_corr``
+    (all metrics rounded to 6 — SURVEY.md §7.4).
+    """
+    stats = pairwise_stats(ratings, min_support)
+    raters = item_rater_counts(ratings)
+    n = F.col("n").cast("double")
+    corr = S.correlation(
+        n, F.col("sxy"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy")
+    )
+    joined = (
+        stats.join(
+            raters.select(
+                F.col("item_id").alias("item_x"), F.col("n_raters").alias("nx")
+            ),
+            "item_x",
+        )
+        .join(
+            raters.select(
+                F.col("item_id").alias("item_y"), F.col("n_raters").alias("ny")
+            ),
+            "item_y",
+        )
+    )
+    return joined.select(
+        "item_x",
+        "item_y",
+        "n",
+        round6(corr).alias("corr"),
+        round6(S.cosine(F.col("sxy"), F.col("sxx"), F.col("syy"))).alias("cos"),
+        round6(S.regularized_correlation(corr, n)).alias("reg_corr"),
+        round6(
+            S.jaccard(n, F.col("nx").cast("double"), F.col("ny").cast("double"))
+        ).alias("jaccard"),
+        round6(S.normalized_correlation(corr)).alias("norm_corr"),
+    )
+
+
+def topk_similar_items(ratings: DataFrame, k: int = 10) -> DataFrame:
+    """R13+R14: per-item top-K neighbors by correlation.
+
+    The reference got this by re-keying on the similarity so Hadoop's
+    shuffle-sort ranked for free, then walking the sorted reducer input
+    (``calculate_ranking`` / ``top_similar_items``,
+    moviesSimilarities.py:≈142–175).  Window ``row_number`` expresses it
+    directly; ordering uses the ROUNDED metrics plus unique tie-breaks so
+    the selected set is deterministic across engines (SURVEY.md §7.4).
+    """
+    sims = item_similarity(ratings)
+    w = Window.partitionBy("item_x").orderBy(
+        F.desc("corr"), F.desc("cos"), F.asc("item_y")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "item_x", "item_y", "corr", "cos", "reg_corr", "jaccard", "n", "rank"
+        )
+    )
+
+
+def item_cooccurrence(ratings: DataFrame) -> DataFrame:
+    """Degenerate similarity: co-rating counts per ordered pair (sanity)."""
+    a = ratings.alias("a")
+    b = ratings.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item_id") < F.col("b.item_id")),
+        )
+        .groupBy(
+            F.col("a.item_id").alias("item_x"),
+            F.col("b.item_id").alias("item_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the star schema (ratings derived per SURVEY §2.2.I)
+# ---------------------------------------------------------------------------
+
+_PAIR_STATS_CTE = """
+pair_stats AS (
+    SELECT a.item_id AS item_x,
+           b.item_id AS item_y,
+           count(*) AS n,
+           sum(a.rating * b.rating) AS sxy,
+           sum(a.rating) AS sx,
+           sum(b.rating) AS sy,
+           sum(a.rating * a.rating) AS sxx,
+           sum(b.rating * b.rating) AS syy
+    FROM ratings a
+    JOIN ratings b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+)
+"""
+
+_SIMS_CTE = """
+raters AS (
+    SELECT item_id, count(DISTINCT user_id) AS n_raters
+    FROM ratings GROUP BY 1
+),
+sims AS (
+    SELECT item_x, item_y, n,
+           round(CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
+                 THEN (n*sxy - sx*sy)
+                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                 ELSE 0.0 END, 6) + 0.0 AS corr,
+           round(CASE WHEN sqrt(sxx) * sqrt(syy) <> 0
+                 THEN sxy / (sqrt(sxx) * sqrt(syy)) ELSE 0.0 END, 6) + 0.0 AS cos,
+           round((n / (n + 10.0)) *
+                 (CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
+                  THEN (n*sxy - sx*sy)
+                       / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                  ELSE 0.0 END), 6) + 0.0 AS reg_corr,
+           round(CAST(n AS DOUBLE) / (rx.n_raters + ry.n_raters - n), 6) + 0.0 AS jaccard,
+           round(((CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
+                   THEN (n*sxy - sx*sy)
+                        / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                   ELSE 0.0 END) + 1.0) / 2.0, 6) + 0.0 AS norm_corr
+    FROM pair_stats
+    JOIN raters rx ON rx.item_id = item_x
+    JOIN raters ry ON ry.item_id = item_y
+)
+"""
+
+
+@register(
+    "q_ratings_matrix",
+    oracle=f"WITH {RATINGS_ORACLE_CTE} SELECT user_id, item_id, rating FROM ratings",
+)
+def q_ratings_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived (user, item, rating) relation — engine analogue of the
+    reference's R2 parse."""
+    return derive_ratings(spark, sf_dir)
+
+
+@register(
+    "q_user_stats",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT user_id,
+       count(item_id) AS item_count,
+       round(sum(rating), 6) + 0.0 AS rating_sum
+FROM ratings GROUP BY user_id
+""",
+)
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_stats(derive_ratings(spark, sf_dir))
+
+
+@register(
+    "q_item_rater_counts",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT item_id, count(DISTINCT user_id) AS n_raters
+FROM ratings GROUP BY item_id
+""",
+)
+def q_item_rater_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return item_rater_counts(derive_ratings(spark, sf_dir))
+
+
+@register(
+    "q_pairwise_stats",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}
+SELECT item_x, item_y, n,
+       round(sxy, 6) + 0.0 AS sxy,
+       round(sx, 6) + 0.0 AS sx,
+       round(sy, 6) + 0.0 AS sy,
+       round(sxx, 6) + 0.0 AS sxx,
+       round(syy, 6) + 0.0 AS syy
+FROM pair_stats
+""",
+)
+def q_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = pairwise_stats(derive_ratings(spark, sf_dir))
+    return stats.select(
+        "item_x",
+        "item_y",
+        "n",
+        round6("sxy").alias("sxy"),
+        round6("sx").alias("sx"),
+        round6("sy").alias("sy"),
+        round6("sxx").alias("sxx"),
+        round6("syy").alias("syy"),
+    )
+
+
+@register(
+    "q_item_similarity",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}, {_SIMS_CTE}
+SELECT item_x, item_y, n, corr, cos, reg_corr, jaccard, norm_corr FROM sims
+""",
+)
+def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return item_similarity(derive_ratings(spark, sf_dir))
+
+
+@register(
+    "q_topk_similar_items",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}, {_SIMS_CTE},
+ranked AS (
+    SELECT item_x, item_y, corr, cos, reg_corr, jaccard, n,
+           row_number() OVER (PARTITION BY item_x
+                              ORDER BY corr DESC, cos DESC, item_y ASC) AS rank
+    FROM sims
+)
+SELECT item_x, item_y, corr, cos, reg_corr, jaccard, n, rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: end-to-end R2→R14 (scan → ratings → self-join → agg →
+    similarity → window top-K)."""
+    return topk_similar_items(derive_ratings(spark, sf_dir), k=10)
+
+
+@register(
+    "q_item_cooccurrence",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n_common
+FROM ratings a
+JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
+GROUP BY 1, 2
+""",
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return item_cooccurrence(derive_ratings(spark, sf_dir))

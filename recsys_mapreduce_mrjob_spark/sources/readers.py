@@ -1,0 +1,110 @@
+"""Sources: parquet star-schema tables + the reference's native text formats.
+
+The reference's only source was line-oriented text on stdin, parsed ad hoc
+per mapper (``user_id, item_id, rating = line.split('|')`` in
+``group_by_user_rating``, moviesSimilarities.py:≈55, and the Book-Crossing
+``";"``-quoted variant in vectorSimilarities.py:≈90 — reconstructed, see
+SURVEY.md §0).  Here each format is a schema-first reader returning a
+DataFrame; predicate pushdown and column pruning then reach the scan for
+free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schemas for the driver testdata (FIXTURES.md §A).  Explicit (not
+# inferred) so that a 100 TB scan never pays a schema-inference pass and the
+# engine fails loudly on drift.
+RATING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("item_id", T.LongType()),
+        T.StructField("rating", T.DoubleType()),
+    ]
+)
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table from ``{sf_dir}/{name}.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_ratings_pipe(spark: SparkSession, path: str) -> DataFrame:
+    """MovieLens-style ``user|item|rating`` lines (ref R2 parse).
+
+    Equivalent of ``MoviesSimilarities``'s mapper-side
+    ``line.split('|')`` + float cast (moviesSimilarities.py:≈55) as a
+    declarative csv scan — malformed lines go to the PERMISSIVE null row
+    instead of crashing the task.
+    """
+    return spark.read.csv(path, sep="|", schema=RATING_SCHEMA, header=False)
+
+
+def read_ratings_bookcrossing(spark: SparkSession, path: str) -> DataFrame:
+    """Book-Crossing style ``"user";"isbn";"rating"`` (ref R3 adapter).
+
+    The reference subclass strips quotes by hand (vectorSimilarities.py:≈90);
+    csv ``quote`` option does it declaratively.  ``isbn`` stays a string key —
+    the engine's recsys core is key-type agnostic.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.StringType()),
+            T.StructField("item_id", T.StringType()),
+            T.StructField("rating", T.DoubleType()),
+        ]
+    )
+    return spark.read.csv(path, sep=";", quote='"', schema=schema, header=False)
+
+
+def derive_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's (user, item, rating) relation over the star schema.
+
+    ``rating(u, i) = round(avg(l_quantity), 6)`` per ``(o_custkey,
+    l_partkey)`` from ``orders ⋈ lineitem`` — the analogue of the
+    reference's R2 parse step, derived relationally (SURVEY.md §2.2.I).
+
+    Rounded at derivation so every downstream consumer (pair stats,
+    similarities) works from bit-identical inputs in Spark and the DuckDB
+    oracle (SURVEY.md §7.4 pitfall 1).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(F.round(F.avg("l_quantity"), 6).alias("rating"))
+    )
+
+
+RATINGS_ORACLE_CTE = """
+ratings AS (
+    SELECT o_custkey AS user_id,
+           l_partkey AS item_id,
+           round(avg(l_quantity), 6) AS rating
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)
+"""
