@@ -7,6 +7,7 @@ operator module registers its queries + DuckDB oracles there
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,7 +22,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _SESSION_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's own session defaults to 200 shuffle partitions — far too
+    # many tasks for local test SFs (observed: every stage planned at 200).
+    # Runtime-settable, so pin it here; on a real cluster AQE coalescing
+    # supersedes the initial number.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
 }
 
 

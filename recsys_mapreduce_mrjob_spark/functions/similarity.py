@@ -31,9 +31,16 @@ def correlation(n: Column, sxy: Column, sx: Column, sy: Column, sxx: Column, syy
     """Pearson correlation from sufficient statistics (ref metrics.py:≈10–25).
 
     ``(n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``
+
+    The variance terms are mathematically ≥ 0 but can go slightly negative
+    in floating point for near-constant rating vectors; clamp at 0 before
+    the sqrt so Spark never emits NaN and the DuckDB oracle (which raises
+    on sqrt of a negative) encodes the identical convention.
     """
     num = n * sxy - sx * sy
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    den = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))) * F.sqrt(
+        F.greatest(n * syy - sy * sy, F.lit(0.0))
+    )
     return _zero_safe(num, den)
 
 

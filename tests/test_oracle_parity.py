@@ -1,7 +1,8 @@
 """Every registered query hash-matches its DuckDB oracle (driver's t2 gate).
 
-Run at sf0.001 by default for speed; set PARITY_SF_DIR=/root/testdata/sf0.01
-for the driver-fidelity run.
+Runs at the driver-fidelity scale sf0.01 by default (conftest.py
+PARITY_SF_DIR); set PARITY_SF_DIR=/root/testdata/sf0.001 for a faster
+smoke pass.
 """
 
 from __future__ import annotations
