@@ -1,1 +1,361 @@
-"""Placeholder — filled in as SURVEY.md §2.2 coverage widens."""
+"""Relational surface: scans, projection/filter, joins (SURVEY.md §2.2.A–C).
+
+The reference's only relational machinery is the R1 text scan, the R2
+parse/project mapper and the R5 self-join (moviesSimilarities.py:≈50–110,
+reconstructed — SURVEY.md §2.1); this module generalizes each into the full
+declarative surface a user of the engine gets.  Everything is a plain
+DataFrame plan — Catalyst owns predicate pushdown, column pruning and join
+strategy selection, and AQE re-plans at runtime.
+
+Scale notes (100 TB):
+  - ``q_scan_pruned`` pins that filters and projections reach the parquet
+    scan (``PushedFilters`` / 2-column ``ReadSchema`` in explain) — at 100 TB
+    that is the difference between reading 2 columns' pages and all 11.
+  - ``q_join_broadcast`` hints every dimension with ``F.broadcast`` so the
+    fact table never shuffles — the dims are KBs even at sf100.
+  - ``q_join_theta_range`` refuses the naive BNLJ: the band predicate is
+    rewritten as an equi-join on a bucketed key (one side exploded to its
+    ±1 neighbor buckets) + residual filter, which shuffle-partitions both
+    sides and scales linearly instead of quadratically.
+  - ``q_join_asof`` is the join+window formulation; at extreme fan-out the
+    documented escalation is a per-key ``mapInPandas`` merge (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import RATINGS_ORACLE_CTE, load_events, load_table
+from .recsys import _cached_ratings, round6
+
+
+# ---------------------------------------------------------------------------
+# A. Scans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 analogue: full columnar scan, projected."""
+    return load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@register(
+    "q_scan_pruned",
+    oracle="""
+SELECT l_orderkey, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+""",
+)
+def q_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned + predicate-pushed scan: reads 2 of 11 lineitem
+    columns, shipdate filter lands in ``PushedFilters`` (the filter column
+    itself is pruned from the output)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        F.col("l_shipdate") >= F.to_timestamp(F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# B. Projection / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_project_expr",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 6) + 0.0 AS revenue,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) + 0.0 AS charged
+FROM lineitem
+""",
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection with aliasing (R2's parse+project, columnar)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        round6(revenue).alias("revenue"),
+        round6(revenue * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+@register(
+    "q_filter_compound",
+    oracle="""
+SELECT p_partkey, p_name, p_type, p_size, p_brand
+FROM part
+WHERE (p_type IN ('PROMO', 'ECONOMY') OR p_name LIKE 'small%')
+  AND p_size BETWEEN 10 AND 40
+  AND NOT p_brand = 'Brand#13'
+""",
+)
+def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound boolean predicate: AND/OR/NOT, IN, BETWEEN, LIKE."""
+    p = load_table(spark, sf_dir, "part")
+    return p.where(
+        (F.col("p_type").isin("PROMO", "ECONOMY") | F.col("p_name").like("small%"))
+        & F.col("p_size").between(10, 40)
+        & ~(F.col("p_brand") == "Brand#13")
+    ).select("p_partkey", "p_name", "p_type", "p_size", "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# C. Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_join_left",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') p_orders
+  ON o_custkey = c_custkey
+""",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a real null side (56 customers have no
+    'P'-status order at sf0.01 — every customer has *some* order, so the
+    unfiltered left join would be degenerate)."""
+    customer = load_table(spark, sf_dir, "customer")
+    p_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    return customer.join(
+        p_orders, customer.c_custkey == p_orders.o_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: no row duplication, right side never
+    materialized into the output."""
+    customer = load_table(spark, sf_dir, "customer")
+    p_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    return customer.join(
+        p_orders, customer.c_custkey == p_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    p_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "P"
+    )
+    return customer.join(
+        p_orders, customer.c_custkey == p_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+SELECT r_name, n_name,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ dim chain with every dimension broadcast: the lineitem side
+    never shuffles for the joins (one shuffle total, for the final agg).
+    At 100 TB the dims are still KBs–MBs, so BHJ is the only sane plan;
+    the hint makes it deterministic rather than threshold-dependent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                )
+                + F.lit(0.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+SELECT a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       round(abs(a.p_retailprice - b.p_retailprice), 6) + 0.0 AS price_gap
+FROM part a
+JOIN part b
+  ON abs(a.p_retailprice - b.p_retailprice) < 1.0
+ AND a.p_partkey < b.p_partkey
+""",
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join |price_a − price_b| < 1 as a bucketed EQUI-join.
+
+    The naive plan is a broadcast-nested-loop over all |part|² pairs —
+    quadratic, a non-starter at scale.  Rewrite: bucket each price by
+    ``floor(price)``; a row can only band-match rows in its own or adjacent
+    buckets, so explode one side to its {b−1, b, b+1} candidate buckets and
+    equi-join on the bucket key, then apply the exact band + ordering as a
+    residual filter.  Shuffle-partitioned by bucket → linear in data size
+    (× small constant), skew handled by AQE.
+    """
+    part_cols = ["p_partkey", "p_retailprice"]
+    a = load_table(spark, sf_dir, "part").select(*part_cols)
+    b = load_table(spark, sf_dir, "part").select(*part_cols)
+    a = a.withColumn("bucket", F.floor("p_retailprice"))
+    b = b.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor("p_retailprice") - 1,
+                F.floor("p_retailprice"),
+                F.floor("p_retailprice") + 1,
+            )
+        ),
+    )
+    a = a.alias("a")
+    b = b.alias("b")
+    gap = F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice"))
+    return (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .where((gap < 1.0) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("partkey_a"),
+            F.col("b.p_partkey").alias("partkey_b"),
+            round6(gap).alias("price_gap"),
+        )
+    )
+
+
+@register(
+    "q_join_selfpair",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}
+SELECT a.user_id AS user_id, a.item_id AS item_x, b.item_id AS item_y
+FROM ratings a
+JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
+""",
+)
+def q_join_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5's pairwise expansion, unaggregated: the declared self-join shape
+    (``pairwise_items``, moviesSimilarities.py:≈92–110)."""
+    ratings = _cached_ratings(spark, sf_dir)
+    a = ratings.alias("a")
+    b = ratings.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.item_id") < F.col("b.item_id")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.item_id").alias("item_x"),
+        F.col("b.item_id").alias("item_y"),
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+WITH cand AS (
+    SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+           row_number() OVER (PARTITION BY e.event_id
+                              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+               AS rn
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id,
+       o_orderkey AS asof_orderkey,
+       CAST(o_orderdate AS DATE) AS asof_orderdate
+FROM cand WHERE rn = 1
+""",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each event matched to that user's latest
+    order with ``o_orderdate ≤ ts``.
+
+    Spark has no native ASOF JOIN; the formulation is a conditional join +
+    per-event ``row_number`` keep-latest, with ``o_orderkey`` as the
+    deterministic tie-break on equal dates (DuckDB's ASOF leaves date ties
+    unspecified, so the oracle uses the identical window formulation).
+    Partitioning: the join shuffles both sides on user — per-user order
+    fan-out here is ~10; for pathological fan-out the escalation is a
+    per-user ``mapInPandas`` sorted merge (SURVEY §7.3).
+    """
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    cand = events.join(
+        orders,
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").cast("date").alias("asof_orderdate"),
+        )
+    )

@@ -45,6 +45,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events stream table, with its nanosecond timestamp made usable.
+
+    The testdata writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    Read it as a raw long (``nanosAsLong`` legacy conf, runtime-settable)
+    and truncate to microseconds with exact integer division — matching
+    DuckDB, whose TIMESTAMP is µs precision and truncates on read, so both
+    engines see bit-identical timestamps.  (Float division would round
+    incorrectly: ns-since-epoch ≈ 1.7e18 exceeds double's 53-bit mantissa.)
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def read_ratings_pipe(spark: SparkSession, path: str) -> DataFrame:
     """MovieLens-style ``user|item|rating`` lines (ref R2 parse).
 
