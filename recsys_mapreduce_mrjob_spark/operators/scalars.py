@@ -1,1 +1,196 @@
-"""Placeholder — filled in as SURVEY.md §2.2 coverage widens."""
+"""Scalar function packs: string / date / math / json / array / map
+(SURVEY.md §2.2.H).
+
+The reference's scalar surface is the similarity math in ``metrics.py``
+(reconstructed — SURVEY.md §2.1 R7–R11), computed row-at-a-time in CPython.
+Here every scalar is a Catalyst expression evaluated inside whole-stage
+codegen — the engine never drops to Python for a scalar — including the
+higher-order array functions (``transform`` / ``aggregate``) over embedding
+vectors, which is what keeps the §K vector math JVM-side at 100 TB.
+
+Cross-engine pitfalls encoded below (SURVEY §7.4): Spark ``ceil``/``floor``
+return BIGINT where DuckDB returns DOUBLE (cast in the oracle);
+``date_trunc`` returns TIMESTAMP in Spark but DATE in DuckDB (cast both);
+array L2 norms accumulate in DOUBLE sequentially in both engines, rounded
+to 5 before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import l2_norm
+from ..registry import register
+from ..sources.readers import load_events, load_table
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 5) AS name_prefix,
+       concat_ws('-', p_brand, p_type) AS brand_type,
+       length(p_name) AS name_len,
+       trim(p_type) AS type_trim,
+       regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+       (p_type LIKE 'PRO%') AS is_promo
+FROM part
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.col("p_type")).alias("type_trim"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.col("p_type").like("PRO%").alias("is_promo"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       dayofweek(CAST(o_orderdate AS DATE)) AS order_dow,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+       date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_95
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction/truncation/arithmetic.  DuckDB ``dayofweek`` is
+    0=Sunday over DATE; Spark ``dayofweek`` is 1=Sunday — subtract 1."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek(d) - 1).cast("long").alias("order_dow"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
+            "days_since_epoch_95"
+        ),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+SELECT p_partkey,
+       round(p_retailprice, 1) + 0.0 AS price_r1,
+       round(abs(p_retailprice - 950.0), 6) + 0.0 AS dist_950,
+       round(sqrt(p_retailprice), 6) + 0.0 AS price_sqrt,
+       round(ln(p_retailprice), 6) + 0.0 AS price_ln,
+       round(pow(p_retailprice, 2), 4) + 0.0 AS price_sq,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       sign(p_retailprice - 950.0) + 0.0 AS above_950
+FROM part
+""",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        (F.round(price, 1) + F.lit(0.0)).alias("price_r1"),
+        (F.round(F.abs(price - 950.0), 6) + F.lit(0.0)).alias("dist_950"),
+        (F.round(F.sqrt(price), 6) + F.lit(0.0)).alias("price_sqrt"),
+        (F.round(F.log(price), 6) + F.lit(0.0)).alias("price_ln"),
+        (F.round(F.pow(price, 2), 4) + F.lit(0.0)).alias("price_sq"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        (F.signum(price - 950.0) + F.lit(0.0)).alias("above_950"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the ``events.props`` string column +
+    filtering on the extracted value."""
+    e = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_id", "event_type", k.alias("k_val")).where(
+        F.col("k_val") >= 50
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       embedding[1] AS first_component,
+       embedding[1:4] AS head4,
+       round(sqrt(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * x))), 5) + 0.0
+           AS l2_norm
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over the 64-dim embedding column: size, element access,
+    slicing, and an L2 norm via ``aggregate`` — all higher-order Catalyst
+    expressions, zero Python in the loop."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(emb).cast("long").alias("dim"),
+        F.element_at(emb, 1).alias("first_component"),
+        F.slice(emb, 1, 4).alias("head4"),
+        (F.round(l2_norm(emb), 5) + F.lit(0.0)).alias("l2_norm"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS clicks,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-user ``map<event_type, count>`` then read scalar keys
+    back out.  The map itself is not in the output (map hashing is not
+    portable across engines — SURVEY §2.2.H); the projected scalars make
+    the construction + ``element_at`` readback exactly checkable."""
+    e = load_events(spark, sf_dir)
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_counts")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("type_counts", "purchase"), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
+    )
