@@ -15,9 +15,14 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM higher-order fns)."""
+    """Σ aᵢ·bᵢ via zip_with + aggregate (JVM higher-order fns).
+
+    Components cast to DOUBLE before multiplying: float32 products
+    accumulate visible error over 64 dims and diverge from any engine
+    (DuckDB included) that does the math in double.
+    """
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )

@@ -1,1 +1,258 @@
-"""Placeholder — filled in as SURVEY.md §2.2 coverage widens."""
+"""Document deduplication: exact, candidate-pair Jaccard, MinHash-LSH
+(SURVEY.md §2.2.K; north-star LLM-pipeline operator).
+
+Three rungs of the dedup ladder, each scale-shaped:
+
+1. ``q_dedup_exact`` — hash-groupBy on ``md5(text)``.  One shuffle on the
+   hash; no pairwise anything.  The only sane first pass at 100 TB.
+2. ``q_dedup_jaccard_pairs`` — exact 3-shingle Jaccard, but only for pairs
+   that share a RARE shingle (document frequency = 2).  Rare-feature
+   candidate generation is the classic bounded alternative to the O(n²)
+   similarity join; everything stays relational (explode → df filter →
+   self-equi-join on the shingle), so it's exactly oracle-checkable.
+3. ``q_dedup_near`` — MinHash-LSH, hand-rolled and deterministic:
+   32 xxhash64 min-hashes → 8 bands × 4 rows → equi-join on (band,
+   band-signature) → exact Jaccard verification of the candidates only.
+   Banding means the join key is the band signature — near-dups collide in
+   ≥1 band with high probability while the pair space never materializes.
+   Declared rows-only (xxhash64 has no DuckDB equivalent), but fully
+   deterministic: a unit test pins the planted sf0.1 duplicates.
+
+At 100 TB the knobs are the shingle df cap (rung 2) and the band/row
+split (rung 3): more bands → higher recall, more candidates.  All three
+rungs shuffle on derived keys (hash / shingle / band signature), so skew
+is bounded by the df cap, and AQE splits what remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingles
+from ..registry import register
+from ..sources.readers import load_table
+
+_N_HASHES = 32
+_N_BANDS = 8
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups via content hash.  ``keeper_doc_id`` is the
+    deterministic survivor (min id) a dedup pass would retain; groups with
+    ``n_docs > 1`` are the planted sf0.1 duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# Shared shingle relation: distinct 3-token shingles per doc.
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s")
+    )
+
+
+_SHINGLES_CTE = """
+toklists AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toklists
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+)
+"""
+
+
+@register(
+    "q_dedup_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.s IN (SELECT s FROM rare)
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6) + 0.0
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+""",
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs sharing a rare
+    (df = 2) 3-shingle — the oracle-checkable companion to MinHash-LSH."""
+    sh = _doc_shingles(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
+    rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register("q_dedup_near")  # rows-only: xxhash64 minhashes have no DuckDB twin
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via deterministic MinHash-LSH.
+
+    Pipeline (all DataFrame ops, no MLlib fit, no randomness):
+      1. distinct 3-shingles per doc;
+      2. 32 min-hashes: ``min(xxhash64(shingle, seed_i))`` per doc — one
+         groupBy computing all 32 aggregates in a single pass;
+      3. band signatures: 8 bands × 4 rows, each band's signature =
+         ``xxhash64`` of its 4 min-hashes;
+      4. candidate pairs = docs equal in ≥1 (band, signature) — an
+         equi-join on the band key, never an all-pairs comparison;
+      5. exact Jaccard verification of candidates; keep ``≥ 0.8``.
+
+    For truly identical texts every band collides and jaccard = 1.0 (the
+    sf0.1 planted dupes — pinned by a unit test).
+    """
+    sh = _doc_shingles(spark, sf_dir).persist()
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh{band * _ROWS_PER_BAND + r}")
+                                for r in range(_ROWS_PER_BAND)
+                            ]
+                        ).alias("bsig"),
+                    )
+                    for band in range(_N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .where(jaccard >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(jaccard, 6) + F.lit(0.0)).alias("jaccard"),
+        )
+    )

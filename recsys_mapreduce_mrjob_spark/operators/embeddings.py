@@ -1,1 +1,261 @@
-"""Placeholder — filled in as SURVEY.md §2.2 coverage widens."""
+"""Similarity search over embedding columns (SURVEY.md §2.2.K).
+
+North-star extension: the vector half of an LLM data pipeline —
+``array<float>`` columns with typed metadata, k-NN retrieval, per-label
+centroid search, corpus-level vector stats.  All vector arithmetic is
+higher-order Catalyst expressions (:mod:`..functions.vectors`) in DOUBLE
+precision — JVM-side, whole-stage codegen, no Python.
+
+Scale story:
+  - ``q_knn_cosine`` is the brute-force baseline: broadcast the single
+    query vector, score every row, TakeOrderedAndProject the top-k.  One
+    scan, no shuffle of the corpus — at 100 TB this is the *correct*
+    exact algorithm, and it parallelizes embarrassingly.
+  - ``q_knn_per_label`` is grouped retrieval: centroids are a
+    64-row × n_labels aggregate (posexplode → avg per component),
+    broadcast back against the corpus — the same shape as IVF's
+    coarse-quantizer assignment pass.
+  - The sub-linear ANN path (LSH bucketing, so candidates ≪ corpus) is
+    ``q_knn_cosine_lsh`` in this module: deterministic sign-random
+    projections, bucket equi-join, exact re-rank of candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_sim, l2_norm
+from ..registry import register
+from ..sources.readers import load_table
+
+
+def _round5(c):
+    return F.round(c, 5) + F.lit(0.0)
+
+
+# DuckDB-side double-precision cosine over float lists (explicit formula —
+# mirrors functions/vectors.py: double casts, sequential accumulation).
+_COS_SQL = """
+list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                   list_transform({b}, x -> CAST(x AS DOUBLE)))
+/ (sqrt(list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
+                           list_transform({a}, x -> CAST(x AS DOUBLE))))
+   * sqrt(list_inner_product(list_transform({b}, x -> CAST(x AS DOUBLE)),
+                             list_transform({b}, x -> CAST(x AS DOUBLE)))))
+"""
+
+
+@register(
+    "q_knn_cosine",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       round({_COS_SQL.format(a='e.embedding', b='q.qvec')}, 5) + 0.0 AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 nearest neighbors of vec_id 0 by cosine: broadcast the
+    query vector, score the corpus in one scan, heap-select the top-k
+    (ranked on the ROUNDED score, vec_id tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .join(q)
+        .select(
+            "vec_id",
+            "label",
+            _round5(cosine_sim(F.col("embedding"), F.col("qvec"))).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_knn_per_label",
+    oracle=f"""
+WITH exploded AS (
+    SELECT label, unnest(generate_series(1, len(embedding))) AS i, embedding
+    FROM embeddings
+),
+comp AS (
+    SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+    FROM exploded GROUP BY label, i
+),
+centroids AS (
+    SELECT label AS c_label, list(c ORDER BY i) AS cvec FROM comp GROUP BY label
+),
+scored AS (
+    SELECT c.c_label, e.vec_id,
+           round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 5) + 0.0 AS cos_sim
+    FROM embeddings e CROSS JOIN centroids c
+)
+SELECT c_label, vec_id, cos_sim
+FROM (SELECT *, row_number() OVER (PARTITION BY c_label
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def q_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 vectors per label centroid — grouped similarity search.
+    Centroids: posexplode → per-(label, position) average → re-assembled
+    in position order; the n_labels×64 centroid table broadcasts back
+    against the corpus (IVF coarse-assignment shape)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    centroids = comp.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.c
+        ).alias("cvec")
+    )
+    scored = emb.join(F.broadcast(centroids)).select(
+        "c_label",
+        "vec_id",
+        _round5(cosine_sim(F.col("embedding"), F.col("cvec"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("c_label").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_label", "vec_id", "cos_sim")
+    )
+
+
+@register(
+    "q_embedding_label_stats",
+    oracle="""
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(sqrt(list_inner_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(embedding, x -> CAST(x AS DOUBLE))))), 5) + 0.0
+           AS avg_l2_norm,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) + 0.0 AS avg_first_component
+FROM embeddings
+GROUP BY label
+""",
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector sanity stats (multimodal column health check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _round5(F.avg(l2_norm(F.col("embedding")))).alias("avg_l2_norm"),
+        (
+            F.round(F.avg(F.element_at("embedding", 1).cast("double")), 6)
+            + F.lit(0.0)
+        ).alias("avg_first_component"),
+    )
+
+
+_N_PLANES = 16
+
+
+def _simhash_bits(emb, n_planes: int = _N_PLANES):
+    """Deterministic sign-random-projection signature bits.
+
+    Plane j's i-th component is ±1 from ``xxhash64(i, j)``'s parity — a
+    fixed pseudo-random hyperplane with no fitted state, so the signature
+    is reproducible across runs and executors.  Returns an array of
+    n_planes 0/1 ints.
+    """
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(emb) - 1),
+                            lambda i: F.when(
+                                F.xxhash64(i, F.lit(j)) % 2 == 0, F.lit(1.0)
+                            ).otherwise(F.lit(-1.0)),
+                        ),
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0
+            ).cast("int")
+            for j in range(n_planes)
+        ]
+    )
+
+
+@register("q_knn_cosine_lsh")  # rows-only: LSH bucketing has no SQL oracle
+def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-linear ANN for the same query as ``q_knn_cosine``: sign-random-
+    projection LSH (16 deterministic hyperplanes → 4 bands of 4 bits);
+    candidates = vectors sharing ≥1 band with the query; exact cosine
+    re-rank of candidates only.  At 100 TB the bucket equi-join touches a
+    small candidate fraction instead of the full corpus — recall tunable
+    via bands/bits.  A unit test checks high overlap with the exact top-10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_sig = emb.select(
+        "vec_id", "label", "embedding", _simhash_bits(F.col("embedding")).alias("sig")
+    )
+    bpb = _N_PLANES // 4  # 4 bands × 4 bits
+    banded = with_sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at("sig", b * bpb + r + 1).cast("string")
+                                for r in range(bpb)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "vec_id", "label", "embedding",
+        F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"),
+    )
+    qb = F.broadcast(
+        banded.where(F.col("vec_id") == 0).select(
+            F.col("band").alias("qband"),
+            F.col("bsig").alias("qbsig"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    cand = (
+        banded.where(F.col("vec_id") != 0)
+        .join(
+            qb,
+            (F.col("band") == F.col("qband")) & (F.col("bsig") == F.col("qbsig")),
+        )
+        .select("vec_id", "label", "embedding", "qvec")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            _round5(cosine_sim(F.col("embedding"), F.col("qvec"))).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

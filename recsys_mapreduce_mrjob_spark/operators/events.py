@@ -1,1 +1,222 @@
-"""Placeholder — filled in as SURVEY.md §2.2 coverage widens."""
+"""Streaming-shaped operators over the events table (SURVEY.md §2.2.J).
+
+Absent from the reference (pure batch MapReduce); declared because the
+engine's north star includes stream processing.  Each query here is the
+BATCH formulation — deterministic and oracle-checkable — of a Structured
+Streaming operator; the streaming twins (``readStream`` + ``withWatermark``
++ the same transformations) live in :mod:`..streaming.twins` and are
+deliberately undeclared (stream micro-batch boundaries are not
+hash-reproducible).  Semantics are defined so batch and streaming agree on
+the same input.
+
+Event-time outputs are projected as epoch SECONDS (BIGINT): engines hash
+timestamps differently (precision, tz attachment), integers are portable
+(SURVEY §7.4).
+
+Scale notes (100 TB of events):
+  - Tumbling/sliding aggregation shuffles once on (bucket, type) — the
+    bucket key is derived, so partition count scales with time-range ×
+    cardinality, not input rows.  Sliding windows multiply input ×
+    (length/slide) inside the Expand before the shuffle, same as any
+    streaming engine's pane replication.
+  - Sessionization is one shuffle on user_id + a linear in-partition scan
+    (lag + running sum) — the classic parallel sessionize; no per-user
+    Python, no collect.
+  - Late-data filtering computes the global max(ts) with a scalar-subquery
+    aggregate (one tiny job) instead of a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_events
+
+
+def _round4(c):
+    return F.round(c, 4) + F.lit(0.0)
+
+
+# DuckDB-side epoch seconds for a µs timestamp (floor = Spark unix_timestamp).
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+@register(
+    "q_window_tumbling",
+    oracle=f"""
+SELECT {_EPOCH} - {_EPOCH} % 3600 AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (``F.window`` — the same
+    operator Structured Streaming uses; epoch-aligned buckets)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _round4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    oracle=f"""
+WITH panes AS (
+    SELECT ({_EPOCH} - {_EPOCH} % 900) - k.k * 900 AS window_start,
+           event_type, value
+    FROM events
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value
+FROM panes
+GROUP BY 1, 2
+""",
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event belongs to exactly
+    4 overlapping windows (length/slide panes).  The oracle replicates each
+    event to its 4 window starts explicitly — validated equivalent to
+    Spark's window semantics (epoch-aligned, start ≤ ts < start+1h)."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _round4(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_session",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, {_EPOCH} AS ts_epoch, event_id,
+           CASE WHEN {_EPOCH}
+                     - lag({_EPOCH}) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC)
+                     > 1800
+                  OR lag({_EPOCH}) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_epoch ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts_epoch) AS session_start,
+       max(ts_epoch) - min(ts_epoch) AS duration_sec
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag → new-session
+    flag → running sum as session index → per-session aggregate.  The
+    batch-exact analogue of ``F.session_window`` (streaming twin in
+    ``streaming/twins.py``); duration in epoch seconds, not INTERVAL,
+    to keep types portable (SURVEY §7.3)."""
+    e = load_events(spark, sf_dir).select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts_epoch"), F.asc("event_id"))
+    prev = F.lag("ts_epoch").over(order)
+    flagged = e.withColumn(
+        "is_new",
+        (prev.isNull() | ((F.col("ts_epoch") - prev) > 1800)).cast("int"),
+    )
+    numbered = flagged.withColumn(
+        "session_idx",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_epoch").alias("session_start"),
+        (F.max("ts_epoch") - F.min("ts_epoch")).alias("duration_sec"),
+    )
+
+
+@register(
+    "q_late_data_filter",
+    oracle=f"""
+SELECT event_id, user_id, event_type, {_EPOCH} AS ts_epoch
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+""",
+)
+def q_late_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics on batch: keep only events within 1 hour of the
+    observed max event time — exactly what a ``withWatermark('ts', '1
+    hour')`` stream would still accept at end-of-input.  The max is a
+    scalar-subquery aggregate (broadcast to the filter), not a driver
+    collect."""
+    e = load_events(spark, sf_dir)
+    max_ts = e.select(F.max("ts").alias("m"))
+    return (
+        e.join(F.broadcast(max_ts))
+        .where(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 HOUR"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+
+
+@register(
+    "q_stateful_dedup_events",
+    oracle=f"""
+SELECT event_id, user_id, event_type, {_EPOCH} AS ts_epoch
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                   ORDER BY ts ASC, user_id ASC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+)
+def q_stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed deduplication — the batch analogue of streaming
+    ``dropDuplicates(['event_id'])`` state.  Expressed as keep-first
+    (earliest ts) per key so the surviving row is deterministic even if
+    duplicate event_ids appear (``dropDuplicates`` itself keeps an
+    arbitrary row — not oracle-safe)."""
+    e = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_id").orderBy(F.asc("ts"), F.asc("user_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
