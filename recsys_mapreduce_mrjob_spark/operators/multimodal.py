@@ -1,0 +1,150 @@
+"""Multimodal (binary) columns: decode / feature-extract plumbing
+(north-star extension — image/audio/video as opaque ``binary`` + typed
+metadata).
+
+The real decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode kernels are stubbed exactly as the spec prescribes: a
+clearly-marked ``NotImplementedError`` path for real decoding and a
+deterministic fake used by default.  Everything Spark-side is real and
+tested — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
+partitioning — so swapping a real decoder in changes one function body.
+
+Scale notes: media blobs are large and decode is CPU-bound Python —
+``mapInPandas`` streams Arrow batches through the worker (never a
+row-at-a-time UDF, never a driver collect), and the operators repartition
+by content hash first so decode work spreads evenly regardless of how the
+blobs were written.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources.readers import load_table
+
+#: Schema for a multimodal asset table: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_FEATURE_DIM = 8
+
+
+def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode hook — container has no media libraries.
+
+    STUB: replace with PIL.Image.open / soundfile / pyav frame sampling
+    when the runtime provides them.
+    """
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not present in this "
+        "container; use deterministic_fake_decode (default) or install a decoder"
+    )
+
+
+def deterministic_fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in for decode + feature extraction: derives an
+    ``_FEATURE_DIM``-vector from the sha256 of the payload.  Stable across
+    runs/executors, so tests can pin exact outputs."""
+    digest = hashlib.sha256(payload).digest()
+    raw = np.frombuffer(digest[: _FEATURE_DIM * 4], dtype="<u4").astype("float64")
+    return raw / np.float64(2**32)  # [0, 1) components
+
+
+def extract_features(assets: DataFrame, decode=deterministic_fake_decode) -> DataFrame:
+    """Decode + featurize every asset via Arrow-batched ``mapInPandas``.
+
+    Repartitions on a payload hash first: media tables are typically
+    written clustered by source, which would otherwise put all the
+    expensive blobs of one origin on one task.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha256": pdf["payload"].map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return assets.repartition(F.xxhash64("payload")).mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
+
+
+def documents_as_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: treat each document's UTF-8 text as an opaque binary
+    payload — the testdata ships no media table, and this exercises the
+    identical binary-column plumbing with real data."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction, oracle-checked on its
+    deterministic projections: the ``mapInPandas`` pipeline's byte length
+    and sha256 must agree with DuckDB computing the same over the source
+    text (documents.text is ASCII, so char length == byte length).  The
+    fake-decode feature vector is engine-side only (no SQL twin) and is
+    pinned by a unit test instead."""
+    feats = extract_features(documents_as_assets(spark, sf_dir))
+    return feats.select("asset_id", "byte_len", "payload_sha256")

@@ -64,7 +64,30 @@ def item_rater_counts(ratings: DataFrame) -> DataFrame:
     )
 
 
-def pairwise_stats(ratings: DataFrame, min_support: int = 2) -> DataFrame:
+def prune_degenerate_users(ratings: DataFrame, max_user_items: int) -> DataFrame:
+    """Drop users rating more than ``max_user_items`` items before the
+    pairwise self-join — the 100 TB knob for the pair explosion.
+
+    A user with k items contributes C(k,2) pairs; a crawler/bot user with
+    10⁵ items alone produces 5×10⁹ pairs.  The reference had the same
+    bottleneck in its ``pairwise_items`` mapper (the famous "main
+    performance bottleneck" docstring comment, moviesSimilarities.py:≈96)
+    and no remedy.  Capping is the standard DIMSUM-adjacent mitigation
+    (SURVEY §4.2): item-pair similarity over co-raters barely changes when
+    pathological users are dropped, while the pair space shrinks
+    quadratically.  Default OFF at test scale factors so oracles are
+    unaffected.
+    """
+    counts = ratings.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    keep = counts.where(F.col("k") <= max_user_items).select("user_id")
+    return ratings.join(keep, "user_id", "left_semi")
+
+
+def pairwise_stats(
+    ratings: DataFrame,
+    min_support: int = 2,
+    max_user_items: int | None = None,
+) -> DataFrame:
     """R5+R6: ordered item pairs with sufficient statistics.
 
     Reference: ``pairwise_items`` mapper emits all C(items,2) pairs per
@@ -74,7 +97,13 @@ def pairwise_stats(ratings: DataFrame, min_support: int = 2) -> DataFrame:
     ``item_x < item_y`` ordering folded into the join, then one hash
     aggregation (partial map-side + final — the combiner the reference
     lacked).
+
+    ``max_user_items`` (off by default) applies
+    :func:`prune_degenerate_users` before the join — see its docstring for
+    the 100 TB rationale.
     """
+    if max_user_items is not None:
+        ratings = prune_degenerate_users(ratings, max_user_items)
     a = ratings.alias("a")
     b = ratings.alias("b")
     pairs = a.join(
@@ -159,8 +188,13 @@ def topk_similar_items(ratings: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
-def item_cooccurrence(ratings: DataFrame) -> DataFrame:
-    """Degenerate similarity: co-rating counts per ordered pair (sanity)."""
+def item_cooccurrence(ratings: DataFrame, min_support: int = 2) -> DataFrame:
+    """Degenerate similarity: co-rating counts per ordered pair (sanity).
+
+    ``n_common >= min_support`` prunes the singleton-pair tail — at sf0.01
+    that is ~953k → ~274k rows (and quadratic-ish growth in sf), which
+    otherwise dominates oracle hashing time for a sanity query.
+    """
     a = ratings.alias("a")
     b = ratings.alias("b")
     return (
@@ -174,6 +208,7 @@ def item_cooccurrence(ratings: DataFrame) -> DataFrame:
             F.col("b.item_id").alias("item_y"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_support)
     )
 
 
@@ -352,6 +387,7 @@ SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n_common
 FROM ratings a
 JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
 GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
 )
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.textfns import token_count, tokens
+from ..functions.textfns import _LANG_MARKERS, lang_id, quality_score, token_count, tokens
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -191,3 +191,81 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("mean_token_len"),
     )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+    SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+    FROM toks GROUP BY doc_id
+),
+parts AS (
+    SELECT d.doc_id,
+           length(replace(d.text, ' ', '')) / CAST(p.n AS DOUBLE) AS mean_len,
+           length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g'))
+               / CAST(length(d.text) AS DOUBLE) AS alpha_ratio,
+           p.nd / CAST(p.n AS DOUBLE) AS distinct_ratio
+    FROM documents d JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id,
+       round(((CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 1.0 ELSE 0.0 END)
+              + alpha_ratio + distinct_ratio) / 3.0, 6) + 0.0 AS quality
+FROM parts
+""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality heuristic (mean-token-length band, alpha
+    ratio, repetition penalty) — the cheap pre-filter an LLM data pipeline
+    runs before any model-based scoring.  Pure Catalyst expressions
+    (functions/textfns.quality_score), exact-oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
+    )
+
+
+# Mirror of functions/textfns.lang_id tie-breaking: Spark's array_max over
+# (score, lang) structs breaks score ties by the LARGEST lang string, so the
+# oracle CASE tests languages in descending lexicographic order.
+_LANGS_DESC = sorted(_LANG_MARKERS, reverse=True)
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, markers in _LANG_MARKERS.items():
+        hits = " + ".join(
+            f"CAST(list_contains(toklist, '{m}') AS INT)" for m in markers
+        )
+        score_exprs.append(f"({hits}) / {len(markers)}.0 AS s_{lang}")
+    scores = ",\n           ".join(score_exprs)
+    greatest = ", ".join(f"s_{lang}" for lang in _LANG_MARKERS)
+    cases = "\n                ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in _LANGS_DESC
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id,
+           {scores}
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toklist FROM documents)
+),
+best AS (
+    SELECT *, greatest({greatest}) AS m FROM scored
+)
+SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'und'
+                {cases}
+            ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+@register("q_text_langid", oracle=_langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word hit rate per language, argmax
+    with deterministic tie-breaks ('und' when nothing matches).  The
+    n-gram-free stand-in for fastText-style LID, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))

@@ -50,5 +50,6 @@ def load_all() -> None:
         text,
         dedup,
         embeddings,
+        multimodal,
         udfs,
     )

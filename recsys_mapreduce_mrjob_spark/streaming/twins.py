@@ -1,0 +1,138 @@
+"""Structured Streaming twins of the §J batch operators.
+
+SURVEY.md §2.2.J declares the batch formulations (deterministic,
+oracle-checked in :mod:`..operators.events`); these are the same
+computations over an unbounded source — ``readStream`` + ``withWatermark``
++ identical transformations — proving the engine's claim that batch and
+streaming share semantics.  Deliberately NOT registered in the query
+registry: micro-batch emission boundaries aren't hash-reproducible, so the
+contract is pinned by ``tests/test_streaming_twins.py`` instead, which
+runs each twin to end-of-input (``availableNow`` trigger) and compares
+against the batch answer.
+
+Scale notes: the watermark bounds window state (buckets older than
+watermark are finalized and evicted); ``session_window`` merges gap-based
+sessions in the state store; ``dropDuplicates`` state is similarly
+watermark-bounded in event-time — the standard production configuration
+for each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The events parquet stores ts as INT64 TIMESTAMP(NANOS); the streaming
+# reader needs an explicit schema (no inference) and the same nanosAsLong
+# handling as the batch reader (sources/readers.py load_events).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` twin of ``load_events``: same schema, same ns→µs
+    truncation, unbounded file source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source requires a *directory*; glob-filter it down
+    # to the events file so sibling tables aren't picked up.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_window_tumbling``: watermarked 1-hour windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_window_sliding`` (1 h length, 15 min slide)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_window_session``: native ``session_window``
+    with the same 30-minute gap.  Output is (user, session window bounds,
+    event count, duration) — session *indices* are a batch-only notion, so
+    the twin identifies sessions by their start time instead."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``q_stateful_dedup_events``: keyed
+    ``dropDuplicates`` with watermark-bounded state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("ts_epoch"),
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame to end-of-input (``availableNow``) into
+    an in-memory table and return the result as a batch DataFrame.
+    Test/debug harness — production sinks would be kafka/parquet/delta."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)

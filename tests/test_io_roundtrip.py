@@ -1,0 +1,71 @@
+"""Reference-fidelity I/O: native text formats in, flagship through,
+semicolon sink out (reference R1/R3/R14).
+
+Exercises ``read_ratings_pipe`` / ``read_ratings_bookcrossing`` /
+``write_semicolon`` end-to-end on the reference's own docstring
+micro-fixture (FIXTURES.md §B) — the formats the upstream jobs actually
+consumed (``moviesSimilarities.py:≈55``, ``vectorSimilarities.py:≈90``,
+``SemicolonValueProtocol`` ≈30; reconstructed).
+"""
+
+from __future__ import annotations
+
+import glob
+
+from recsys_mapreduce_mrjob_spark.operators.recsys import topk_similar_items
+from recsys_mapreduce_mrjob_spark.sources.readers import (
+    read_ratings_bookcrossing,
+    read_ratings_pipe,
+)
+from recsys_mapreduce_mrjob_spark.sources.sinks import write_semicolon
+
+# The docstring micro-fixture (moviesSimilarities.py:≈55–175).
+_ROWS = [
+    (17, 70, 3.0),
+    (35, 21, 1.0),
+    (49, 19, 2.0),
+    (49, 21, 1.0),
+    (49, 70, 4.0),
+    (87, 19, 1.0),
+    (87, 21, 2.0),
+    (98, 19, 2.0),
+]
+
+
+def test_pipe_roundtrip_to_semicolon_sink(spark, tmp_path):
+    src = tmp_path / "ratings.txt"
+    src.write_text("".join(f"{u}|{i}|{r}\n" for u, i, r in _ROWS))
+
+    ratings = read_ratings_pipe(spark, str(src))
+    assert [f.name for f in ratings.schema.fields] == ["user_id", "item_id", "rating"]
+    assert ratings.count() == len(_ROWS)
+
+    topk = topk_similar_items(ratings, k=10)
+    out_dir = tmp_path / "out"
+    write_semicolon(
+        topk.select("item_x", "item_y", "corr", "cos", "reg_corr", "jaccard", "n"),
+        str(out_dir),
+    )
+
+    lines = []
+    for part in glob.glob(str(out_dir / "part-*")):
+        with open(part) as fh:
+            lines += [ln.strip() for ln in fh if ln.strip()]
+    # R14 wire format: item_x;item_y;corr;cos;reg_corr;jaccard;n
+    assert lines, "semicolon sink wrote nothing"
+    for ln in lines:
+        assert len(ln.split(";")) == 7
+    # Pair (19, 21) is co-rated by users 49 and 87 with opposite rankings →
+    # corr = −1 (docstring math); check it survived the round trip.
+    pairs = {(ln.split(";")[0], ln.split(";")[1]): ln.split(";") for ln in lines}
+    assert ("19", "21") in pairs
+    assert float(pairs[("19", "21")][2]) == -1.0
+
+
+def test_bookcrossing_reader_parses_quoted_semicolons(spark, tmp_path):
+    src = tmp_path / "bx.csv"
+    src.write_text('"11676";"0971880107";"6.0"\n"11676";"0316666343";"8.5"\n')
+    df = read_ratings_bookcrossing(spark, str(src))
+    rows = {(r.user_id, r.item_id): r.rating for r in df.collect()}
+    assert rows[("11676", "0971880107")] == 6.0
+    assert rows[("11676", "0316666343")] == 8.5

@@ -1,0 +1,51 @@
+"""Multimodal binary-column plumbing: schemas, mapInPandas batch shape,
+deterministic fake decode, and the real-decoder stub contract."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from recsys_mapreduce_mrjob_spark.operators import multimodal as M
+
+
+def test_fake_decode_is_deterministic_unit_interval():
+    f1 = M.deterministic_fake_decode(b"hello", "image")
+    f2 = M.deterministic_fake_decode(b"hello", "image")
+    assert np.array_equal(f1, f2)
+    assert f1.shape == (M._FEATURE_DIM,)
+    assert ((0 <= f1) & (f1 < 1)).all()
+    assert not np.array_equal(f1, M.deterministic_fake_decode(b"hellp", "image"))
+
+
+def test_real_decode_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        M._decode_real(b"\x89PNG...", "image")
+
+
+def test_extract_features_on_synthetic_assets(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNG-ish-bytes"), (64, 64, None, None)),
+        (2, "audio", bytearray(b"RIFF-ish-bytes"), (None, None, 16000, None)),
+        (3, "video", bytearray(b"\x00\x00ftyp-ish"), (640, 480, None, 300)),
+    ]
+    assets = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    out = {r.asset_id: r for r in M.extract_features(assets).collect()}
+    assert set(out) == {1, 2, 3}
+    for aid, _, payload, _ in rows:
+        r = out[aid]
+        assert r.byte_len == len(payload)
+        assert r.payload_sha256 == hashlib.sha256(bytes(payload)).hexdigest()
+        expect = M.deterministic_fake_decode(bytes(payload), r.media_type)
+        assert np.allclose(r.feature, expect)
+
+
+def test_documents_adapter_schema(spark, sf_dir):
+    assets = M.documents_as_assets(spark, sf_dir)
+    fields = {f.name: f.dataType.simpleString() for f in assets.schema.fields}
+    assert fields["payload"] == "binary"
+    assert fields["media_type"] == "string"
+    row = assets.limit(1).collect()[0]
+    assert isinstance(bytes(row.payload), bytes)

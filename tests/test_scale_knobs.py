@@ -1,0 +1,83 @@
+"""Scale-hardening knobs and the dedup/ANN ladders at bench scale.
+
+- Degenerate-user pruning (the 100 TB pair-explosion cap) leaves results
+  unchanged when no user exceeds the cap, and strictly shrinks the pair
+  space when one does.
+- MinHash-LSH near-dup finds the 8 planted duplicate texts at sf0.1
+  (FIXTURES.md §A) with jaccard 1.0 — recall evidence for the banded join.
+- The LSH ANN candidate path ranks a meaningful fraction of the exact
+  brute-force top-10 (sanity floor; recall is tunable via bands/bits).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from recsys_mapreduce_mrjob_spark import registry
+from recsys_mapreduce_mrjob_spark.operators.recsys import (
+    pairwise_stats,
+    prune_degenerate_users,
+)
+
+registry.load_all()
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture()
+def tiny_ratings(spark):
+    rows = [
+        (1, 10, 3.0), (1, 11, 4.0), (1, 12, 5.0),
+        (2, 10, 2.0), (2, 11, 1.0),
+        (3, 10, 4.0), (3, 11, 5.0),
+        # power user rating everything
+        (9, 10, 1.0), (9, 11, 2.0), (9, 12, 3.0), (9, 13, 4.0), (9, 14, 5.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+
+
+def test_pruning_off_is_identity(tiny_ratings):
+    base = {tuple(r) for r in pairwise_stats(tiny_ratings, 1).collect()}
+    capped = {
+        tuple(r) for r in pairwise_stats(tiny_ratings, 1, max_user_items=100).collect()
+    }
+    assert base == capped
+
+
+def test_pruning_drops_power_user_pairs(tiny_ratings):
+    pruned = prune_degenerate_users(tiny_ratings, 3)
+    assert pruned.where("user_id = 9").count() == 0
+    assert pruned.where("user_id != 9").count() == tiny_ratings.where(
+        "user_id != 9"
+    ).count()
+    base_pairs = pairwise_stats(tiny_ratings, 1).count()
+    capped_pairs = pairwise_stats(tiny_ratings, 1, max_user_items=3).count()
+    assert capped_pairs < base_pairs
+
+
+def test_minhash_lsh_finds_planted_dupes_sf01(spark):
+    """sf0.1 plants 8 exact-duplicate texts (5000 rows, 4992 distinct);
+    identical texts collide in every band, so near-dup must surface all of
+    them with jaccard 1.0."""
+    exact = registry.QUERIES["q_dedup_exact"](spark, SF01)
+    dup_groups = exact.where("n_docs > 1").collect()
+    assert len(dup_groups) == 8
+    near = registry.QUERIES["q_dedup_near"](spark, SF01)
+    perfect = {
+        (r.doc_a, r.doc_b) for r in near.where("jaccard = 1.0").collect()
+    }
+    expected = {
+        (g.keeper_doc_id, g.max_doc_id) for g in dup_groups
+    }
+    assert expected <= perfect
+
+
+def test_lsh_ann_overlaps_exact_topk(spark, sf_dir):
+    exact = [r.vec_id for r in registry.QUERIES["q_knn_cosine"](spark, sf_dir).collect()]
+    approx = [
+        r.vec_id for r in registry.QUERIES["q_knn_cosine_lsh"](spark, sf_dir).collect()
+    ]
+    assert approx, "LSH ANN returned no candidates"
+    # Sanity floor: sign-LSH with 4 bands of 4 bits should recover a
+    # meaningful share of the true top-10 on 500 unit-ish vectors.
+    assert len(set(exact) & set(approx)) >= 3

@@ -1,0 +1,79 @@
+"""Batch/streaming agreement: each §J streaming twin, drained to
+end-of-input, must produce exactly the batch operator's answer.
+
+This pins the engine's core streaming claim (SURVEY §1.2: "semantics
+defined so batch and streaming agree") with real Structured Streaming
+executions — watermarks, state store, availableNow trigger — not by
+re-running batch code.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from recsys_mapreduce_mrjob_spark import registry
+from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+from recsys_mapreduce_mrjob_spark.streaming import twins
+
+registry.load_all()
+
+
+def _multiset(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    batch = registry.QUERIES["q_window_tumbling"](spark, sf_dir)
+    stream = twins.run_to_memory(
+        twins.tumbling_stream(twins.stream_events(spark, sf_dir)), "t_tumbling"
+    )
+    assert _multiset(stream) == _multiset(batch)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    batch = registry.QUERIES["q_window_sliding"](spark, sf_dir)
+    stream = twins.run_to_memory(
+        twins.sliding_stream(twins.stream_events(spark, sf_dir)), "t_sliding"
+    )
+    assert _multiset(stream) == _multiset(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir):
+    """session_window must reproduce the batch lag+cumsum sessionization:
+    same (user, session_start, n_events) triples.  (The streaming window's
+    `end` is last_event + gap, while the batch query reports duration =
+    last − first, so compare on the shared columns.)"""
+    batch = registry.QUERIES["q_window_session"](spark, sf_dir).select(
+        "user_id", "session_start", "n_events"
+    )
+    stream = twins.run_to_memory(
+        twins.session_stream(twins.stream_events(spark, sf_dir)), "t_session"
+    ).select("user_id", "session_start", "n_events")
+    assert _multiset(stream) == _multiset(batch)
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir):
+    batch = registry.QUERIES["q_stateful_dedup_events"](spark, sf_dir)
+    stream = twins.run_to_memory(
+        twins.dedup_stream(twins.stream_events(spark, sf_dir)),
+        "t_dedup",
+        output_mode="append",
+    )
+    assert _multiset(stream) == _multiset(batch)
+
+
+def test_late_data_filter_is_watermark_consistent(spark, sf_dir):
+    """The batch late-data filter keeps exactly the rows a 1-hour
+    watermark would still admit at end-of-input: nothing earlier than
+    max(ts) − 1 h survives, and the newest row always does."""
+    kept = registry.QUERIES["q_late_data_filter"](spark, sf_dir)
+    all_events = load_events(spark, sf_dir)
+    max_epoch = all_events.agg(
+        F.max(F.unix_timestamp("ts")).alias("m")
+    ).collect()[0]["m"]
+    epochs = [r["ts_epoch"] for r in kept.select("ts_epoch").collect()]
+    assert epochs, "late-data filter kept nothing"
+    assert min(epochs) >= max_epoch - 3600
+    assert max(epochs) == max_epoch
