@@ -256,3 +256,59 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(jaccard, 6) + F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+                * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(b.embedding, x -> CAST(x AS DOUBLE))))),
+             5) + 0.0 AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                         list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+      / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+         * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                   list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+      >= 0.45
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.45) — the semantic
+    rung of the dedup ladder: catches paraphrases that share no shingles.
+
+    This is the EXACT all-pairs baseline (the data's max pairwise cosine
+    is ~0.6, so the threshold bounds output, not work): a vec_id-ordered
+    self-join scored with the same double-precision higher-order cosine as
+    the k-NN queries.  Quadratic by construction — at 100 TB the scale
+    path is the sign-LSH banding of ``q_knn_cosine_lsh`` (bucket equi-join
+    on band signatures, exact re-rank of candidates), exactly as the
+    MinHash rung bounds the shingle rung.  Norms are precomputed once per
+    row before the join, not per pair.
+    """
+    from ..functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    emb = emb.withColumn("norm", l2_norm(F.col("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.round(cos, 5) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )

@@ -326,25 +326,31 @@ def q_item_rater_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}
 SELECT item_x, item_y, n,
-       round(sxy, 6) + 0.0 AS sxy,
-       round(sx, 6) + 0.0 AS sx,
-       round(sy, 6) + 0.0 AS sy,
-       round(sxx, 6) + 0.0 AS sxx,
-       round(syy, 6) + 0.0 AS syy
+       round(sxy, 4) + 0.0 AS sxy,
+       round(sx, 4) + 0.0 AS sx,
+       round(sy, 4) + 0.0 AS sy,
+       round(sxx, 4) + 0.0 AS sxx,
+       round(syy, 4) + 0.0 AS syy
 FROM pair_stats
 """,
 )
 def q_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = pairwise_stats(_cached_ratings(spark, sf_dir))
+    # Raw sufficient-statistic sums reach ~1e4 magnitude; at round-6 the
+    # cross-engine summation-order noise (~1e-8 absolute) lands exactly on
+    # rounding boundaries for some pairs (observed at sf0.001: sxx
+    # 2894.999996 vs .999997).  Round-4 display gives a 5e-5 margin.
+    # Downstream similarity math uses the UNROUNDED stats.
+    r4 = lambda c: F.round(c, 4) + F.lit(0.0)
     return stats.select(
         "item_x",
         "item_y",
         "n",
-        round6("sxy").alias("sxy"),
-        round6("sx").alias("sx"),
-        round6("sy").alias("sy"),
-        round6("sxx").alias("sxx"),
-        round6("syy").alias("syy"),
+        r4("sxy").alias("sxy"),
+        r4("sx").alias("sx"),
+        r4("sy").alias("sy"),
+        r4("sxx").alias("sxx"),
+        r4("syy").alias("syy"),
     )
 
 

@@ -88,3 +88,45 @@ def q_udf_reg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("reg_corr"),
     )
+
+
+def _znorm_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score one user's ratings (Arrow batch in,
+    Arrow batch out; sample stddev, 0.0 for constant/singleton users —
+    the same convention as the SQL oracle)."""
+    sd = pdf["rating"].std(ddof=1)
+    mu = pdf["rating"].mean()
+    if pd.isna(sd) or sd == 0.0:
+        z = np.zeros(len(pdf))
+    else:
+        z = (pdf["rating"] - mu) / sd
+    out = pdf[["user_id", "item_id"]].copy()
+    out["z"] = np.round(z, 6) + 0.0
+    return out
+
+
+@register(
+    "q_udf_znorm_per_user",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE},
+stats AS (
+    SELECT user_id, avg(rating) AS mu, stddev_samp(rating) AS sd
+    FROM ratings GROUP BY user_id
+)
+SELECT r.user_id, r.item_id,
+       round(CASE WHEN sd IS NULL OR sd = 0.0 THEN 0.0
+                  ELSE (r.rating - mu) / sd END, 6) + 0.0 AS z
+FROM ratings r JOIN stats USING (user_id)
+""",
+)
+def q_udf_znorm_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rating z-normalization via ``applyInPandas`` — the
+    grouped-map UDF surface (SURVEY §2.2.L), exact-oracle-checked: the
+    pandas kernel must reproduce the window-function SQL bit-for-bit
+    after round-6.  One shuffle on user_id; each group is a small Arrow
+    batch (a user's ratings), so executor memory is bounded by the
+    biggest user, which the pair-join pruning knob already caps at scale."""
+    ratings = _cached_ratings(spark, sf_dir)
+    return ratings.groupBy("user_id").applyInPandas(
+        _znorm_group, "user_id long, item_id long, z double"
+    )

@@ -69,3 +69,30 @@ def test_bookcrossing_reader_parses_quoted_semicolons(spark, tmp_path):
     rows = {(r.user_id, r.item_id): r.rating for r in df.collect()}
     assert rows[("11676", "0971880107")] == 6.0
     assert rows[("11676", "0316666343")] == 8.5
+
+
+def test_partitioned_parquet_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_parquet(partition_by=['lang']) lays out hive-style dirs and a
+    lang-filtered read back scans only that partition (partition pruning —
+    the 100 TB layout for any column a pipeline filters on)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+    from recsys_mapreduce_mrjob_spark.sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    filtered = back.where(back.lang == "en")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    en_expected = docs.where(docs.lang == "en").count()
+    assert filtered.count() == en_expected

@@ -1,0 +1,71 @@
+"""Physical-plan audits: the plans, not just the answers, must be the ones
+a 100 TB deployment needs (SURVEY §4.2; the engine's scale contract).
+
+Checks, per query where relevant:
+  - no ``CartesianProduct`` anywhere in the surface (every cross-ish join
+    must be broadcast or rewritten to an equi-join);
+  - predicate pushdown + column pruning reach the parquet scan;
+  - dimension joins build ``BroadcastHashJoin``s;
+  - the band join runs as an equi hash join on the bucket key, not a
+    nested loop over all pairs;
+  - the flagship reads the ratings relation from cache
+    (``InMemoryTableScan``), not by re-deriving it per branch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from recsys_mapreduce_mrjob_spark import registry
+
+registry.load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_scan_pruned_pushes_and_prunes(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_pruned")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema, "unprojected columns not pruned"
+
+
+def test_broadcast_chain_builds_bhj(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_theta_join_is_bucketed_equi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_theta_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_flagship_reads_ratings_from_cache(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk_similar_items")
+    assert "InMemoryTableScan" in plan, "ratings CTE not persisted before fan-out"
+
+
+def test_windows_are_single_partial_shuffle(spark, sf_dir):
+    """Window queries shuffle once on their partition key; the plan must
+    contain a hashpartitioning exchange on the declared key, and no
+    global single-partition exchange."""
+    plan = _plan(spark, sf_dir, "q_window_rank")
+    assert "hashpartitioning(o_custkey" in plan
+    assert "SinglePartition" not in plan
