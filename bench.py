@@ -44,6 +44,7 @@ def main() -> None:
 
     headline = [
         "q_agg_pricing_summary",
+        "q_join_agg_q3",
         "q_join_broadcast",
         "q_window_topk_per_group",
         "q_window_tumbling",

@@ -312,3 +312,114 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(cos, 5) + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+_SIM_BITS = 64
+_SIM_CHUNKS = 4
+_BITS_PER_CHUNK = _SIM_BITS // _SIM_CHUNKS
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document, plus its 4×16-bit band chunks.
+
+    Classic Charikar construction, all Catalyst expressions: per (doc,
+    token) term count as the weight, token hashed once with xxhash64;
+    bit b of the fingerprint is the sign of Σ weight·(±1) where the sign
+    is bit b of the token hash.  One explode + one groupBy computing the
+    64 bit-sums as ordinary aggregates — shuffles once on doc_id.
+    """
+    from ..functions.textfns import tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tc")
+                * (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(_SIM_BITS)
+        ]
+    )
+
+    def _assemble(bits):
+        out = F.lit(0).cast("long")
+        for pos, b in enumerate(bits):
+            out = out.bitwiseOR(
+                F.when(F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), pos))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return out
+
+    chunk_cols = [
+        _assemble(range(c * _BITS_PER_CHUNK, (c + 1) * _BITS_PER_CHUNK)).alias(
+            f"chunk{c}"
+        )
+        for c in range(_SIM_CHUNKS)
+    ]
+    with_chunks = bit_sums.select("doc_id", *chunk_cols)
+    fp = F.lit(0).cast("long")
+    for c in range(_SIM_CHUNKS):
+        fp = fp.bitwiseOR(
+            F.shiftleft(F.col(f"chunk{c}"), c * _BITS_PER_CHUNK)
+        )
+    return with_chunks.select(
+        "doc_id", fp.alias("fingerprint"), *[f"chunk{c}" for c in range(_SIM_CHUNKS)]
+    )
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-based bits, no SQL twin
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: Hamming distance ≤ 3 over 64-bit
+    fingerprints.
+
+    By the pigeonhole principle, two fingerprints within Hamming 3 agree
+    exactly on ≥1 of the 4 16-bit chunks — so candidates come from an
+    equi-join on (chunk index, chunk value), never an all-pairs scan, and
+    the exact Hamming check (``bit_count(xor)``) runs on candidates only.
+    Identical texts share all chunks → distance 0 (planted sf0.1 dupes,
+    pinned by a unit test).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs)
+    banded = fps.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"), F.col(f"chunk{c}").alias("cval")
+                    )
+                    for c in range(_SIM_CHUNKS)
+                ]
+            )
+        ).alias("bc"),
+    ).select(
+        "doc_id", "fingerprint",
+        F.col("bc.band").alias("band"), F.col("bc.cval").alias("cval"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 3)
+    )

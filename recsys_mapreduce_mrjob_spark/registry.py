@@ -53,3 +53,4 @@ def load_all() -> None:
         multimodal,
         udfs,
     )
+    from . import sql  # noqa: F401

@@ -1,0 +1,60 @@
+"""SQL entry point: the engine's tables as temp views + ``spark.sql``.
+
+The DataFrame API is the primary surface (SURVEY §3.2); this module is the
+second declared entry point — register the testdata star schema as views
+and run ANSI SQL through the same Catalyst pipeline.  Queries authored
+here plan identically to their DataFrame twins (same optimizer, same
+physical strategies), which ``q_join_agg_q3`` demonstrates with an exact
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import register
+from .sources.readers import TESTDATA_TABLES, load_events, load_table
+
+
+def register_testdata_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Create/replace one temp view per testdata table (events through the
+    ns-safe reader).  ``tables`` narrows the set — view registration is
+    driver-side analysis work (~10 parquet footer reads when registering
+    everything), so per-query callers register only what they read."""
+    for name in tables or TESTDATA_TABLES:
+        df = (
+            load_events(spark, sf_dir)
+            if name == "events"
+            else load_table(spark, sf_dir, name)
+        )
+        df.createOrReplaceTempView(name)
+
+
+_Q3_SQL = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q_join_agg_q3", oracle=_Q3_SQL)
+def q_join_agg_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (BASELINE.md's ``q3_join_agg`` headline), authored
+    as ANSI SQL over the registered views — the identical string runs in
+    DuckDB as its own oracle.  Catalyst plans it exactly like the
+    DataFrame form: segment/date filters pushed to the scans, joins
+    shuffled on the keys, top-10 via TakeOrderedAndProject on the rounded
+    revenue with a unique tie-break."""
+    register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q3_SQL)

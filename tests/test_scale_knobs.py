@@ -81,3 +81,16 @@ def test_lsh_ann_overlaps_exact_topk(spark, sf_dir):
     # Sanity floor: sign-LSH with 4 bands of 4 bits should recover a
     # meaningful share of the true top-10 on 500 unit-ish vectors.
     assert len(set(exact) & set(approx)) >= 3
+
+
+def test_simhash_finds_planted_dupes_sf01(spark):
+    """Identical texts must land at Hamming distance 0; all 8 planted
+    sf0.1 duplicate pairs surface through the chunk-band candidate join."""
+    exact = registry.QUERIES["q_dedup_exact"](spark, SF01)
+    expected = {
+        (g.keeper_doc_id, g.max_doc_id)
+        for g in exact.where("n_docs > 1").collect()
+    }
+    sim = registry.QUERIES["q_dedup_simhash"](spark, SF01)
+    zero = {(r.doc_a, r.doc_b) for r in sim.where("hamming = 0").collect()}
+    assert expected <= zero
