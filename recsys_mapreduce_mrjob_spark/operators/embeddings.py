@@ -259,3 +259,89 @@ def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _dist2_to(centroid: list, emb) -> "F.Column":
+    """Squared L2 distance from an embedding column to a literal centroid
+    (64 constants folded into the codegen'd expression)."""
+    cvec = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(emb, cvec, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(emb: DataFrame, centroids: list) -> DataFrame:
+    """Assign each vector to its nearest centroid (ties → lowest cluster
+    id via (dist, cid) struct ordering).  Centroids ship as literals inside
+    the expression — the classic broadcast-the-model iteration step."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dist2_to(c, F.col("embedding")).alias("d2"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(scored)
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        best["cid"].alias("cluster"),
+        best["d2"].alias("dist2"),
+    )
+
+
+def kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column.
+
+    Init = the embeddings of vec_id 0..k−1 (no randomness, reproducible).
+    Each iteration: assignment is one codegen'd expression over a corpus
+    scan; centroid refresh is a posexplode → avg-per-(cluster, position)
+    aggregate, collected to the driver (k×64 doubles — the only
+    driver-side data, constant in corpus size).  This is the canonical
+    Spark iterative-algorithm shape: per-iteration work is one scan + one
+    tiny agg; no RDD loops, no growing lineage on the big table.
+    """
+    init = (
+        emb.where(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r.embedding] for r in init]
+    assigned = kmeans_assign(emb, centroids)
+    for _ in range(n_iter):
+        comp = (
+            assigned.select("cluster", F.posexplode("embedding").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        )
+        rows = comp.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.c
+            ).alias("cvec")
+        ).collect()
+        new_centroids = list(centroids)
+        for r in rows:
+            new_centroids[r.cluster] = [float(x) for x in r.cvec]
+        centroids = new_centroids
+        assigned = kmeans_assign(emb, centroids)
+    return assigned
+
+
+@register("q_kmeans_embeddings")  # rows-only: iterative, not SQL-expressible
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 Lloyd iterations of k=8 k-means over the embedding corpus —
+    the declared iterative-algorithm surface (deterministic init from
+    vec_id 0..7; convergence pinned by a unit test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=8, n_iter=5)
+    return out.select(
+        "vec_id",
+        "cluster",
+        (F.round(F.sqrt("dist2"), 5) + F.lit(0.0)).alias("dist"),
+    )

@@ -94,3 +94,19 @@ def test_simhash_finds_planted_dupes_sf01(spark):
     sim = registry.QUERIES["q_dedup_simhash"](spark, SF01)
     zero = {(r.doc_a, r.doc_b) for r in sim.where("hamming = 0").collect()}
     assert expected <= zero
+
+
+def test_kmeans_converges_monotonically(spark, sf_dir):
+    """Lloyd's algorithm must not increase total within-cluster SSE from
+    one iteration to the next (deterministic init → exact reproducibility)."""
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import kmeans
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sses = []
+    for it in range(4):
+        out = kmeans(emb, k=8, n_iter=it)
+        sses.append(out.agg({"dist2": "sum"}).collect()[0][0])
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(sses, sses[1:])), sses
+    clusters = kmeans(emb, k=8, n_iter=3).select("cluster").distinct().count()
+    assert 2 <= clusters <= 8
