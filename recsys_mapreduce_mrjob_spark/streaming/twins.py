@@ -136,3 +136,37 @@ def run_to_memory(
     )
     q.awaitTermination()
     return df.sparkSession.table(name)
+
+
+def stateful_counter_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value sum) maintained in the state store and
+    re-emitted each micro-batch — the escape hatch for stateful logic
+    ``dropDuplicates``/windows can't express.
+
+    State is one (long, double) tuple per user — bounded by key
+    cardinality, not stream length; Arrow batches stream through the
+    Python worker per key group.  At end-of-input the emitted state equals
+    the batch groupBy aggregate (pinned by test).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 4) + 0.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long, sum_value double",
+        "n long, s double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -77,3 +77,22 @@ def test_late_data_filter_is_watermark_consistent(spark, sf_dir):
     assert epochs, "late-data filter kept nothing"
     assert min(epochs) >= max_epoch - 3600
     assert max(epochs) == max_epoch
+
+
+def test_stateful_counter_matches_batch(spark, sf_dir):
+    """applyInPandasWithState per-user running totals, drained to
+    end-of-input, must equal the batch groupBy aggregate."""
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+    )
+    stream = twins.run_to_memory(
+        twins.stateful_counter_stream(twins.stream_events(spark, sf_dir)),
+        "t_stateful",
+        output_mode="update",
+    )
+    assert _multiset(stream) == _multiset(batch)
