@@ -8,6 +8,9 @@ operator module registers its queries + DuckDB oracles there
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,9 +35,35 @@ _SESSION_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable inside Spark's Python workers.
+
+    pandas_udf / applyInPandas / mapInPandas kernels are cloudpickled BY
+    REFERENCE to this package, and the driver process may run from any cwd
+    with only its own sys.path knowing where the repo is — the forked
+    Python workers inherit neither (caught in a dress rehearsal: every
+    Python-UDF query failed with ModuleNotFoundError under a bare session
+    started outside the repo).  Zip the package once per SparkContext and
+    addPyFile it so workers can always resolve the import.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_engine_pkg_shipped", False):
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent / "recsys_mapreduce_mrjob_spark"
+    zpath = pathlib.Path(tempfile.mkdtemp(prefix="engine_pkg_")) / (
+        "recsys_mapreduce_mrjob_spark.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    sc.addPyFile(str(zpath))
+    sc._engine_pkg_shipped = True
+
+
 def _ensure_conf(spark: SparkSession) -> SparkSession:
     for k, v in _SESSION_CONF.items():
         spark.conf.set(k, v)
+    _ship_package(spark)
     return spark
 
 

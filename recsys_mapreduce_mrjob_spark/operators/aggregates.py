@@ -244,3 +244,84 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.count_distinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) + 0.0 AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) + 0.0 AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 6) + 0.0 AS p99_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines implement the same
+    linear-interpolation continuous quantile, so this is exact-checkable).
+    Exact percentiles need a per-group sort — fine per group; at 100 TB
+    the drop-in replacement is ``approx_percentile`` (t-digest sketch,
+    one pass, no sort), traded the same way as approx_count_distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _round6(F.percentile("l_quantity", F.lit(0.5))).alias("p50_qty"),
+        _round6(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
+        _round6(F.percentile("l_extendedprice", F.lit(0.99))).alias("p99_price"),
+    )
+
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "q_pivot_events",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+""",
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: per-user count column per event type.  Explicit
+    pivot values (no discovery job, deterministic column order); absent
+    combinations coalesced to 0 to match SQL FILTER-count semantics."""
+    from ..sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct statuses per priority joined
+    in sorted order — collect_set → array_sort → concat_ws, so the result
+    is deterministic regardless of row arrival order."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
