@@ -58,3 +58,57 @@ def q_join_agg_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue with a unique tie-break."""
     register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+       count(*) AS n_lines
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("q_join_agg_q5", oracle=_Q5_SQL)
+def q_join_agg_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): five-way join with the
+    same-nation constraint expressed as a double join condition on the
+    nation dim — Catalyst reorders and broadcasts the dims, the fact
+    shuffles only for the final per-nation aggregate."""
+    register_testdata_views(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    return spark.sql(_Q5_SQL)
+
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q_join_agg_q10", oracle=_Q10_SQL)
+def q_join_agg_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    returned revenue in a year — filter → 3-way join → agg → ranked limit
+    on the ROUNDED revenue with custkey tie-break."""
+    register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)

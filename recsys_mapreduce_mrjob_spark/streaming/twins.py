@@ -170,3 +170,56 @@ def stateful_counter_stream(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_item_stats(
+    spark: SparkSession, ratings_dir: str, state_dir: str
+) -> None:
+    """Incremental maintenance via ``foreachBatch``: a ratings stream
+    merges per-item (n, rating_sum) into parquet state, one version per
+    micro-batch.
+
+    The merge is pure relational algebra — old state ∪ batch partial agg →
+    re-aggregate — valid because the statistics are additive (the same
+    property the reference's sufficient-stats trick exploits, R6).  State
+    versions are written to ``{state_dir}/v{batch_id}`` so the previous
+    version is never overwritten while being read (poor-man's snapshot
+    isolation; a table format with atomic commits — e.g. any
+    lakehouse-format sink — replaces this at production scale).
+    ``maxFilesPerTrigger=1`` makes each source file one micro-batch, so
+    the test exercises a real multi-batch accumulation.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    stream = (
+        spark.readStream.schema("user_id long, item_id long, rating double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ratings_dir)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_agg = batch_df.groupBy("item_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rating").alias("rating_sum")
+        )
+        prev = None
+        for v in range(batch_id - 1, -1, -1):
+            try:
+                prev = s.read.parquet(f"{state_dir}/v{v}")
+                break
+            except AnalysisException:
+                continue
+        merged = (
+            prev.unionByName(batch_agg) if prev is not None else batch_agg
+        ).groupBy("item_id").agg(
+            F.sum("n").alias("n"), F.sum("rating_sum").alias("rating_sum")
+        )
+        merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -96,3 +96,32 @@ def test_stateful_counter_matches_batch(spark, sf_dir):
         output_mode="update",
     )
     assert _multiset(stream) == _multiset(batch)
+
+
+def test_incremental_item_stats_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch incremental merge over 3 micro-batches must equal the
+    one-shot batch aggregate (additive sufficient statistics)."""
+    from recsys_mapreduce_mrjob_spark.sources.readers import derive_ratings
+
+    ratings = derive_ratings(spark, sf_dir)
+    src = str(tmp_path / "ratings_src")
+    ratings.repartition(3).write.parquet(src)
+    state = str(tmp_path / "state")
+    twins.incremental_item_stats(spark, src, state)
+
+    import glob as _glob
+
+    versions = sorted(
+        int(p.rsplit("v", 1)[1])
+        for p in _glob.glob(f"{state}/v*")
+        if p.rsplit("v", 1)[1].isdigit()
+    )
+    assert len(versions) >= 2, f"expected multiple micro-batches, got {versions}"
+    final = spark.read.parquet(f"{state}/v{versions[-1]}").select(
+        "item_id", "n", (F.round("rating_sum", 4) + F.lit(0.0)).alias("rating_sum")
+    )
+    expect = ratings.groupBy("item_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("rating"), 4) + F.lit(0.0)).alias("rating_sum"),
+    )
+    assert _multiset(final) == _multiset(expect)
