@@ -194,3 +194,63 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
     )
+
+
+@register(
+    "q_cond_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_norm,
+       greatest(o_totalprice, 150000.0) + 0.0 AS floor_150k,
+       least(o_totalprice, 450000.0) + 0.0 AS cap_450k,
+       (o_orderstatus = 'F' AND o_orderpriority LIKE '1%') AS urgent_finished
+FROM orders
+""",
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar pack: CASE bands, nullif/coalesce normalization,
+    greatest/least clamping, boolean projection."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price > 300000, "high")
+        .when(price > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_norm"
+        ),
+        (F.greatest(price, F.lit(150000.0)) + F.lit(0.0)).alias("floor_150k"),
+        (F.least(price, F.lit(450000.0)) + F.lit(0.0)).alias("cap_450k"),
+        ((F.col("o_orderstatus") == "F") & F.col("o_orderpriority").like("1%")).alias(
+            "urgent_finished"
+        ),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(o_totalprice), 2) + 0.0 AS bin_min,
+       round(max(o_totalprice), 2) + 0.0 AS bin_max
+FROM orders
+GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by arithmetic binning — the scale-friendly
+    histogram (one map-side expression + one agg; no sort, no
+    per-partition state), bins joinable back to any dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000.0)
+    return o.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.min("o_totalprice"), 2) + F.lit(0.0)).alias("bin_min"),
+        (F.round(F.max("o_totalprice"), 2) + F.lit(0.0)).alias("bin_max"),
+    )

@@ -217,3 +217,64 @@ def q_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
         )
     )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER w AS price_quartile,
+       round(percent_rank() OVER w, 6) + 0.0 AS pct_rank,
+       round(cume_dist() OVER w, 6) + 0.0 AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile assignment, percent rank,
+    cumulative distribution per order status — unique (price, key)
+    ordering makes every tile boundary identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
+        (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
+    )
+
+
+@register(
+    "q_window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / unbounded count frames — last_value over
+    the FULL frame (the default running frame is the classic silent-wrong
+    trap both engines share)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordered = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(ordered).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    )
