@@ -423,3 +423,70 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .where(F.col("hamming") <= 3)
     )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Min-label propagation: connected components over (src, dst) edges.
+
+    Each round every vertex takes the min label among itself and its
+    neighbors — one join + one agg per round, converging in ≤ diameter
+    rounds (``max_iter`` bounds it; near-dup clusters are tiny-diameter).
+    The iterative-graph pattern: per-round work is two shuffles on the
+    vertex id, labels checkpoint-free because the frame is re-derived per
+    round from the previous (small) label relation, never from the growing
+    lineage of the big input.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    labels = vertices.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=True)  # cut the per-round lineage
+    return labels
+
+
+@register("q_dedup_components")  # rows-only: iterative graph algorithm
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the transitive closure of the MinHash-LSH
+    pairs via min-label connected components — the step an LLM dedup
+    pipeline runs after pair generation, so that A≈B≈C collapses to one
+    keeper even when A and C never collided in a band.  (LSH pairs, not
+    the rare-shingle pairs: rare-shingle candidacy needs a df=2 shingle,
+    which duplicates whose shingles are corpus-common don't have — LSH
+    banding finds every identical pair by construction.)  Output: every
+    doc in a multi-doc component, its component id (= min doc_id, the
+    keeper) and component size."""
+    pairs = q_dedup_near(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = connected_components(docs, edges, max_iter=10)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .where(F.col("component_size") > 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
+    )

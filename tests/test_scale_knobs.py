@@ -110,3 +110,17 @@ def test_kmeans_converges_monotonically(spark, sf_dir):
     assert all(b <= a * (1 + 1e-9) for a, b in zip(sses, sses[1:])), sses
     clusters = kmeans(emb, k=8, n_iter=3).select("cluster").distinct().count()
     assert 2 <= clusters <= 8
+
+
+def test_dedup_components_cluster_planted_dupes_sf01(spark):
+    """Every planted sf0.1 duplicate pair must land in the same component
+    with the keeper (min doc_id) as the component id."""
+    exact = registry.QUERIES["q_dedup_exact"](spark, SF01)
+    dup_groups = exact.where("n_docs > 1").collect()
+    comp = {
+        r.doc_id: r.component_id
+        for r in registry.QUERIES["q_dedup_components"](spark, SF01).collect()
+    }
+    for g in dup_groups:
+        assert comp.get(g.keeper_doc_id) == comp.get(g.max_doc_id), g
+        assert comp.get(g.keeper_doc_id) is not None
