@@ -53,6 +53,18 @@ def main() -> None:
         "q_dedup_exact",
         "q_text_wordcount",
     ]
+    # BASELINE.md's measured DuckDB sf0.1 numbers (seconds), keyed by the
+    # registered query that mirrors each baseline row; valid only at sf=0.1.
+    baseline_sf01 = {
+        "q_agg_pricing_summary": 0.092,
+        "q_join_agg_q3": 0.083,
+        "q_window_topk_per_group": 0.148,
+        "q_window_tumbling": 0.032,
+        "q_topk_similar_items": 6.505,
+        "q_knn_cosine": 0.018,
+        "q_dedup_exact": 0.012,
+        "q_text_wordcount": 0.040,
+    }
     to_run = [q for q in headline if q in registry.QUERIES]
 
     # BASELINE.md's DuckDB numbers are warm-cache single runs; match that
@@ -81,6 +93,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # Fixed per-action cost of local-mode Spark (job launch + scheduling for
+    # a no-op) — BASELINE.md asks that sub-100 ms baseline rows be read
+    # against this floor rather than the raw ratio.
+    t0 = time.monotonic()
+    spark.range(1).collect()
+    out["fixed_overhead_sec"] = round(time.monotonic() - t0, 3)
+    if sf == 0.1:
+        out["baseline_sec"] = {q: baseline_sf01[q] for q in timings if q in baseline_sf01}
+        out["vs_baseline"] = {
+            q: round(timings[q] / baseline_sf01[q], 2)
+            for q in timings
+            if q in baseline_sf01
+        }
     sys.stdout.write(json.dumps(out) + "\n")
     sys.stdout.flush()
     spark.stop()

@@ -89,6 +89,43 @@ def q_join_agg_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q5_SQL)
 
 
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) + 0.0 AS revenue,
+       count(*) AS n_lines
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q_join_agg_q7", oracle=_Q7_SQL)
+def q_join_agg_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the nation
+    dim joined TWICE under different aliases (supplier side and customer
+    side) with a symmetric pair predicate, then revenue per direction per
+    ship year.  Catalyst broadcasts both nation copies, so the fact table
+    crosses the wire once for the final group-by."""
+    register_testdata_views(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    return spark.sql(_Q7_SQL)
+
+
 _Q10_SQL = """
 SELECT c.c_custkey, c.c_name, n.n_name,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue
