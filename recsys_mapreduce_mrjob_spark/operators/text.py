@@ -233,7 +233,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANGS_DESC = sorted(_LANG_MARKERS, reverse=True)
 
 
-def _langid_oracle() -> str:
+def _langid_cte() -> str:
+    """DuckDB CTE chain ending in ``langpred(doc_id, lang_pred)`` —
+    shared by the standalone lang-ID oracle and the curation composite."""
     score_exprs = []
     for lang, markers in _LANG_MARKERS.items():
         hits = " + ".join(
@@ -246,26 +248,108 @@ def _langid_oracle() -> str:
         f"WHEN s_{lang} = m THEN '{lang}'" for lang in _LANGS_DESC
     )
     return f"""
-WITH scored AS (
+langid_scored AS (
     SELECT doc_id,
            {scores}
     FROM (SELECT doc_id, string_split(lower(text), ' ') AS toklist FROM documents)
 ),
-best AS (
-    SELECT *, greatest({greatest}) AS m FROM scored
-)
-SELECT doc_id,
-       CASE WHEN m <= 0 THEN 'und'
+langid_best AS (
+    SELECT *, greatest({greatest}) AS m FROM langid_scored
+),
+langpred AS (
+    SELECT doc_id,
+           CASE WHEN m <= 0 THEN 'und'
                 {cases}
-            ELSE 'und' END AS lang_pred
-FROM best
+                ELSE 'und' END AS lang_pred
+    FROM langid_best
+)
 """
 
 
-@register("q_text_langid", oracle=_langid_oracle())
+@register(
+    "q_text_langid",
+    oracle=f"WITH {_langid_cte()} SELECT doc_id, lang_pred FROM langpred",
+)
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: marker-word hit rate per language, argmax
     with deterministic tie-breaks ('und' when nothing matches).  The
     n-gram-free stand-in for fastText-style LID, all JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_CURATION_QUALITY_MIN = 0.8
+
+
+@register(
+    "q_corpus_curation",
+    oracle=f"""
+WITH {_TOKS_CTE},
+{_langid_cte().strip().rstrip()},
+per_doc AS (
+    SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+    FROM toks GROUP BY doc_id
+),
+quality AS (
+    SELECT p.doc_id,
+           round(((CASE WHEN length(replace(d.text, ' ', '')) / CAST(p.n AS DOUBLE)
+                             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.0 END)
+                  + length(regexp_replace(d.text, '[^A-Za-z ]', '', 'g'))
+                        / CAST(length(d.text) AS DOUBLE)
+                  + p.nd / CAST(p.n AS DOUBLE)) / 3.0, 6) + 0.0 AS quality
+    FROM documents d JOIN per_doc p USING (doc_id)
+),
+kept AS (
+    SELECT d.doc_id, d.text, q.quality, l.lang_pred, p.n AS n_tokens
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    JOIN langpred l USING (doc_id)
+    JOIN per_doc p USING (doc_id)
+    WHERE q.quality >= {_CURATION_QUALITY_MIN}
+      AND l.lang_pred <> 'und'
+),
+deduped AS (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM kept
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(quality), 6) + 0.0 AS avg_quality
+FROM deduped
+WHERE rn = 1
+GROUP BY lang_pred
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composite every LLM training-data
+    pipeline runs before tokenization, as ONE declarative plan:
+    quality-score filter → language-ID filter → exact-dedup keep-one
+    (min doc_id per md5) → per-language corpus accounting.
+
+    Composition is the point: each stage reuses the independently
+    oracle-checked primitive (``quality_score``, ``lang_id``,
+    ``token_count``, md5 keep-one), and Catalyst fuses the three scalar
+    stages into a single scan projection — only the dedup window and the
+    final aggregate shuffle.  At 100 TB the dedup shuffle partitions on
+    the content hash (uniform by construction, no skew) and the final
+    group-by is languages-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
+        lang_id(F.col("text")).alias("lang_pred"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    kept = scored.where(
+        (F.col("quality") >= _CURATION_QUALITY_MIN) & (F.col("lang_pred") != "und")
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return deduped.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.round(F.avg("quality"), 6) + F.lit(0.0)).alias("avg_quality"),
+    )
