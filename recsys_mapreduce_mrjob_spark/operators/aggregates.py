@@ -325,3 +325,45 @@ def q_agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_agg_salted_twophase",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+       round(sum(l_extendedprice), 2) + 0.0 AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: the salted two-phase rewrite, exact-result.
+
+    ``l_returnflag`` has 3 values over the whole fact table — the textbook
+    hot-key aggregation.  Spark's partial aggregation already blunts it,
+    but when per-key state is heavy (collect_list, exact distinct) or AQE
+    is off, the standard rewrite is: phase 1 groups by
+    ``(key, salt = hash(row) mod 16)`` spreading each hot key over 16
+    reducers, phase 2 re-aggregates the 16 partials per key.  The salt is
+    a DETERMINISTIC row hash (never rand(): speculative re-execution of a
+    rand() salt double-counts rows).  Counts and sums re-combine exactly,
+    so the oracle is the plain GROUP BY — the rewrite is invisible in the
+    result, visible in the shuffle profile.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16))
+    phase1 = (
+        li.groupBy("l_returnflag", salt.alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("l_quantity").alias("pqty"),
+            F.sum("l_extendedprice").alias("pprice"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_lines"),
+        _round2(F.sum("pqty")).alias("sum_qty"),
+        _round2(F.sum("pprice")).alias("sum_price"),
+    )

@@ -1,0 +1,112 @@
+"""Deterministic sampling & splitting — training-data pipeline primitives.
+
+A 100 TB corpus is never trained on wholesale: it is split (train/valid/
+test), downsampled, and rebalanced per stratum.  The one hard requirement
+is DETERMINISM — the same document must land in the same split on every
+run, every retry, every speculative task, and from every engine that
+reads the corpus.  ``rand()``-based sampling (and Spark's ``sample``/
+``sampleBy``, which are seeded-rand per partition and therefore change
+under repartitioning) all fail that bar.
+
+The standard fix, used here: a content-keyed hash bucket —
+``int(hex(md5(key || salt))[:8]) mod 100`` — pure arithmetic on the key,
+so it is engine-portable (the DuckDB oracle computes the identical
+bucket: md5 is md5 everywhere) and stable under any physical re-layout.
+The reference repo has no sampling machinery; this is north-star surface
+beyond it (same register/oracle contract as every other query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.readers import load_table
+
+_SALT = ":split"
+
+
+def hash_bucket(key, n_buckets: int = 100, salt: str = _SALT):
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex digits of
+    ``str(key) || salt`` as an integer, mod ``n_buckets``.  Engine-portable
+    (identical arithmetic runs in the DuckDB oracle) and collision-free in
+    intent: the salt decorrelates this bucketing from any other hash use
+    of the same key."""
+    hex8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    return F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(n_buckets))
+
+
+# DuckDB twin of hash_bucket (mod 100).
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 8))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "q_sample_split",
+    oracle=f"""
+SELECT doc_id,
+       {_BUCKET_SQL} AS bucket,
+       CASE WHEN {_BUCKET_SQL} < 90 THEN 'train'
+            WHEN {_BUCKET_SQL} < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/valid/test assignment for every document — the split
+    is a pure function of doc_id, so it survives retries, re-partitioning
+    and engine migration (the oracle derives the IDENTICAL assignment
+    from the same md5 arithmetic).  Scale shape: one scan projection, no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+WITH assigned AS (
+    SELECT doc_id, lang, n_chars, {_BUCKET_SQL} AS bucket
+    FROM documents
+),
+kept AS (
+    SELECT * FROM assigned
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+)
+SELECT lang,
+       count(*) AS n_kept,
+       sum(n_chars) AS total_chars
+FROM kept
+GROUP BY lang
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling: the majority language ('en') is kept at
+    25%, every other stratum wholesale — the rebalancing step of a
+    multilingual training mix.  Same deterministic bucket, so the kept
+    set is reproducible row-for-row; the aggregate is the audit a
+    pipeline logs after rebalancing.  Scale shape: scan projection +
+    filter (no shuffle) feeding a languages-sized aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"))
+    rate = F.when(F.col("lang") == "en", 25).otherwise(100)
+    return (
+        docs.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -51,6 +51,7 @@ def load_all() -> None:
         dedup,
         embeddings,
         multimodal,
+        sampling,
         udfs,
     )
     from . import sql  # noqa: F401

@@ -69,3 +69,23 @@ def test_windows_are_single_partial_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_window_rank")
     assert "hashpartitioning(o_custkey" in plan
     assert "SinglePartition" not in plan
+
+
+def test_sample_split_is_shuffle_free(spark, sf_dir):
+    """Deterministic hash splitting must stay a pure scan projection —
+    an Exchange in this plan would mean the split pays a full-corpus
+    shuffle at 100 TB for what is per-row arithmetic."""
+    plan = _plan(spark, sf_dir, "q_sample_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_agg_two_exchanges_only(spark, sf_dir):
+    """The salted rewrite must plan exactly its two hash aggregations
+    (salted partial, final) — shuffles on (key, salt) then key."""
+    plan = _plan(spark, sf_dir, "q_agg_salted_twophase")
+    import re
+
+    # "formatted" prints each node in the tree AND as a "(N) Exchange"
+    # detail header — count the detail headers.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
