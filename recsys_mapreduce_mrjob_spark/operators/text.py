@@ -353,3 +353,167 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         (F.round(F.avg("quality"), 6) + F.lit(0.0)).alias("avg_quality"),
     )
+
+
+# Winnowing parameters (Schleimer et al., SIGMOD 2003 "Winnowing: Local
+# Algorithms for Document Fingerprinting"): char k-grams, window w of
+# consecutive gram hashes, keep each window's minimum.  Any match of
+# length >= k + w - 1 chars is guaranteed to share a fingerprint.
+# Calibrated on the testdata: planted near-dupes share 40-113
+# fingerprints, unrelated docs < 5 — threshold 10 separates cleanly at
+# sf0.01 (24 pairs) and sf0.1 (244 pairs, linear in corpus size).
+_WINNOW_K = 16
+_WINNOW_W = 8
+_WINNOW_MIN_SHARED = 10
+
+# Portable gram hash (same trick as operators/sampling.hash_bucket): the
+# first 8 md5 hex digits as an integer — md5 is md5 in every engine, so
+# the DuckDB oracle derives bit-identical fingerprints.
+_WINNOW_FPS_CTE = f"""
+normed AS (
+    SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(1, length(norm) - {_WINNOW_K} + 1),
+               i -> CAST(concat('0x', substr(md5(substr(norm, i, {_WINNOW_K})), 1, 8)) AS BIGINT)
+           ) AS hashes
+    FROM normed
+    WHERE length(norm) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(hashes) - {_WINNOW_W} + 1),
+                   j -> list_min(hashes[j:j+{_WINNOW_W - 1}])
+               )) AS fp
+        FROM grams
+    )
+)
+"""
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp) winnowed fingerprints — distinct per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm"),
+    ).where(F.length("norm") >= _WINNOW_K + _WINNOW_W - 1)
+    grams = normed.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(norm) - {_WINNOW_K} + 1),"
+            f" i -> cast(conv(substring(md5(substring(norm, i, {_WINNOW_K})), 1, 8), 16, 10)"
+            f" as bigint))"
+        ).alias("hashes"),
+    )
+    winnowed = grams.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(hashes) - {_WINNOW_W} + 1),"
+                f" j -> array_min(slice(hashes, j, {_WINNOW_W})))"
+            )
+        ).alias("fps"),
+    )
+    # explode_outer, not explode: InferFiltersFromGenerate infers
+    # size(fps)>0 from a plain explode and pushes it below the projections,
+    # textually inlining the nested transform into the filter — the inner
+    # k-gram hash array then re-evaluates per WINDOW (O(n^2) md5 calls per
+    # row; measured hang at 500 docs).  The rule skips outer generates, and
+    # the length guard above already makes every array non-empty.
+    return winnowed.select("doc_id", F.explode_outer("fps").alias("fp"))
+
+
+@register(
+    "q_text_winnow_pairs",
+    oracle=f"""
+WITH {_WINNOW_FPS_CTE}
+SELECT x.doc_id AS doc_x, y.doc_id AS doc_y, count(*) AS n_shared
+FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+""",
+)
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing) → shared-
+    fingerprint near-dup pairs — the third dedup family next to shingle
+    Jaccard (set overlap) and SimHash (bit proximity): winnowing is
+    POSITIONAL, guaranteeing any shared substring of length
+    >= k + w - 1 chars leaves a common fingerprint, so it catches
+    copied passages inside otherwise-different documents.
+
+    Scale shape: the per-doc fingerprint derivation is one scan
+    projection (higher-order ``transform`` — rolling k-gram hash +
+    window minima entirely JVM-side, no UDF, ~2/(w+1) fingerprint
+    density); candidate generation is an equi-join on the fingerprint
+    value — shuffle partitioned by hash, uniform by construction, never
+    an all-pairs product.  The gram hash is the first 8 md5 hex digits,
+    so the DuckDB oracle reproduces fingerprints bit-for-bit.
+
+    Reference parity: generalizes the exact-fingerprint dedup
+    (functions/textfns.fingerprint) the same way vectorSimilarities.py
+    generalized moviesSimilarities.py — same pipeline, richer signature.
+    """
+    fps = _winnow_fps(spark, sf_dir)
+    other = fps.select(F.col("doc_id").alias("doc_y"), "fp")
+    return (
+        fps.select(F.col("doc_id").alias("doc_x"), "fp")
+        .join(other, "fp")
+        .where(F.col("doc_x") < F.col("doc_y"))
+        .groupBy("doc_x", "doc_y")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+# BPE-ish tokenizer: maximal letter runs, digit runs, and single
+# non-alphanumeric marks over lowercased text.  Deliberately simple
+# ASCII-safe regex semantics so Java regex (Spark) and RE2 (DuckDB)
+# agree codepoint-for-codepoint; CJK text falls through to the
+# one-mark-per-char branch, which is roughly what byte-level BPE does
+# to unseen scripts anyway.
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle=f"""
+WITH per_doc AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS n_bpe,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws
+    FROM documents
+)
+SELECT doc_id, lang, n_bpe, n_ws,
+       round(n_bpe / CAST(n_ws AS DOUBLE), 6) + 0.0 AS subword_ratio
+FROM per_doc
+""",
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation with a BPE-flavored regex tokenizer
+    (letter runs / digit runs / single marks — the pre-tokenization
+    split every BPE vocabulary builds on) next to the whitespace count:
+    ``subword_ratio`` is the tokens-per-word expansion factor a training
+    pipeline uses to convert corpus word counts into token budgets.
+
+    Scale shape: pure scan projection — two ``regexp_extract_all``
+    Catalyst expressions, no shuffle, no UDF; the same plan prices a
+    100 TB corpus.  The regex is ASCII-simple on purpose so Spark's Java
+    regex and the oracle's RE2 tokenize identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), 0)).cast("long")
+    n_ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_bpe.alias("n_bpe"),
+        n_ws.alias("n_ws"),
+        (F.round(n_bpe / n_ws.cast("double"), 6) + F.lit(0.0)).alias("subword_ratio"),
+    )
