@@ -345,3 +345,105 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         (F.round(F.sqrt("dist2"), 5) + F.lit(0.0)).alias("dist"),
     )
+
+
+# IVF-Flat coarse quantization: K fixed cells, probe the nprobe nearest.
+# Centroids are the vectors with vec_id < K — deterministic, training-free
+# (a production index would train them with operators/embeddings.kmeans and
+# persist; the query shape downstream is identical).  Assignment scores are
+# rounded to 6 decimals BEFORE the argmax on both engines so the cell
+# choice never hinges on cross-engine float noise; ties break to the
+# smaller cid.
+_IVF_K = 16
+_IVF_NPROBE = 4
+
+
+@register(
+    "q_knn_cosine_ivf",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}),
+scored AS (
+    SELECT e.vec_id, e.label, e.embedding, c.cid,
+           round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) AS score
+    FROM embeddings e CROSS JOIN cents c),
+assign AS (
+    SELECT vec_id, label, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+        FROM scored) WHERE rn = 1),
+qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT cid FROM (
+        SELECT c.cid, round({_COS_SQL.format(a='c.cvec', b='q.qvec')}, 6) AS score
+        FROM cents c CROSS JOIN qv q)
+    ORDER BY score DESC, cid ASC LIMIT {_IVF_NPROBE})
+SELECT a.vec_id, a.label,
+       round({_COS_SQL.format(a='a.embedding', b='q.qvec')}, 5) + 0.0 AS cos_sim
+FROM assign a CROSS JOIN qv q
+WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT 10
+""",
+)
+def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN for the same query as ``q_knn_cosine`` — the inverted-
+    file scale path next to the sign-LSH one: assign every vector to its
+    nearest of K=16 coarse cells, probe the 4 cells nearest the query,
+    exact-cosine re-rank only those cells' members (~nprobe/K of the
+    corpus scanned instead of all of it).
+
+    Scale shape: assignment is corpus × K-row broadcast join feeding a
+    map-side-combinable argmax (``max`` of a (score, -cid) struct — no
+    window shuffle, one partial+final agg keyed on vec_id); the probe
+    list is a K-row sort; candidate selection is a broadcast semi-join.
+    In a persisted index the cell id is the bucketing/partition column at
+    write time, making the probe a partition-pruned scan.  Exact oracle:
+    scores round to 6 decimals before the argmax on both engines, so the
+    cell assignment — and therefore the candidate set — is deterministic.
+    Recall vs the exact top-10 is pinned by a unit test.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.where(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    scored = emb.join(cents).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        F.round(cosine_sim(F.col("embedding"), F.col("cvec")), 6).alias("score"),
+    )
+    # Argmax without a window: (score, -cid) struct max is map-side
+    # combinable; label/embedding ride along (never compared — (score,
+    # neg_cid) is already unique per group).
+    assign = scored.groupBy("vec_id").agg(
+        F.max(F.struct("score", (-F.col("cid")).alias("neg_cid"), "label", "embedding")).alias("b")
+    ).select(
+        "vec_id",
+        (-F.col("b.neg_cid")).alias("cid"),
+        F.col("b.label").alias("label"),
+        F.col("b.embedding").alias("embedding"),
+    )
+    qv = F.broadcast(
+        emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    probe = F.broadcast(
+        cents.join(qv)
+        .select("cid", F.round(cosine_sim(F.col("cvec"), F.col("qvec")), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("cid"))
+        .limit(_IVF_NPROBE)
+        .select("cid")
+    )
+    return (
+        assign.join(probe, "cid", "left_semi")
+        .where(F.col("vec_id") != 0)
+        .join(qv)
+        .select(
+            "vec_id",
+            "label",
+            _round5(cosine_sim(F.col("embedding"), F.col("qvec"))).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
