@@ -359,3 +359,52 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("asof_orderdate"),
         )
     )
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT e.event_type) AS n_types
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted JOIN, exact-result — the join-side companion to
+    ``q_agg_salted_twophase``.  ``events.user_id`` is the textbook hot
+    key: ~150 distinct users for the whole event stream, so a vanilla
+    shuffle join lands everything on ~150 reducer keys.  The rewrite:
+    the big (probe) side gets a deterministic salt ``xxhash64(event_id)
+    % 8``; the small (build) side is exploded 8× with every salt value;
+    the join key becomes ``(key, salt)`` — 8× the reducer keys, even
+    load.  The final aggregate re-groups by the real key, so the result
+    is bit-identical to the plain join (the oracle).
+
+    Honesty note: at THIS fixture scale Spark would simply broadcast
+    customer and no skew exists; the ``merge`` hint forces the shuffle
+    path so the demonstrated plan is the one that matters at 100 TB,
+    where both sides exceed broadcast thresholds and AQE's skew split
+    caps out.  Salt is a deterministic row hash, never ``rand()`` —
+    speculative re-execution of a rand() salt double-counts rows.
+    """
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    n_salt = 8
+    salted_events = events.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt))
+    )
+    salted_customer = customer.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    joined = salted_events.hint("merge").join(
+        salted_customer,
+        (salted_events.user_id == salted_customer.c_custkey)
+        & (salted_events.salt == salted_customer.salt),
+    )
+    return joined.groupBy("c_custkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

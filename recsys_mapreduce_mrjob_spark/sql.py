@@ -149,3 +149,30 @@ def q_join_agg_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the ROUNDED revenue with custkey tie-break."""
     register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     return spark.sql(_Q10_SQL)
+
+
+_Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       round(o.o_totalprice, 2) + 0.0 AS o_totalprice,
+       round(sum(l.l_quantity), 2) + 0.0 AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("q_join_agg_q18", oracle=_Q18_SQL)
+def q_join_agg_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the IN-subquery over a
+    grouped HAVING — Catalyst rewrites it to a left-semi join against the
+    aggregated lineitem, so the big fact scans once per side and no
+    correlated per-row probing exists anywhere (threshold 250 calibrated:
+    25/204/2285 qualifying orders at sf0.001/0.01/0.1)."""
+    register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)

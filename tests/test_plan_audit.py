@@ -89,3 +89,13 @@ def test_salted_agg_two_exchanges_only(spark, sf_dir):
     # detail header — count the detail headers.
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 2, plan
+
+
+def test_salted_join_shuffles_on_salt(spark, sf_dir):
+    """The salted join must actually take the shuffle path (merge hint
+    honored, no broadcast) and partition on the composite (key, salt) —
+    otherwise the demo is silently degenerating to a broadcast join."""
+    plan = _plan(spark, sf_dir, "q_join_salted_skew")
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "salt" in plan.lower(), plan
