@@ -148,3 +148,83 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by a unit test instead."""
     feats = extract_features(documents_as_assets(spark, sf_dir))
     return feats.select("asset_id", "byte_len", "payload_sha256")
+
+
+# Frame sampling: N evenly-spaced fixed-length byte windows per payload —
+# the video-frame-sampling plumbing shape (1 input row → N frame rows
+# through the Arrow batch).  Offsets use pure integer arithmetic so the
+# oracle derives identical frames.
+_FRAME_LEN = 32
+_N_FRAMES = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads via Arrow-batched
+    ``mapInPandas`` — each input row yields ``_N_FRAMES`` frame rows
+    (frame i starts at 1-based offset ``(len - L) * i // (N-1) + 1``).
+    A real sampler would hand each window to the decoder; the frame
+    digest stands in for the decoded tensor, keeping every byte of the
+    plumbing (offsets, batch explosion, schema) real and oracle-checkable.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, digests = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                lo = len(payload)
+                if lo < _FRAME_LEN:
+                    continue
+                for i in range(_N_FRAMES):
+                    off = (lo - _FRAME_LEN) * i // (_N_FRAMES - 1) + 1
+                    frame = payload[off - 1 : off - 1 + _FRAME_LEN]
+                    ids.append(aid)
+                    idxs.append(i)
+                    offs.append(off)
+                    digests.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_off": pd.Series(offs, dtype="int32"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    return assets.repartition(F.xxhash64("payload")).mapInPandas(batches, FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_framesample",
+    oracle=f"""
+SELECT d.doc_id AS asset_id,
+       CAST(t.i AS INTEGER) AS frame_idx,
+       CAST(((length(d.text) - {_FRAME_LEN}) * t.i) // {_N_FRAMES - 1} + 1 AS INTEGER)
+           AS frame_off,
+       md5(substr(d.text,
+                  ((length(d.text) - {_FRAME_LEN}) * t.i) // {_N_FRAMES - 1} + 1,
+                  {_FRAME_LEN})) AS frame_md5
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, {_N_FRAMES - 1})) AS i) t
+WHERE length(d.text) >= {_FRAME_LEN}
+""",
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over opaque binary payloads: the
+    ``mapInPandas`` 1-row→N-frames batch explosion, exact-oracle-checked —
+    DuckDB recomputes each frame's offset with the same integer
+    arithmetic and its md5 over the same bytes (documents.text is ASCII,
+    so char slicing == byte slicing).  Scale shape: content-hash
+    repartition spreads decode work; frames never leave the worker as
+    raw bytes (only offsets + digests/tensors), which is what keeps a
+    100 TB video corpus from shuffling itself as pixels."""
+    frames = sample_frames(documents_as_assets(spark, sf_dir))
+    return frames
