@@ -488,3 +488,106 @@ def q_topk_similar_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionally while estimate error grows as pinned by the
     error-profile test (MAE ≈0.02, p=1 pairs exact)."""
     return topk_similar_dimsum(_cached_ratings(spark, sf_dir), k=10, gamma=15000.0)
+
+
+def recommend_topn(ratings: DataFrame, k: int = 10, n: int = 5) -> DataFrame:
+    """Item-based collaborative-filtering recommendations — the end goal
+    the reference's similarity pipeline feeds (its README frames the
+    MovieLens job as a recommender; the similarity output is the model).
+
+    For each user: candidates = neighbors (capped top-``k`` per item,
+    positive corr only, symmetrized) of the items they rated; predicted
+    rating = Σ corr·rating / Σ corr over the user's rated neighbors;
+    already-rated items anti-joined away; top-``n`` per user on the
+    ROUNDED prediction with item tie-break (deterministic cross-engine).
+
+    Scale shape: the neighbor graph is k·n_items edges — orders of
+    magnitude smaller than the full similarity relation, which is
+    exactly why real recommenders cap neighborhoods; candidates are one
+    equi-join (ratings ⋈ edges on the rated item) feeding a
+    map-side-combinable (user, item) aggregate, then an anti-join and a
+    per-user window.  Every stage shuffles on its natural key; nothing
+    is quadratic in the catalog.
+    """
+    topk = topk_similar_items(ratings, k=k)
+    fwd = topk.select(
+        F.col("item_x").alias("item_a"), F.col("item_y").alias("item_b"), "corr"
+    )
+    rev = topk.select(
+        F.col("item_y").alias("item_a"), F.col("item_x").alias("item_b"), "corr"
+    )
+    edges = fwd.unionByName(rev).where(F.col("corr") > 0)
+    cand = (
+        ratings.join(edges, ratings.item_id == edges.item_a)
+        .groupBy("user_id", "item_b")
+        .agg(
+            F.sum(F.col("corr") * F.col("rating")).alias("num"),
+            F.sum("corr").alias("den"),
+            F.count(F.lit(1)).alias("n_contrib"),
+        )
+    )
+    seen = ratings.select("user_id", F.col("item_id").alias("item_b"))
+    unseen = cand.join(seen, ["user_id", "item_b"], "left_anti")
+    scored = unseen.select(
+        "user_id",
+        F.col("item_b").alias("item_id"),
+        (F.round(F.col("num") / F.col("den"), 6) + F.lit(0.0)).alias("pred"),
+        "n_contrib",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("pred"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+        .select("user_id", "item_id", "pred", "n_contrib", "rank")
+    )
+
+
+_RANKED_CTE = """
+ranked AS (
+    SELECT item_x, item_y, corr,
+           row_number() OVER (PARTITION BY item_x
+                              ORDER BY corr DESC, cos DESC, item_y ASC) AS rank
+    FROM sims
+)
+"""
+
+
+@register(
+    "q_recommend_topn",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}, {_SIMS_CTE}, {_RANKED_CTE},
+edges AS (
+    SELECT item_x AS item_a, item_y AS item_b, corr FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT item_y AS item_a, item_x AS item_b, corr FROM ranked WHERE rank <= 10
+),
+cand AS (
+    SELECT r.user_id, e.item_b,
+           sum(e.corr * r.rating) AS num,
+           sum(e.corr) AS den,
+           count(*) AS n_contrib
+    FROM ratings r
+    JOIN edges e ON r.item_id = e.item_a
+    WHERE e.corr > 0
+    GROUP BY 1, 2
+),
+unseen AS (
+    SELECT c.* FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM ratings r2
+                      WHERE r2.user_id = c.user_id AND r2.item_id = c.item_b)
+),
+scored AS (
+    SELECT user_id, item_b AS item_id,
+           round(num / den, 6) + 0.0 AS pred, n_contrib,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY round(num / den, 6) DESC, item_b ASC) AS rank
+    FROM unseen
+)
+SELECT user_id, item_id, pred, n_contrib, rank FROM scored WHERE rank <= 5
+""",
+)
+def q_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2→R14→recommendations: per-user top-5 predicted items from the
+    capped similarity neighborhood — the full recommender the reference
+    pipeline exists to power."""
+    return recommend_topn(_cached_ratings(spark, sf_dir), k=10, n=5)
