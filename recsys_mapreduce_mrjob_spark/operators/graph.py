@@ -1,0 +1,81 @@
+"""Iterative graph analytics over relational edge lists.
+
+Third member of the iterative family (with k-means in
+:mod:`.embeddings` and connected components in :mod:`.dedup`):
+PageRank over the item co-occurrence graph — "centrality" of an item in
+the co-consumption network, the classic graph signal a recommender or
+curation pipeline derives from the same pair relation the similarity
+flagship builds.
+
+Scale pattern shared by all three: per-round work is a join + aggregate
+shuffled on the vertex id; the transition matrix is normalized ONCE and
+persisted; per-round state (one row per vertex) is
+``localCheckpoint``-ed so lineage stays flat no matter how many rounds
+run.  Nothing collects edge data to the driver — only scalar counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .recsys import _cached_ratings, item_cooccurrence
+
+
+def pagerank(edges: DataFrame, d: float = 0.85, n_iter: int = 5) -> DataFrame:
+    """Weighted PageRank over directed (src, dst, weight) edges.
+
+    ``pr(v) = (1-d)/N + d * Σ_u pr(u) · w(u,v)/wdeg(u)`` iterated
+    ``n_iter`` rounds from the uniform vector.  Assumes no dangling
+    nodes (callers pass symmetrized edges, so every node has
+    out-degree); total mass then stays 1, which the unit test pins.
+    """
+    wdeg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    # Normalized transition edges: reused every round — persist once.
+    norm = (
+        edges.join(wdeg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("wdeg")).alias("p"))
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    pr = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    for _ in range(n_iter):
+        contribs = norm.join(pr, norm.src == pr.id).select(
+            F.col("dst").alias("id"), (F.col("p") * F.col("pr")).alias("c")
+        )
+        pr = contribs.groupBy("id").agg(
+            (F.lit((1.0 - d) / n) + F.lit(d) * F.sum("c")).alias("pr")
+        )
+        pr = pr.localCheckpoint(eager=True)  # flat lineage per round
+    return pr
+
+
+@register("q_pagerank_items")  # rows-only: iterative fixpoint, not SQL-expressible
+def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of every item in the co-occurrence graph
+    (edge weight = co-rating count, symmetrized, min_support 2) —
+    5 rounds, d = 0.85.  Deterministic up to float summation order;
+    scores rounded to 8 for stable display.  Mass conservation and
+    rank differentiation are pinned by unit tests."""
+    pairs = item_cooccurrence(_cached_ratings(spark, sf_dir), min_support=2)
+    edges = (
+        pairs.select(
+            F.col("item_x").alias("src"),
+            F.col("item_y").alias("dst"),
+            F.col("n_common").cast("double").alias("weight"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("item_y").alias("src"),
+                F.col("item_x").alias("dst"),
+                F.col("n_common").cast("double").alias("weight"),
+            )
+        )
+    )
+    pr = pagerank(edges, d=0.85, n_iter=5)
+    return pr.select(
+        F.col("id").alias("item_id"),
+        (F.round("pr", 8) + F.lit(0.0)).alias("pagerank"),
+    )

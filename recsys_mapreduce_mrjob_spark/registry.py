@@ -50,6 +50,7 @@ def load_all() -> None:
         text,
         dedup,
         embeddings,
+        graph,
         multimodal,
         sampling,
         udfs,

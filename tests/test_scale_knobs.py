@@ -245,3 +245,15 @@ def test_ivf_ann_recall_vs_exact_topk(spark, sf_dir):
     ]
     assert approx, "IVF ANN returned no candidates"
     assert len(set(exact) & set(approx)) >= 6
+
+
+def test_pagerank_mass_conserved_and_differentiated(spark, sf_dir):
+    """Symmetrized co-occurrence graph has no dangling nodes, so total
+    PageRank mass must stay 1.0 through the iterations; and 5 rounds on
+    a non-regular graph must separate the ranks (max > uniform)."""
+    pr = registry.QUERIES["q_pagerank_items"](spark, sf_dir)
+    rows = pr.collect()
+    n = len(rows)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, total
+    assert max(r.pagerank for r in rows) > 1.5 / n
