@@ -220,3 +220,82 @@ def q_stateful_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("ts_epoch"),
         )
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    earliest view, the earliest click AFTER that view, the earliest
+    purchase AFTER that click, and the stage reached — the sequential
+    constraint is what separates a funnel from three independent mins
+    (a click before the first view doesn't count).
+
+    Scale shape: each stage is one filtered aggregate joined back on
+    user_id — three shuffles keyed on the natural key, no window over the
+    raw stream and no per-user event sorting; the event table scans once
+    per stage with the type filter pushed down.
+    """
+    events = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    users = events.select("user_id").distinct()
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
+        )
+    )
