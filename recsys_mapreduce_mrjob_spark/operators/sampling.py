@@ -110,3 +110,56 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# Weighted sampling (Efraimidis–Spirakis A-ES): each row draws a
+# deterministic uniform u from its key hash and gets priority
+# ln(u)/w — the top-N by priority is a weighted sample without
+# replacement, inclusion probability increasing in w.  The priority is
+# ROUNDED to 6 decimals before ranking (doc_id tie-break): libm ln may
+# differ by 1 ulp across engines, and ranking on the rounded value makes
+# the selected set deterministic cross-engine.
+_WSAMPLE_SALT = ":wsample"
+_WSAMPLE_N = 100
+
+_WSAMPLE_U_SQL = (
+    "(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':wsample')), 1, 8))"
+    " AS BIGINT) + 1) / 4294967297.0"
+)
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(ln({_WSAMPLE_U_SQL}) / n_chars, 6) + 0.0 AS priority
+    FROM documents
+)
+SELECT doc_id, lang, n_chars, priority
+FROM keyed
+ORDER BY priority DESC, doc_id ASC
+LIMIT {_WSAMPLE_N}
+""",
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 100 documents, weight = length (``n_chars``) —
+    the quality/length-weighted draw a training-data mix uses to
+    up-weight substantive documents.  A-ES priorities make it a true
+    weighted sample WITHOUT replacement, yet fully deterministic: the
+    uniform comes from the row's own key hash, so the same corpus
+    yields the same sample on every run, engine, and physical layout.
+    Scale shape: scan projection + TakeOrderedAndProject (per-partition
+    heaps, no full sort, no shuffle of the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hex8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WSAMPLE_SALT))), 1, 8
+    )
+    u = (F.conv(hex8, 16, 10).cast("bigint") + 1) / F.lit(4294967297.0)
+    priority = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
+    return (
+        docs.select("doc_id", "lang", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_WSAMPLE_N)
+    )

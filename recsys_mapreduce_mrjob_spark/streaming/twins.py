@@ -223,3 +223,26 @@ def incremental_item_stats(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_stream(spark: SparkSession, events: DataFrame, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join: the unbounded event stream joined to
+    the static ``customer`` dimension — the standard streaming ETL shape
+    (fact stream + slowly-changing dim).  The static side is re-scanned
+    per micro-batch (picking up dim updates between batches) and planned
+    as a broadcast join; no state store is involved, so this composes
+    freely with downstream watermarked aggregation."""
+    from ..sources.readers import load_table
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = events.join(customer, "user_id")
+    return (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

@@ -125,3 +125,28 @@ def test_incremental_item_stats_matches_batch(spark, sf_dir, tmp_path):
         (F.round(F.sum("rating"), 4) + F.lit(0.0)).alias("rating_sum"),
     )
     assert _multiset(final) == _multiset(expect)
+
+
+def test_enriched_stream_matches_batch(spark, sf_dir):
+    """Stream–static broadcast enrichment must agree with the same join +
+    aggregate run in batch (per-segment per-type counts and value sums)."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events, load_table
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .join(customer, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    stream = twins.run_to_memory(
+        twins.enriched_stream(spark, twins.stream_events(spark, sf_dir), sf_dir),
+        "t_enriched",
+    )
+    assert _multiset(stream) == _multiset(batch)
