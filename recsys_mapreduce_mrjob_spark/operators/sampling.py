@@ -18,7 +18,7 @@ beyond it (same register/oracle contract as every other query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -162,4 +162,42 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "n_chars", priority.alias("priority"))
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(_WSAMPLE_N)
+    )
+
+
+@register(
+    "q_sample_reservoir_per_lang",
+    oracle=f"""
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(ln({_WSAMPLE_U_SQL}) / n_chars, 6) + 0.0 AS priority
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY lang
+                                 ORDER BY priority DESC, doc_id ASC) AS rn
+    FROM keyed
+)
+SELECT doc_id, lang, n_chars, priority, rn AS sample_rank
+FROM ranked WHERE rn <= 20
+""",
+)
+def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted reservoir: the top-20 A-ES priorities WITHIN
+    each language — the distributed, deterministic equivalent of keeping
+    a 20-slot reservoir per stratum while streaming the corpus (same
+    inclusion law as ``q_sample_weighted``, applied per group).  Scale
+    shape: scan projection + one window shuffled on the stratum key;
+    partial TakeOrdered per partition is the AQE-era physical form."""
+    docs = load_table(spark, sf_dir, "documents")
+    hex8 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WSAMPLE_SALT))), 1, 8
+    )
+    u = (F.conv(hex8, 16, 10).cast("bigint") + 1) / F.lit(4294967297.0)
+    priority = F.round(F.log(u) / F.col("n_chars"), 6) + F.lit(0.0)
+    keyed = docs.select("doc_id", "lang", "n_chars", priority.alias("priority"))
+    w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 20)
     )
