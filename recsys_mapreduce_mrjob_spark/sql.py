@@ -176,3 +176,48 @@ def q_join_agg_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     25/204/2285 qualifying orders at sf0.001/0.01/0.1)."""
     register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
     return spark.sql(_Q18_SQL)
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) + 0.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q_agg_q6_forecast", oracle=_Q6_SQL)
+def q_agg_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): pure filter +
+    ungrouped aggregate — every predicate (date band, discount band,
+    quantity cap) pushes into the parquet scan, so the 100 TB plan is a
+    pruned scan feeding one partial+final agg with no shuffle of rows,
+    only of partial sums."""
+    register_testdata_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) + 0.0
+           AS promo_revenue_pct,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+
+@register("q_join_agg_q14", oracle=_Q14_SQL)
+def q_join_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): one-month fact slice joined to
+    the part dim, conditional-vs-total revenue ratio — the date band
+    prunes the fact scan before the join, and the dim side broadcasts."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14_SQL)
