@@ -246,3 +246,46 @@ def enriched_stream(spark: SparkSession, events: DataFrame, sf_dir: str) -> Data
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+def click_purchase_join_stream(events: DataFrame) -> DataFrame:
+    """Stream–stream inner join with event-time bounds: each click joined
+    to the same user's purchases within the following hour — the
+    attribution-window join.  Both sides carry watermarks and the join
+    condition carries the time band, so the state store can evict a
+    click one hour (+ watermark delay) after its event time instead of
+    buffering the stream forever — the ONLY configuration in which an
+    unbounded stream–stream join is runnable at all.  Inner-join
+    emissions are exact regardless of micro-batching, which the twin
+    test pins against the batch self-join."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )

@@ -150,3 +150,44 @@ def test_enriched_stream_matches_batch(spark, sf_dir):
         "t_enriched",
     )
     assert _multiset(stream) == _multiset(batch)
+
+
+def test_click_purchase_join_stream_matches_batch(spark, sf_dir):
+    """Stream–stream inner join with watermarked time bounds must emit
+    exactly the batch self-join's (click, purchase-within-1h) pairs."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+        )
+    )
+    stream = twins.run_to_memory(
+        twins.click_purchase_join_stream(twins.stream_events(spark, sf_dir)),
+        "t_ss_join",
+        output_mode="append",
+    )
+    assert stream.count() > 0
+    assert _multiset(stream) == _multiset(batch)
