@@ -397,9 +397,9 @@ fps AS (
 """
 
 
-def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, fp) winnowed fingerprints — distinct per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowed fingerprints — distinct per doc — over any
+    DataFrame with (doc_id, text) columns."""
     normed = docs.select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), r"\s+", " ").alias("norm"),
@@ -460,7 +460,7 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/textfns.fingerprint) the same way vectorSimilarities.py
     generalized moviesSimilarities.py — same pipeline, richer signature.
     """
-    fps = _winnow_fps(spark, sf_dir)
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     other = fps.select(F.col("doc_id").alias("doc_y"), "fp")
     return (
         fps.select(F.col("doc_id").alias("doc_x"), "fp")

@@ -257,3 +257,36 @@ def test_pagerank_mass_conserved_and_differentiated(spark, sf_dir):
     total = sum(r.pagerank for r in rows)
     assert abs(total - 1.0) < 1e-4, total
     assert max(r.pagerank for r in rows) > 1.5 / n
+
+
+def test_winnowing_guarantee_on_planted_overlaps(spark):
+    """The winnowing theorem (Schleimer et al. 2003): any shared substring
+    of length >= k + w - 1 (here 23) chars must leave at least one common
+    fingerprint in both documents.  Planted-overlap fixture: doc pairs
+    sharing a passage well over the threshold must collide; a pair of
+    disjoint random-alphabet docs must not."""
+    import random
+
+    from recsys_mapreduce_mrjob_spark.operators.text import winnow_fingerprints
+
+    rng = random.Random(7)
+
+    def rand_text(n, alphabet="abcdefghij "):
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    shared = rand_text(60)  # >> k + w - 1 = 23
+    docs = [
+        (0, rand_text(80) + shared + rand_text(90)),
+        (1, rand_text(120) + shared + rand_text(40)),
+        # disjoint alphabets -> no 16-gram can coincide
+        (2, "".join(rng.choice("klmnopqrst ") for _ in range(200))),
+        (3, "".join(rng.choice("uvwxyz0123 ") for _ in range(200))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df)
+    a = {r.fp for r in fps.where("doc_id = 0").collect()}
+    b = {r.fp for r in fps.where("doc_id = 1").collect()}
+    c = {r.fp for r in fps.where("doc_id = 2").collect()}
+    d = {r.fp for r in fps.where("doc_id = 3").collect()}
+    assert a & b, "planted 60-char overlap left no common fingerprint"
+    assert not (c & d), "disjoint-alphabet docs shared a fingerprint"
