@@ -290,3 +290,23 @@ def test_winnowing_guarantee_on_planted_overlaps(spark):
     d = {r.fp for r in fps.where("doc_id = 3").collect()}
     assert a & b, "planted 60-char overlap left no common fingerprint"
     assert not (c & d), "disjoint-alphabet docs shared a fingerprint"
+
+
+def test_observe_metrics_ride_the_flagship_pass(spark, sf_dir):
+    """Operational accounting via ``Observation``: row count and mean
+    rating are collected DURING the ratings derivation pass — at 100 TB
+    you can't afford a second scan just to know what you processed."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.sources.readers import derive_ratings
+
+    obs = Observation("ratings_obs")
+    ratings = derive_ratings(spark, sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.round(F.avg("rating"), 6).alias("avg_rating"),
+    )
+    n = ratings.count()
+    got = obs.get
+    assert got["n_ratings"] == n
+    assert 0 < got["avg_rating"] < 60
