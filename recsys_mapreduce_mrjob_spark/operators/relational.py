@@ -408,3 +408,52 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "q_join_fuzzy_names",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(length(a.p_name) - length(b.p_name)) <= 2
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""",
+)
+def q_join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity join: part pairs whose names are within edit
+    distance 2, the catalog-reconciliation shape (same product, typo'd
+    listing).  Candidates are BLOCKED on the brand key — the standard
+    fuzzy-join scale move: the quadratic comparison runs inside blocks,
+    never across the whole catalog — then cheap length banding (a valid
+    metric-space bound: dist ≤ 2 ⇒ |len Δ| ≤ 2) prunes before the O(n·m)
+    levenshtein evaluates.  Exact oracle: classic unit-cost Levenshtein
+    is the same integer in every engine."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
