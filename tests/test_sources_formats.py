@@ -52,3 +52,22 @@ def test_pipe_reader_is_permissive_on_malformed_lines(spark, tmp_path):
     good = df.where(F.col("rating").isNotNull())
     assert good.count() == 2
     assert {(r.user_id, r.item_id) for r in good.collect()} == {(1, 10), (3, 30)}
+
+
+def test_parquet_schema_evolution_merges(spark, tmp_path):
+    """A long-lived 100 TB table gains columns over its lifetime; readers
+    must union old and new file schemas (``mergeSchema``) with nulls for
+    the pre-evolution files instead of failing or silently dropping the
+    new column."""
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v")
+    ).write.mode("append").parquet(path)
+    spark.range(5, 10).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v"), F.lit("new").alias("extra")
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    assert merged.count() == 10
+    assert merged.where(F.col("extra").isNull()).count() == 5
+    assert merged.where(F.col("extra") == "new").count() == 5
