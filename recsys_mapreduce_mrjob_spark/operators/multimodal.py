@@ -228,3 +228,70 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB video corpus from shuffling itself as pixels."""
     frames = sample_frames(documents_as_assets(spark, sf_dir))
     return frames
+
+
+# Fake resize: byte-stride downsampling (every 4th byte) — the
+# shape-preserving stand-in for an image thumbnail: output is smaller,
+# derived deterministically from the payload, and its size/digest are
+# pure functions the oracle recomputes.
+_RESIZE_STRIDE = 4
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("orig_len", T.LongType()),
+        T.StructField("resized_len", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_assets(assets: DataFrame) -> DataFrame:
+    """Thumbnail/resize plumbing via Arrow-batched ``mapInPandas``: each
+    payload shrinks by ``_RESIZE_STRIDE`` (a real implementation hands
+    the bytes to an image library and emits the re-encoded thumbnail
+    bytes; STUB keeps every offset deterministic so the oracle can check
+    the plumbing end-to-end)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [bytes(p[::_RESIZE_STRIDE]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "orig_len": pdf["payload"].map(len).astype("int64"),
+                    "resized_len": pd.Series([len(r) for r in resized], dtype="int64"),
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return assets.repartition(F.xxhash64("payload")).mapInPandas(
+        batches, RESIZE_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+WITH resized AS (
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           array_to_string(
+               list_transform(generate_series(1, length(text), {_RESIZE_STRIDE}),
+                              i -> substr(text, i, 1)), '') AS thumb
+    FROM documents
+)
+SELECT asset_id, orig_len,
+       CAST(length(thumb) AS BIGINT) AS resized_len,
+       md5(thumb) AS resized_md5
+FROM resized
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail plumbing over binary payloads, oracle-checked:
+    python slicing ``payload[::4]`` must byte-match DuckDB taking every
+    4th character of the same (ASCII) source — sizes and digests agree
+    exactly, proving the Arrow batch path transforms the right bytes.
+    Scale note: thumbnails (not full payloads) are what flows to the
+    next stage, cutting the shuffled volume by the stride factor."""
+    return resize_assets(documents_as_assets(spark, sf_dir))
