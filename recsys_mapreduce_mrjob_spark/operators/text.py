@@ -517,3 +517,97 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws"),
         (F.round(n_bpe / n_ws.cast("double"), 6) + F.lit(0.0)).alias("subword_ratio"),
     )
+
+
+# Count-Min Sketch as pure relational algebra: d=4 hash rows × w=256
+# buckets.  The bucket hash is the portable first-8-md5-hex-digits
+# integer (same trick as sampling/winnowing), so the DuckDB oracle
+# builds the bit-identical sketch.  CMS point estimates overestimate
+# (min over rows of a bucket that may carry collisions) — pinned by a
+# unit-test inequality against the true counts.
+_CMS_D = 4
+_CMS_W = 256
+_CMS_PROBES = ("scan", "join", "window")
+
+
+def _cms_bucket_sql(tok_expr: str, d_expr: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat({tok_expr}, ':cms', "
+        f"CAST({d_expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "q_sketch_countmin",
+    oracle=f"""
+WITH toks AS (
+    SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+),
+hashed AS (
+    SELECT t.i AS d, {_cms_bucket_sql('tok', 't.i')} AS bucket
+    FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) t
+),
+sketch AS (
+    SELECT d, bucket, count(*) AS c FROM hashed GROUP BY d, bucket
+),
+probes AS (
+    SELECT tok FROM (VALUES {", ".join(f"('{p}')" for p in _CMS_PROBES)}) v(tok)
+),
+probe_buckets AS (
+    SELECT p.tok, t.i AS d, {_cms_bucket_sql('p.tok', 't.i')} AS bucket
+    FROM probes p CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS i) t
+),
+estimates AS (
+    SELECT pb.tok, min(s.c) AS cms_estimate
+    FROM probe_buckets pb JOIN sketch s ON pb.d = s.d AND pb.bucket = s.bucket
+    GROUP BY pb.tok
+),
+truth AS (
+    SELECT tok, count(*) AS true_count FROM toks GROUP BY tok
+)
+SELECT e.tok, coalesce(t.true_count, 0) AS true_count, e.cms_estimate
+FROM estimates e LEFT JOIN truth t ON e.tok = t.tok
+""",
+)
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over the token stream, built as plain relational
+    algebra — the custom-sketch pattern: d×w cells are a GROUP BY
+    (hash-row, bucket), so sketch construction gets map-side partial
+    aggregation and the finished sketch is d·w rows ( ≪ vocabulary )
+    regardless of corpus size; point estimates are a w-free broadcast
+    lookup.  The portable md5 bucket hash lets the DuckDB oracle build
+    the bit-identical sketch, and the CMS guarantee
+    (estimate ≥ true count) is pinned by a unit test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    ds = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
+
+    def bucket(tok_col, d_col):
+        hex8 = F.substring(
+            F.md5(F.concat(tok_col, F.lit(":cms"), d_col.cast("string"))), 1, 8
+        )
+        return F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(_CMS_W))
+
+    hashed = toks.select("tok", ds).select(
+        "d", bucket(F.col("tok"), F.col("d")).alias("bucket")
+    )
+    sketch = hashed.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _CMS_PROBES])).alias("tok")
+    )
+    probe_buckets = probes.select("tok", ds).select(
+        "tok", "d", bucket(F.col("tok"), F.col("d")).alias("bucket")
+    )
+    estimates = (
+        probe_buckets.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    return estimates.join(truth, "tok", "left").select(
+        "tok",
+        F.coalesce("true_count", F.lit(0)).alias("true_count"),
+        "cms_estimate",
+    )

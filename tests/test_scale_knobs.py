@@ -310,3 +310,13 @@ def test_observe_metrics_ride_the_flagship_pass(spark, sf_dir):
     got = obs.get
     assert got["n_ratings"] == n
     assert 0 < got["avg_rating"] < 60
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The Count-Min guarantee: a point estimate is min over d buckets
+    each >= the true count, so estimate >= truth for every probe token
+    (equality when no collision landed in all 4 rows)."""
+    rows = registry.QUERIES["q_sketch_countmin"](spark, sf_dir).collect()
+    assert rows, "no probe estimates returned"
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r
