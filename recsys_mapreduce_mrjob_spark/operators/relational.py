@@ -457,3 +457,71 @@ def q_join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
+
+
+@register(
+    "q_audit_constraints",
+    oracle="""
+SELECT 'orders_orphan_custkey' AS check_name, count(*) AS n_violations
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', count(*)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem_nonpositive_quantity', count(*)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'orders_null_custkey', count(*)
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'part_negative_price', count(*)
+FROM part WHERE p_retailprice < 0
+""",
+)
+def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit — the constraint sweep a pipeline
+    schedules against every ingest: referential integrity as LEFT-ANTI
+    joins (orphan foreign keys), null-key and value-range checks as
+    filtered counts, one row per check.  Scale shape: each FK check is
+    one anti-join shuffled on the key (or broadcast when the parent
+    side is small); the scalar checks ride single scans; the final
+    UNION ALL is five 1-row relations — the audit of a 100 TB ingest
+    costs one pass per fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan_orders = orders.join(
+        customer.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    orphan_lines = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    return (
+        check("orders_orphan_custkey", orphan_orders)
+        .unionByName(check("lineitem_orphan_orderkey", orphan_lines))
+        .unionByName(
+            check(
+                "lineitem_nonpositive_quantity",
+                lineitem.where(F.col("l_quantity") <= 0),
+            )
+        )
+        .unionByName(
+            check("orders_null_custkey", orders.where(F.col("o_custkey").isNull()))
+        )
+        .unionByName(
+            check("part_negative_price", part.where(F.col("p_retailprice") < 0))
+        )
+    )
