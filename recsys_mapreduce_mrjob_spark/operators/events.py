@@ -299,3 +299,55 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("funnel_stage"),
         )
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INTEGER)
+           AS weeks_since,
+       count(*) AS n_users
+FROM firsts f JOIN activity a ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted in
+    every later week they return — the retention-matrix query behind
+    every growth dashboard.  Week arithmetic is kept engine-portable by
+    construction: both sides truncate to the same Monday, so the day
+    difference is an exact multiple of 7 and integer-divides cleanly
+    (DuckDB's date_diff('week') counts boundary crossings and would NOT
+    match a /7 — avoided on both sides).
+
+    Scale shape: two aggregates over the event stream (first-touch and
+    distinct activity weeks, both shuffled on user_id — AQE can reuse
+    the exchange) joined on user_id, then a cohort-sized final group-by.
+    """
+    events = load_events(spark, sf_dir).select("user_id", "ts")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
