@@ -96,3 +96,17 @@ def test_partitioned_parquet_sink_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan
     en_expected = docs.where(docs.lang == "en").count()
     assert filtered.count() == en_expected
+
+
+def test_orc_roundtrip_preserves_relation(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trip: the third columnar format next to
+    parquet and the text formats — same relation, schema, and values
+    back (types survive; no silent string-ification)."""
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
