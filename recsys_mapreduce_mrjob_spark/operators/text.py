@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.textfns import _LANG_MARKERS, lang_id, quality_score, token_count, tokens
+from ..functions.textfns import (
+    _LANG_MARKERS,
+    lang_id,
+    quality_score,
+    shingles,
+    token_count,
+    tokens,
+)
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -610,4 +617,41 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.coalesce("true_count", F.lit(0)).alias("true_count"),
         "cms_estimate",
+    )
+
+
+@register(
+    "q_text_bigrams",
+    oracle="""
+WITH toklists AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+bigrams AS (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+    FROM toklists
+    WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations — the n-gram statistics pass a corpus
+    pipeline runs for tokenizer/vocabulary construction and boilerplate
+    detection (recurring bigrams flag templated text).  Reuses the
+    2-token shingle primitive; the explode shuffles on the bigram and the
+    count gets map-side partial aggregation, so vocabulary-sized state is
+    all that ever concentrates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
     )
