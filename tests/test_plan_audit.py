@@ -99,3 +99,16 @@ def test_salted_join_shuffles_on_salt(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert "salt" in plan.lower(), plan
+
+
+def test_ivf_assignment_avoids_window_shuffle(spark, sf_dir):
+    """The IVF cell assignment must plan as a struct-max aggregation
+    (map-side combinable), never a Window over the scored corpus — a
+    Window here would shuffle corpus × K rows unaggregated."""
+    plan = _plan(spark, sf_dir, "q_knn_cosine_ivf")
+    assert "Window" not in plan, plan
+    # struct max has no mutable hash buffer, so Spark plans SortAggregate —
+    # still partial+final (map-side combinable), which is the claim.
+    import re
+
+    assert re.search(r"\(\d+\) (Sort|Hash)Aggregate", plan), plan
