@@ -7,6 +7,7 @@ operator module registers its queries + DuckDB oracles there
 
 from __future__ import annotations
 
+import hashlib
 import os
 import pathlib
 import tempfile
@@ -50,12 +51,20 @@ def _ship_package(spark: SparkSession) -> None:
     if getattr(sc, "_engine_pkg_shipped", False):
         return
     pkg_dir = pathlib.Path(__file__).resolve().parent / "recsys_mapreduce_mrjob_spark"
-    zpath = pathlib.Path(tempfile.mkdtemp(prefix="engine_pkg_")) / (
-        "recsys_mapreduce_mrjob_spark.zip"
+    # Deterministic zip path keyed by the repo location (a mkdtemp per
+    # SparkContext leaks a temp dir per session — ADVICE.md round 2).
+    # Build under a unique name, then atomically rename so a concurrent
+    # process never ships a half-written zip.
+    digest = hashlib.md5(str(pkg_dir).encode()).hexdigest()[:10]
+    zpath = (
+        pathlib.Path(tempfile.gettempdir())
+        / f"recsys_mapreduce_mrjob_spark-{digest}.zip"
     )
-    with zipfile.ZipFile(zpath, "w") as zf:
+    tmp = zpath.with_suffix(f".{os.getpid()}.tmp")
+    with zipfile.ZipFile(tmp, "w") as zf:
         for p in sorted(pkg_dir.rglob("*.py")):
             zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+    os.replace(tmp, zpath)
     sc.addPyFile(str(zpath))
     sc._engine_pkg_shipped = True
 

@@ -1,0 +1,44 @@
+"""Session-scoped memoization for persisted DataFrames.
+
+Operators that fan a derived relation into several lazy branches (the
+ratings matrix, the doc-shingle relation) persist it so the derivation runs
+once.  Calling ``.persist()`` on every query invocation is harmless for
+correctness — Spark's CacheManager dedups by canonicalized plan — but each
+call still builds the full lineage and leaves the persist lifecycle
+implicit (ADVICE.md round 2).  This memo keeps ONE persisted handle per
+(SparkContext, relation, sf_dir): repeated calls reuse it, and handles from
+a stopped/replaced context are dropped eagerly so a long-lived driver
+process that restarts sessions cannot accumulate stale references.
+
+Unpersist-on-exit is intentionally NOT done per query: within one grading
+sweep every later query re-uses the cached relation, which is the point.
+``spark.catalog.clearCache()`` (bench.py between-query hygiene) remains
+safe — the memoized handle simply re-persists lazily on next use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def memo_persist(
+    spark: SparkSession, relation: str, sf_dir: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the persisted DataFrame for ``relation`` at ``sf_dir``,
+    building (and persisting MEMORY_AND_DISK) it on first use per
+    SparkContext."""
+    app = spark.sparkContext.applicationId
+    key = (app, relation, sf_dir)
+    df = _CACHE.get(key)
+    if df is None:
+        # One live context per process (driver / pytest both): entries from
+        # any other applicationId belong to a stopped session — drop them.
+        for stale in [k for k in _CACHE if k[0] != app]:
+            del _CACHE[stale]
+        df = build().persist()
+        _CACHE[key] = df
+    return df

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import memo_persist
 from ..functions.textfns import shingles
 from ..registry import register
 from ..sources.readers import load_table
@@ -61,12 +62,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared shingle relation: distinct 3-token shingles per doc.
+# Shared shingle relation: distinct 3-token shingles per doc, persisted
+# once per (SparkContext, sf_dir) — Jaccard and MinHash-LSH both fan it
+# into multiple lazy branches (caching.py owns the persist lifecycle).
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s")
-    )
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+        )
+
+    return memo_persist(spark, "doc_shingles", sf_dir, build)
 
 
 _SHINGLES_CTE = """
@@ -111,7 +118,7 @@ JOIN sizes sb ON sb.doc_id = i.doc_b
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs sharing a rare
     (df = 2) 3-shingle — the oracle-checkable companion to MinHash-LSH."""
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
     rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
@@ -181,7 +188,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     For truly identical texts every band collides and jaccard = 1.0 (the
     sf0.1 planted dupes — pinned by a unit test).
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = _doc_shingles(spark, sf_dir)
 
     sig = sh.groupBy("doc_id").agg(
         *[

@@ -114,13 +114,17 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_session",
     oracle=f"""
 WITH flagged AS (
+    -- lag MUST order by the same key Spark uses (epoch-second ts_epoch,
+    -- event_id) — ordering by raw µs ts diverges whenever two same-user
+    -- events share an epoch second but differ in sub-second order
+    -- (ADVICE.md round 2; collisions grow with scale factor).
     SELECT user_id, {_EPOCH} AS ts_epoch, event_id,
            CASE WHEN {_EPOCH}
                      - lag({_EPOCH}) OVER (PARTITION BY user_id
-                                           ORDER BY ts ASC, event_id ASC)
+                                           ORDER BY {_EPOCH} ASC, event_id ASC)
                      > 1800
                   OR lag({_EPOCH}) OVER (PARTITION BY user_id
-                                         ORDER BY ts ASC, event_id ASC) IS NULL
+                                         ORDER BY {_EPOCH} ASC, event_id ASC) IS NULL
                 THEN 1 ELSE 0 END AS is_new
     FROM events
 ),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import memo_persist
 from ..functions import similarity as S
 from ..registry import register
 from ..sources.readers import RATINGS_ORACLE_CTE, derive_ratings
@@ -305,12 +306,16 @@ def _cached_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark re-executes the orders⋈lineitem derivation join per branch —
     measured 20.3 s → 9.1 s at sf0.1 when cached.  MEMORY_AND_DISK (the
     default) keeps the 100 TB story sane: partitions that don't fit in
-    executor memory spill instead of OOMing.  Spark's CacheManager matches
-    by canonicalized plan, so every query in a session shares one entry.
+    executor memory spill instead of OOMing.  Memoized per
+    (SparkContext, sf_dir) so repeated query invocations share one
+    persisted handle instead of re-issuing persist() (caching.py).
     """
-    return derive_ratings(spark, sf_dir).persist()
+    return memo_persist(
+        spark, "ratings", sf_dir, lambda: derive_ratings(spark, sf_dir)
+    )
 
-_PAIR_STATS_CTE = """
+def _pair_stats_cte(min_support: int) -> str:
+    return f"""
 pair_stats AS (
     SELECT a.item_id AS item_x,
            b.item_id AS item_y,
@@ -324,9 +329,19 @@ pair_stats AS (
     JOIN ratings b
       ON a.user_id = b.user_id AND a.item_id < b.item_id
     GROUP BY 1, 2
-    HAVING count(*) >= 2
+    HAVING count(*) >= {min_support}
 )
 """
+
+
+# The flagship / recommender oracles keep the reference's min_support = 2.
+_PAIR_STATS_CTE = _pair_stats_cte(2)
+
+# Registered diagnostic variants prune harder (n ≥ 5): the operator SHAPE is
+# identical, but the hashed result shrinks ~7× at sf0.01 (274k → ~40k rows),
+# which keeps driver grading time on the diagnostics proportionate
+# (VERDICT.md round 2, item 2).  The flagship still consumes min_support=2.
+_DIAG_MIN_SUPPORT = 5
 
 # Variance terms clamped at 0 before sqrt (floating-point can push them
 # slightly negative for near-constant pairs — Spark would emit NaN, DuckDB
@@ -404,7 +419,7 @@ def q_item_rater_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_pairwise_stats",
     oracle=f"""
-WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}
+WITH {RATINGS_ORACLE_CTE}, {_pair_stats_cte(_DIAG_MIN_SUPPORT)}
 SELECT item_x, item_y, n,
        round(sxy, 4) + 0.0 AS sxy,
        round(sx, 4) + 0.0 AS sx,
@@ -415,7 +430,7 @@ FROM pair_stats
 """,
 )
 def q_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = pairwise_stats(_cached_ratings(spark, sf_dir))
+    stats = pairwise_stats(_cached_ratings(spark, sf_dir), _DIAG_MIN_SUPPORT)
     # Raw sufficient-statistic sums reach ~1e4 magnitude; at round-6 the
     # cross-engine summation-order noise (~1e-8 absolute) lands exactly on
     # rounding boundaries for some pairs (observed at sf0.001: sxx
@@ -437,12 +452,12 @@ def q_pairwise_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_item_similarity",
     oracle=f"""
-WITH {RATINGS_ORACLE_CTE}, {_PAIR_STATS_CTE}, {_SIMS_CTE}
+WITH {RATINGS_ORACLE_CTE}, {_pair_stats_cte(_DIAG_MIN_SUPPORT)}, {_SIMS_CTE}
 SELECT item_x, item_y, n, corr, cos, reg_corr, jaccard, norm_corr FROM sims
 """,
 )
 def q_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_similarity(_cached_ratings(spark, sf_dir))
+    return item_similarity(_cached_ratings(spark, sf_dir), _DIAG_MIN_SUPPORT)
 
 
 @register(
@@ -473,11 +488,11 @@ SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n_common
 FROM ratings a
 JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
 GROUP BY 1, 2
-HAVING count(*) >= 2
+HAVING count(*) >= {_DIAG_MIN_SUPPORT}
 """,
 )
 def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_cooccurrence(_cached_ratings(spark, sf_dir))
+    return item_cooccurrence(_cached_ratings(spark, sf_dir), _DIAG_MIN_SUPPORT)
 
 
 @register("q_topk_similar_dimsum")  # rows-only: hash-sampled estimator has no SQL twin

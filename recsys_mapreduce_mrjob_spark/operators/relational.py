@@ -285,19 +285,35 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_selfpair",
     oracle=f"""
-WITH {RATINGS_ORACLE_CTE}
-SELECT a.user_id AS user_id, a.item_id AS item_x, b.item_id AS item_y
-FROM ratings a
-JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
+WITH {RATINGS_ORACLE_CTE},
+pairs AS (
+    SELECT a.user_id AS user_id, a.item_id AS item_x, b.item_id AS item_y
+    FROM ratings a
+    JOIN ratings b ON a.user_id = b.user_id AND a.item_id < b.item_id
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       CAST(sum(item_x * 100003 + item_y) AS BIGINT) AS pair_checksum
+FROM pairs
+GROUP BY user_id
 """,
 )
 def q_join_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R5's pairwise expansion, unaggregated: the declared self-join shape
-    (``pairwise_items``, moviesSimilarities.py:≈92–110)."""
+    """R5's pairwise expansion — the declared self-join shape
+    (``pairwise_items``, moviesSimilarities.py:≈92–110).
+
+    The registered RESULT is a per-user digest of the pair relation
+    (count + an order-independent checksum over the (item_x, item_y)
+    pairs): it is wrong unless every one of the ~1.29 M sf0.01 pairs is
+    produced exactly once, but hashes 1.5 k rows instead of 1.29 M —
+    VERDICT.md round 2 flagged the raw relation as the single biggest
+    driver-grading cost.  The join itself is unchanged and unaggregated
+    up to the digest.
+    """
     ratings = _cached_ratings(spark, sf_dir)
     a = ratings.alias("a")
     b = ratings.alias("b")
-    return a.join(
+    pairs = a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
         & (F.col("a.item_id") < F.col("b.item_id")),
@@ -305,6 +321,12 @@ def q_join_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.user_id").alias("user_id"),
         F.col("a.item_id").alias("item_x"),
         F.col("b.item_id").alias("item_y"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("item_x").cast("bigint") * 100003 + F.col("item_y"))
+        .cast("bigint")
+        .alias("pair_checksum"),
     )
 
 

@@ -1,0 +1,123 @@
+"""Pin the grading-order invariants (registry.GRADING_ORDER).
+
+The grading driver checks a PREFIX of the registered query names (round 2:
+exactly the first 50 — see VERDICT.md "Next round" item 1), so registration
+order decides which operators receive a driver correctness row.  These tests
+freeze the contract: the first 50 names must cover every SURVEY §2.2 family,
+with all of K (LLM-data-pipeline) and J (events) inside the prefix.
+"""
+
+from __future__ import annotations
+
+from recsys_mapreduce_mrjob_spark import registry
+
+PREFIX = 50
+
+K_SECTION = {
+    # text
+    "q_text_wordcount",
+    "q_text_doc_stats",
+    "q_text_tfidf",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_corpus_curation",
+    "q_text_winnow_pairs",
+    "q_text_bpe_tokens",
+    "q_sketch_countmin",
+    "q_text_bigrams",
+    # dedup
+    "q_dedup_exact",
+    "q_dedup_jaccard_pairs",
+    "q_dedup_near",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_dedup_components",
+    # embeddings / ANN
+    "q_knn_cosine",
+    "q_knn_per_label",
+    "q_embedding_label_stats",
+    "q_knn_cosine_lsh",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_ivf",
+    # graph
+    "q_pagerank_items",
+    # multimodal
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    # sampling
+    "q_sample_split",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_sample_reservoir_per_lang",
+}
+
+J_SECTION = {
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_window_session",
+    "q_late_data_filter",
+    "q_stateful_dedup_events",
+    "q_events_funnel",
+    "q_events_retention",
+}
+
+L_SECTION = {"q_udf_reg_corr", "q_udf_znorm_per_user"}
+
+# One representative per A–H family + the flagship + one TPC-H SQL shape.
+FAMILY_REPS = {
+    "q_topk_similar_items",  # I flagship
+    "q_join_agg_q3",  # M SQL shape
+    "q_scan_pruned",  # A
+    "q_filter_compound",  # B
+    "q_join_inner",  # C
+    "q_agg_pricing_summary",  # D
+    "q_window_rank",  # E
+    "q_topn_orders",  # F
+    "q_union_all",  # G
+    "q_string_funcs",  # H
+}
+
+
+def _loaded_names() -> list[str]:
+    registry.load_all()
+    return list(registry.QUERIES)
+
+
+def test_grading_order_matches_registrations_exactly():
+    names = set(_loaded_names())
+    listed = set(registry.GRADING_ORDER)
+    assert listed == names, (
+        f"GRADING_ORDER out of sync: missing={sorted(names - listed)} "
+        f"stale={sorted(listed - names)}"
+    )
+    assert len(registry.GRADING_ORDER) == len(set(registry.GRADING_ORDER))
+
+
+def test_registry_iterates_in_grading_order():
+    assert _loaded_names() == registry.GRADING_ORDER
+
+
+def test_flagship_is_first():
+    assert _loaded_names()[0] == "q_topk_similar_items"
+
+
+def test_prefix_covers_every_family():
+    prefix = set(_loaded_names()[:PREFIX])
+    assert K_SECTION <= prefix, f"K outside prefix: {sorted(K_SECTION - prefix)}"
+    assert J_SECTION <= prefix, f"J outside prefix: {sorted(J_SECTION - prefix)}"
+    assert L_SECTION <= prefix, f"L outside prefix: {sorted(L_SECTION - prefix)}"
+    assert FAMILY_REPS <= prefix, (
+        f"family reps outside prefix: {sorted(FAMILY_REPS - prefix)}"
+    )
+    # The prefix is exactly these sets — no slot wasted on redundant variants.
+    assert prefix == K_SECTION | J_SECTION | L_SECTION | FAMILY_REPS
+
+
+def test_entry_views_preserve_order():
+    import __spark_entry__ as entry
+
+    assert list(entry.queries()) == registry.GRADING_ORDER
+    oracle_names = list(entry.oracle_sql())
+    assert oracle_names == [n for n in registry.GRADING_ORDER if n in registry.ORACLES]
