@@ -1,0 +1,38 @@
+"""PLANS.md must match what tools/gen_plans.py regenerates (VERDICT r2 #7).
+
+The document pairs scale claims with live ``explain("formatted")`` output;
+if an operator's physical plan drifts (a new Exchange, a lost broadcast, a
+dropped pushdown) the committed evidence goes stale silently.  Regenerate
+in a SUBPROCESS with a fresh SparkSession — the pytest session's cache
+state (persisted ratings/shingles from earlier tests) would otherwise leak
+InMemoryTableScans into plans the generator builds cache-cold.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_plans_md_is_fresh():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_plans.py"), "--check"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        # Pin the knobs that print into plan text (hashpartitioning(..., N))
+        # so the check is insensitive to the invoking environment.
+        env={
+            **os.environ,
+            "ENGINE_DRIVER_MEMORY": "4g",
+            "ENGINE_SHUFFLE_PARTITIONS": "32",
+            "SPARK_GRAFT_CPUS": "32",
+        },
+    )
+    assert proc.returncode == 0, (
+        f"PLANS.md drifted from regeneration:\n{proc.stdout[-8000:]}\n{proc.stderr[-2000:]}"
+    )

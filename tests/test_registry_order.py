@@ -115,6 +115,30 @@ def test_prefix_covers_every_family():
     assert prefix == K_SECTION | J_SECTION | L_SECTION | FAMILY_REPS
 
 
+# Names with no driver correctness row in EITHER round 1 or round 2
+# (ND in CORRECTNESS_r02.json).  If the driver's cutoff is a time budget
+# rather than a hard 50-name cap, these are the next in line — they must
+# sit immediately after the family-coverage prefix, ahead of the
+# round-2-verified breadth.
+NEVER_GRADED = [
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_cond_funcs",
+    "q_histogram",
+    "q_join_agg_q5",
+    "q_join_agg_q7",
+    "q_join_agg_q10",
+    "q_join_agg_q18",
+    "q_agg_q6_forecast",
+    "q_join_agg_q14",
+]
+
+
+def test_never_graded_names_follow_the_prefix():
+    names = _loaded_names()
+    assert names[PREFIX : PREFIX + len(NEVER_GRADED)] == NEVER_GRADED
+
+
 def test_entry_views_preserve_order():
     import __spark_entry__ as entry
 
