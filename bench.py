@@ -3,15 +3,34 @@
 
 Prints exactly ONE JSON line on stdout:
     {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q_...": sec, ...}, "sf": 0.1}
+     "queries": {"q_...": sec, ...}, "sf": 0.1, ...}
 
-Headline set mirrors BASELINE.md's measured DuckDB rows; only queries
-currently registered in the engine are timed, so the bench grows with
-coverage.  Each query is timed as wall-clock to a full ``collect()`` of the
-result (same contract as the baseline's ``fetchall()``), on one shared
-SparkSession (JVM/planning startup excluded — BASELINE.md's comparison
-note), with the cache cleared between queries so no query rides a
-predecessor's persisted relations.
+Headline set mirrors BASELINE.md's measured DuckDB rows — including the
+round-3 LLM-pipeline rows (`q_text_tfidf`, `q_dedup_near`,
+`q_knn_cosine_ivf`, twins measured by tools/bench_duckdb_twins.py); only
+queries currently registered in the engine are timed, so the bench grows
+with coverage.
+
+Timing contract (matches how BASELINE.md's DuckDB numbers were taken):
+one shared SparkSession (JVM startup excluded, as DuckDB's import/connect
+is), per query one untimed warmup run (JIT-compiles the generated
+whole-stage code — a fresh JVM's first-ever run pays ~12 s of JIT warmup
+no steady-state deployment would see), then the best of two timed runs to
+a full ``collect()`` (the baseline's ``fetchall()`` contract), with the
+cache cleared between runs so no run rides a predecessor's persisted
+relations.  (Keeping the BASE tables persisted across the bench was
+measured and is a wash-to-loss at this scale — the vectorized parquet
+reader beats re-reading cached batches — so the contract stays cold.)
+
+Overhead accounting (BASELINE.md "Notes for the 2× comparison"): local-
+mode Spark pays a fixed per-query cost — plan construction over Py4J,
+stage scheduling, task launch — that DuckDB's in-process engine does not.
+At sf=0.1 the bench measures it per query as the SAME query's wall time
+at sf0.001 (identical plan shape, 100× less data, so data-dependent work
+is ~nil) and reports `overhead_sec` + `vs_baseline_adj` = (t − overhead)
+/ baseline next to the raw `vs_baseline`.  Raw numbers always stay
+printed; at 100× scale the fixed cost amortizes to zero and the raw
+ratios are the meaningful ones.
 """
 
 from __future__ import annotations
@@ -26,6 +45,7 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    small_dir = "/root/testdata/sf0.001"
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -52,6 +72,10 @@ def main() -> None:
         "q_knn_cosine",
         "q_dedup_exact",
         "q_text_wordcount",
+        # LLM-pipeline scale claims, measured (BASELINE.md round-3 rows)
+        "q_text_tfidf",
+        "q_dedup_near",
+        "q_knn_cosine_ivf",
     ]
     # BASELINE.md's measured DuckDB sf0.1 numbers (seconds), keyed by the
     # registered query that mirrors each baseline row; valid only at sf=0.1.
@@ -64,27 +88,26 @@ def main() -> None:
         "q_knn_cosine": 0.018,
         "q_dedup_exact": 0.012,
         "q_text_wordcount": 0.040,
+        # round-3 LLM-pipeline rows (tools/bench_duckdb_twins.py)
+        "q_text_tfidf": 0.143,
+        "q_dedup_near": 0.580,
+        "q_knn_cosine_ivf": 0.056,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
-    # BASELINE.md's DuckDB numbers are warm-cache single runs; match that
-    # contract: one untimed warmup execution per query (JIT-compiles the
-    # generated whole-stage code and warms the filesystem cache — the
-    # flagship's first-ever run in a fresh JVM pays ~12 s of JIT warmup no
-    # steady-state deployment would see), then report the best of two timed
-    # runs to suppress co-tenant CPU noise (observed ±40% on this box).
-    timings: dict[str, float] = {}
-    for name in to_run:
+    def timed_best(name: str, data_dir: str, runs: int = 2) -> float:
         spark.catalog.clearCache()
-        registry.QUERIES[name](spark, sf_dir).collect()
+        registry.QUERIES[name](spark, data_dir).collect()  # warmup
         best = None
-        for _ in range(2):
+        for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.monotonic()
-            registry.QUERIES[name](spark, sf_dir).collect()
+            registry.QUERIES[name](spark, data_dir).collect()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        return best
+
+    timings = {name: round(timed_best(name, sf_dir), 3) for name in to_run}
 
     out = {
         "metric": "total_wall_sec",
@@ -93,16 +116,18 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # Fixed per-action cost of local-mode Spark (job launch + scheduling for
-    # a no-op) — BASELINE.md asks that sub-100 ms baseline rows be read
-    # against this floor rather than the raw ratio.
-    t0 = time.monotonic()
-    spark.range(1).collect()
-    out["fixed_overhead_sec"] = round(time.monotonic() - t0, 3)
     if sf == 0.1:
+        # Per-query fixed-overhead estimate: same plan at sf0.001.
+        overhead = {name: round(timed_best(name, small_dir), 3) for name in to_run}
+        out["overhead_sec"] = overhead
         out["baseline_sec"] = {q: baseline_sf01[q] for q in timings if q in baseline_sf01}
         out["vs_baseline"] = {
             q: round(timings[q] / baseline_sf01[q], 2)
+            for q in timings
+            if q in baseline_sf01
+        }
+        out["vs_baseline_adj"] = {
+            q: round(max(timings[q] - overhead[q], 0.0) / baseline_sf01[q], 2)
             for q in timings
             if q in baseline_sf01
         }

@@ -40,3 +40,18 @@ def cosine_sim(a: Column, b: Column) -> Column:
     :func:`..functions.similarity.cosine`)."""
     den = l2_norm(a) * l2_norm(b)
     return F.when(den != 0.0, dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def cosine_sim_pre(dot_ab: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cos from a precomputed dot product and prehoisted norms.
+
+    Higher-order folds are interpreted per element (no whole-stage codegen
+    inside the lambda), so :func:`cosine_sim` pays THREE 64-step folds per
+    pair.  When one side of a similarity join is small (a centroid table, a
+    single query vector) or a side is reused across many pairs, hoist each
+    side's ``l2_norm`` to a column computed once per ROW and fold only the
+    dot per PAIR — 3× fewer interpreted steps on the pair hot path,
+    bit-identical results (same folds, same order, computed once instead of
+    per pair)."""
+    den = norm_a * norm_b
+    return F.when(den != 0.0, dot_ab / den).otherwise(F.lit(0.0))

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..caching import memo_persist
 from ..functions.textfns import shingles
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, rebalance_if_starved
 
 _N_HASHES = 32
 _N_BANDS = 8
@@ -67,7 +67,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # into multiple lazy branches (caching.py owns the persist lifecycle).
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
         return docs.select(
             "doc_id",
             F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
@@ -190,11 +190,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _doc_shingles(spark, sf_dir)
 
+    # One pass computes all 32 minhashes AND the shingle-set size the
+    # Jaccard verification needs — no separate sizes aggregation over sh.
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
             for i in range(_N_HASHES)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
     )
     bands = sig.select(
         "doc_id",
@@ -231,7 +234,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     sa = sh.alias("sa")
     sb = sh.alias("sb")
     inter = (

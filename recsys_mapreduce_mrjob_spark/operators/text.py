@@ -24,7 +24,7 @@ from ..functions.textfns import (
     tokens,
 )
 from ..registry import register
-from ..sources.readers import load_table
+from ..sources.readers import load_table, rebalance_if_starved
 
 
 # DuckDB-side tokenizer matching functions.textfns.tokens: split on spaces,
@@ -52,7 +52,7 @@ LIMIT 20
 def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical wordcount, columnar: explode(tokens) → count → top-20
     (deterministic tie-break on the word)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -123,7 +123,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashingTF/IDF so the arithmetic is exactly oracle-checkable; the df
     and N relations are tiny (vocabulary-sized / scalar) and broadcast.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
     tf = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -587,7 +587,7 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bit-identical sketch, and the CMS guarantee
     (estimate ≥ true count) is pinned by a unit test.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
     ds = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
 
@@ -647,7 +647,7 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-token shingle primitive; the explode shuffles on the bigram and the
     count gets map-side partial aggregation, so vocabulary-sized state is
     all that ever concentrates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(shingles(F.col("text"), 2)).alias("bigram"))
         .groupBy("bigram")

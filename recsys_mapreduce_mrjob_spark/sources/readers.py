@@ -45,6 +45,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def rebalance_if_starved(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a split-starved scan up to core count.
+
+    The bench-scale tables are single parquet row groups, so Spark plans
+    ONE input task and every per-row expression downstream (tokenize +
+    explode, 32 minhash folds, higher-order cosines) runs single-threaded
+    until the first exchange.  At 100 TB the same scan has thousands of
+    row-group splits and this helper is a NO-OP — the guard is a
+    partition-count probe (plan-time only, no job), so no shuffle is ever
+    added to an already-parallel scan.  Use only where the query has a
+    downstream shuffle anyway (never on the shuffle-free scan-projection
+    paths, whose zero-Exchange plans are audited)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream table, with its nanosecond timestamp made usable.
 

@@ -1,0 +1,111 @@
+"""Measure the DuckDB baseline twins for the LLM-pipeline headline rows.
+
+BASELINE.md's round-2 table covers the relational/recsys headline queries;
+round 3 adds three LLM-pipeline queries to bench.py's headline set
+(`q_text_tfidf`, `q_dedup_near`, `q_knn_cosine_ivf`), so their scale
+claims get measured numbers against an independent engine rather than
+docstring assertions.
+
+For the two exact-oracle queries the twin IS the registered oracle SQL
+(identical semantics by construction).  `q_dedup_near` is rows-only (its
+minhashes are Spark `xxhash64`, which DuckDB lacks), so its twin is the
+same MinHash-LSH pipeline — 32 min-hashes over distinct 3-shingles,
+8 bands x 4 rows, band-signature equi-join candidates, exact Jaccard
+verification at >= 0.8 — written with DuckDB's own `hash()`: identical
+work shape and candidate-generation strategy, engine-native hash.
+
+Contract matches BASELINE.md: warm run first, then best-of-2 timed
+`fetchall()` runs on one connection.
+
+Run:  python tools/bench_duckdb_twins.py  [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from recsys_mapreduce_mrjob_spark import registry  # noqa: E402
+from recsys_mapreduce_mrjob_spark.sources.readers import TESTDATA_TABLES  # noqa: E402
+
+# Same MinHash-LSH shape as operators/dedup.py::q_dedup_near, DuckDB-native.
+DEDUP_NEAR_TWIN = """
+WITH toklists AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toklists
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+),
+seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
+minhash AS (
+    SELECT doc_id, seed, min(hash(s || '#' || seed)) AS mh
+    FROM sh CROSS JOIN seeds
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           hash(string_agg(mh::VARCHAR, ',' ORDER BY seed)) AS bsig
+    FROM minhash
+    GROUP BY doc_id, seed // 4
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.8
+"""
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    registry.load_all()
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    twins = {
+        "q_text_tfidf": registry.ORACLES["q_text_tfidf"],
+        "q_knn_cosine_ivf": registry.ORACLES["q_knn_cosine_ivf"],
+        "q_dedup_near": DEDUP_NEAR_TWIN,
+    }
+    out = {}
+    for name, sql in twins.items():
+        rows = len(con.execute(sql).fetchall())  # warm run
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            con.execute(sql).fetchall()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = {"sec": round(best, 3), "rows": rows}
+    print(json.dumps({"sf_dir": sf_dir, "duckdb": duckdb.__version__, "twins": out}))
+
+
+if __name__ == "__main__":
+    main()
