@@ -116,6 +116,14 @@ GRADING_ORDER: list[str] = [
     "q_join_agg_q18",
     "q_agg_q6_forecast",
     "q_join_agg_q14",
+    # round-3 additions (new, so also never graded): the remaining TPC-H
+    # shapes expressible over the available tables
+    "q_join_exists_q4",
+    "q_join_agg_q12",
+    "q_outer_agg_q13",
+    "q_join_or_q19",
+    "q_join_multi_exists_q21",
+    "q_anti_scalar_q22",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

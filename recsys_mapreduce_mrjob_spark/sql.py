@@ -221,3 +221,169 @@ def q_join_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the fact scan before the join, and the dim side broadcasts."""
     register_testdata_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q14_SQL)
+
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register("q_join_exists_q4", oracle=_Q4_SQL)
+def q_join_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS over the
+    fact table — Catalyst decorrelates it to a left-semi join on
+    l_orderkey, so the subquery never probes per row.  The testdata has no
+    commit/receipt dates, so "late" is a ship date >60 days past the order
+    date — same predicate shape (correlated column comparison inside the
+    EXISTS), different columns."""
+    register_testdata_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q4_SQL)
+
+
+_Q12_SQL = """
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_returnflag
+"""
+
+
+@register("q_join_agg_q12", oracle=_Q12_SQL)
+def q_join_agg_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts): fact ⋈ fact join
+    with a cross-table residual predicate (ship date vs order date) and
+    conditional CASE sums — the year band prunes the lineitem scan, the
+    join shuffles both sides on the order key, and the CASE sums are
+    partial-aggregated map-side.  l_returnflag stands in for the absent
+    l_shipmode; sums cast to BIGINT so both engines agree on the type
+    (DuckDB sums integers into HUGEINT)."""
+    register_testdata_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q12_SQL)
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q_outer_agg_q13", oracle=_Q13_SQL)
+def q_outer_agg_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate ON THE JOIN CONDITION (not a post-filter — the
+    null-extended customers must survive), per-customer count, then the
+    distribution of those counts.  Two aggregations: the first shuffles on
+    custkey, the second on the tiny count domain."""
+    register_testdata_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13_SQL)
+
+
+_Q19_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0 AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register("q_join_or_q19", oracle=_Q19_SQL)
+def q_join_or_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, OR-bundled predicates): three
+    disjunctive (brand, size band, quantity band) bundles spanning both
+    join sides.  Catalyst extracts the single-side conjuncts common to all
+    branches where possible and pushes the per-table disjunctions
+    (brand/size on part, quantity on lineitem) below the join, so the OR
+    does not force a full cross-filter after the join."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+  AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 20
+"""
+
+
+@register("q_join_multi_exists_q21", oracle=_Q21_SQL)
+def q_join_multi_exists_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): the same fact table
+    referenced THREE times — base, a correlated EXISTS (some other
+    supplier in the order), and a correlated NOT EXISTS (no other supplier
+    shipped later).  Catalyst decorrelates to one left-semi and one
+    left-anti join on l_orderkey, so the triple self-reference costs two
+    extra shuffles of the projected columns, never per-row subquery
+    probes.  The absent receipt/commit dates are replaced by the ship-date
+    ordering inside the NOT EXISTS — same correlated-inequality shape."""
+    register_testdata_views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+SELECT c.c_nationkey AS cntry,
+       count(*) AS numcust,
+       round(sum(c.c_acctbal), 2) + 0.0 AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                     WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+GROUP BY c.c_nationkey
+ORDER BY cntry
+"""
+
+
+@register("q_anti_scalar_q22", oracle=_Q22_SQL)
+def q_anti_scalar_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an uncorrelated scalar
+    subquery (the positive-balance average, computed once and broadcast as
+    a literal) plus a correlated NOT EXISTS (never placed a large order →
+    left-anti join on custkey), grouped by nation key in place of the
+    absent phone country code.  Threshold 400000 calibrated: 88 qualifying
+    customers at sf0.01."""
+    register_testdata_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22_SQL)

@@ -131,6 +131,13 @@ NEVER_GRADED = [
     "q_join_agg_q18",
     "q_agg_q6_forecast",
     "q_join_agg_q14",
+    # round-3 additions (new, so also never graded)
+    "q_join_exists_q4",
+    "q_join_agg_q12",
+    "q_outer_agg_q13",
+    "q_join_or_q19",
+    "q_join_multi_exists_q21",
+    "q_anti_scalar_q22",
 ]
 
 
