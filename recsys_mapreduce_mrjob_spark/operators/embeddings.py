@@ -506,3 +506,74 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+WITH prep AS (
+    SELECT label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+scaled AS (
+    SELECT label, v,
+           list_max(list_transform(v, x -> abs(x))) AS amax
+    FROM prep
+),
+err AS (
+    SELECT label, amax,
+           CASE WHEN amax = 0 THEN 0.0 ELSE
+             sqrt(list_inner_product(
+               list_transform(v, x -> x - floor(x * (127.0 / amax) + 0.5)
+                                          / (127.0 / amax)),
+               list_transform(v, x -> x - floor(x * (127.0 / amax) + 0.5)
+                                          / (127.0 / amax))) / len(v))
+           END AS rmse
+    FROM scaled
+)
+SELECT label,
+       count(*) AS n_vecs,
+       round(avg(rmse), 6) + 0.0 AS avg_rmse,
+       round(max(rmse), 6) + 0.0 AS max_rmse,
+       round(avg(amax), 5) + 0.0 AS avg_amax
+FROM err
+GROUP BY label
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit — the compression step a vector index
+    applies before storage (64 float32 → 64 int8 = 4× smaller), with the
+    per-label reconstruction error a pipeline monitors to decide whether
+    the cheap index is safe to serve from.
+
+    Per vector: symmetric scale 127/max|x|, quantize with the engine-
+    portable ``floor(x·scale + 0.5)`` (an explicit half-up — ``round``'s
+    half-way semantics differ across engines), dequantize, RMSE via the
+    same dot-product fold the k-NN path uses.  Pure scan projection + one
+    per-label aggregate: no shuffle of vectors, only of per-label partials
+    — at 100 TB this is one pass over the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    prep = emb.select("label", v.alias("v"))
+    scaled = prep.withColumn(
+        "amax", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    errvec = F.transform(
+        "v", lambda x: x - F.floor(x * scale + F.lit(0.5)) / scale
+    )
+    rmse = F.when(F.col("amax") == 0, F.lit(0.0)).otherwise(
+        F.sqrt(dot(errvec, errvec) / F.size("v"))
+    )
+    return (
+        scaled.select("label", "amax", rmse.alias("rmse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.round(F.avg("rmse"), 6) + F.lit(0.0)).alias("avg_rmse"),
+            (F.round(F.max("rmse"), 6) + F.lit(0.0)).alias("max_rmse"),
+            (F.round(F.avg("amax"), 5) + F.lit(0.0)).alias("avg_amax"),
+        )
+    )

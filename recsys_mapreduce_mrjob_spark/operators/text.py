@@ -655,3 +655,67 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "q_text_unigram_lm",
+    oracle=f"""
+WITH {_TOKS_CTE},
+vocab AS (
+    SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+doc_lp AS (
+    SELECT k.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(v.c / total.t)), 6) + 0.0 AS avg_logp
+    FROM toks k
+    JOIN vocab v ON v.tok = k.tok
+    CROSS JOIN total
+    GROUP BY k.doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       round(avg(l.avg_logp), 6) + 0.0 AS lang_avg_logp,
+       round(min(l.avg_logp), 6) + 0.0 AS worst_doc_logp
+FROM doc_lp l
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring — the corpus-curation filter
+    that ranks documents by average token log-probability under the
+    corpus's own unigram distribution (the cheap stand-in for a KenLM-style
+    perplexity filter; gibberish and boilerplate surface as outliers).
+
+    Shape: one token aggregation builds the vocabulary (map-side partial
+    agg → vocabulary-sized state), the scalar total broadcasts, each doc's
+    tokens join the broadcast vocabulary, and one agg per doc then per
+    lang.  Per-doc average rounds at 6 BEFORE the per-lang aggregate so
+    both engines aggregate identical doubles (SURVEY §7.4).
+    """
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.select(F.sum("c").cast("double").alias("t"))
+    doc_lp = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.round(F.avg(F.log(F.col("c") / F.col("t"))), 6) + F.lit(0.0)).alias(
+                "avg_logp"
+            ),
+        )
+    )
+    return (
+        doc_lp.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.avg("avg_logp"), 6) + F.lit(0.0)).alias("lang_avg_logp"),
+            (F.round(F.min("avg_logp"), 6) + F.lit(0.0)).alias("worst_doc_logp"),
+        )
+    )

@@ -124,6 +124,8 @@ GRADING_ORDER: list[str] = [
     "q_join_or_q19",
     "q_join_multi_exists_q21",
     "q_anti_scalar_q22",
+    "q_text_unigram_lm",
+    "q_embedding_quantize",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

@@ -138,6 +138,8 @@ NEVER_GRADED = [
     "q_join_or_q19",
     "q_join_multi_exists_q21",
     "q_anti_scalar_q22",
+    "q_text_unigram_lm",
+    "q_embedding_quantize",
 ]
 
 
