@@ -126,6 +126,9 @@ GRADING_ORDER: list[str] = [
     "q_anti_scalar_q22",
     "q_text_unigram_lm",
     "q_embedding_quantize",
+    "q_join_agg_q8",
+    "q_agg_max_q15",
+    "q_corr_scalar_q17",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

@@ -387,3 +387,95 @@ def q_anti_scalar_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers at sf0.01."""
     register_testdata_views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+             / sum(volume), 6) + 0.0 AS mkt_share,
+       count(*) AS n_lines
+FROM (
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+    JOIN region r ON n1.n_regionkey = r.r_regionkey
+    JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q_join_agg_q8", oracle=_Q8_SQL)
+def q_join_agg_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the engine's widest join —
+    EIGHT relations, nation joined twice (customer-region side vs
+    supplier-nationality side), conditional share ratio per order year.
+    Every dim broadcasts; the fact chain (part→lineitem→orders) carries
+    the only real shuffles."""
+    register_testdata_views(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue + 0.0 AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q_agg_max_q15", oracle=_Q15_SQL)
+def q_agg_max_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a named aggregate CTE consumed
+    twice — once as the join input, once inside a scalar MAX subquery.
+    Catalyst computes the aggregation and reuses the exchange for both
+    consumers; revenue is rounded at 2 BEFORE the max comparison so the
+    qualifying set is engine-independent (SURVEY §7.4)."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) + 0.0 AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+@register("q_corr_scalar_q17", oracle=_Q17_SQL)
+def q_corr_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED scalar
+    subquery — each lineitem compares against half the average quantity of
+    ITS part.  Catalyst decorrelates it into a per-partkey aggregate
+    joined back on the key, so the fact table scans twice and joins once
+    instead of running a subquery per row (526 qualifying lines at
+    sf0.01)."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17_SQL)

@@ -140,6 +140,9 @@ NEVER_GRADED = [
     "q_anti_scalar_q22",
     "q_text_unigram_lm",
     "q_embedding_quantize",
+    "q_join_agg_q8",
+    "q_agg_max_q15",
+    "q_corr_scalar_q17",
 ]
 
 
