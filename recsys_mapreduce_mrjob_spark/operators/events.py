@@ -355,3 +355,64 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_events_anomaly",
+    oracle=f"""
+WITH hourly AS (
+    SELECT {_EPOCH} - {_EPOCH} % 3600 AS bucket_start,
+           event_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           avg(n_events) AS mean_n,
+           stddev_samp(n_events) AS sd_n
+    FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.bucket_start, h.n_events,
+       round((h.n_events - s.mean_n) / s.sd_n, 4) + 0.0 AS zscore
+FROM hourly h
+JOIN stats s ON s.event_type = h.event_type
+WHERE s.sd_n > 0
+  AND abs((h.n_events - s.mean_n) / s.sd_n) >= 2.5
+""",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over the event stream: hourly counts per
+    event type z-scored against that type's own hourly distribution; rows
+    with |z| ≥ 2.5 are the alerts a monitoring pipeline pages on.
+
+    Two aggregations — hourly buckets (time-range × type cardinality,
+    never row-scale state) and a per-type mean/stddev over those buckets —
+    then a broadcast join back.  Counts are integers, so the aggregates
+    are exact in both engines; the z-score rounds at 4 only for display.
+    """
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("mean_n"),
+        F.stddev_samp("n_events").alias("sd_n"),
+    )
+    z = (F.col("n_events") - F.col("mean_n")) / F.col("sd_n")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where((F.col("sd_n") > 0) & (F.abs(z) >= 2.5))
+        .select(
+            "event_type",
+            "bucket_start",
+            "n_events",
+            _round4(z).alias("zscore"),
+        )
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..sources.readers import RATINGS_ORACLE_CTE
 from .recsys import _cached_ratings, item_cooccurrence
 
 
@@ -78,4 +79,63 @@ def q_pagerank_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("id").alias("item_id"),
         (F.round("pr", 8) + F.lit(0.0)).alias("pagerank"),
+    )
+
+
+@register(
+    "q_graph_degree_stats",
+    oracle=f"""
+WITH {RATINGS_ORACLE_CTE},
+pairs AS (
+    SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n_common
+    FROM ratings a JOIN ratings b
+      ON a.user_id = b.user_id AND a.item_id < b.item_id
+    GROUP BY a.item_id, b.item_id
+    HAVING count(*) >= 2
+),
+sym AS (
+    SELECT item_x AS id, n_common FROM pairs
+    UNION ALL
+    SELECT item_y AS id, n_common FROM pairs
+),
+deg AS (
+    SELECT id, count(*) AS degree,
+           CAST(sum(n_common) AS BIGINT) AS wdegree
+    FROM sym GROUP BY id
+)
+SELECT count(*) AS n_nodes,
+       CAST(sum(degree) AS BIGINT) / 2 AS n_edges,
+       round(avg(degree), 6) + 0.0 AS avg_degree,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       round(avg(wdegree), 6) + 0.0 AS avg_wdegree,
+       CAST(max(wdegree) AS BIGINT) AS max_wdegree
+FROM deg
+""",
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree/strength profile of the co-occurrence graph — the structural
+    health check run before any iterative graph algorithm (a max_degree
+    explosion here is the early warning for PageRank/components cost, the
+    same signal ``prune_degenerate_users`` caps on the pair side).
+
+    One aggregation over the symmetrized edge list: degree and weighted
+    degree per node, then corpus-level stats — never materializes more
+    than one row per node past the edge relation the flagship already
+    builds.  Exact oracle (counts + round-6 averages).
+    """
+    edges = item_cooccurrence(_cached_ratings(spark, sf_dir), min_support=2)
+    sym = edges.select(F.col("item_x").alias("id"), "n_common").unionAll(
+        edges.select(F.col("item_y").alias("id"), "n_common")
+    )
+    deg = sym.groupBy("id").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("n_common").alias("wdegree"),
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / F.lit(2)).cast("long").alias("n_edges"),
+        (F.round(F.avg("degree"), 6) + F.lit(0.0)).alias("avg_degree"),
+        F.max("degree").alias("max_degree"),
+        (F.round(F.avg("wdegree"), 6) + F.lit(0.0)).alias("avg_wdegree"),
+        F.max("wdegree").alias("max_wdegree"),
     )

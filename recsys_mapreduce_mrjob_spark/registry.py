@@ -129,6 +129,8 @@ GRADING_ORDER: list[str] = [
     "q_join_agg_q8",
     "q_agg_max_q15",
     "q_corr_scalar_q17",
+    "q_events_anomaly",
+    "q_graph_degree_stats",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

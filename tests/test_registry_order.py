@@ -143,6 +143,8 @@ NEVER_GRADED = [
     "q_join_agg_q8",
     "q_agg_max_q15",
     "q_corr_scalar_q17",
+    "q_events_anomaly",
+    "q_graph_degree_stats",
 ]
 
 
