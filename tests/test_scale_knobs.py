@@ -320,3 +320,74 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert rows, "no probe estimates returned"
     for r in rows:
         assert r.cms_estimate >= r.true_count, r
+
+
+def test_quantize_rmse_within_theoretical_bound(spark, sf_dir):
+    """Symmetric int8 quantization error is at most half a quantization
+    step per component: |x − deq(x)| ≤ 0.5·(amax/127), so per-vector RMSE
+    ≤ amax/254 — and therefore per-label max_rmse ≤ avg_amax·(1/254)·
+    (1 + tolerance for amax spread within the label).  Check the hard
+    per-row bound directly instead: recompute per-vector RMSE and compare
+    against that vector's own amax/254."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.functions.vectors import dot
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    prep = emb.select(v.alias("v")).withColumn(
+        "amax", F.array_max(F.transform("v", lambda x: F.abs(x)))
+    )
+    scale = F.lit(127.0) / F.col("amax")
+    errvec = F.transform("v", lambda x: x - F.floor(x * scale + F.lit(0.5)) / scale)
+    rmse = F.sqrt(dot(errvec, errvec) / F.size("v"))
+    bad = prep.where(F.col("amax") > 0).where(
+        rmse > F.col("amax") / F.lit(254.0) * F.lit(1.0 + 1e-9)
+    )
+    assert bad.count() == 0
+
+
+def test_unigram_lm_scores_are_log_probabilities(spark, sf_dir):
+    """Every per-lang average log-probability is strictly negative (no
+    token has probability 1 in a multi-token corpus) and the worst doc is
+    never better than the language average."""
+    rows = registry.QUERIES["q_text_unigram_lm"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lang_avg_logp < 0, r
+        assert r.worst_doc_logp <= r.lang_avg_logp, r
+
+
+def test_degree_stats_consistent_with_edge_list(spark, sf_dir):
+    """n_edges equals the pair count of the same (min_support=2)
+    co-occurrence relation, and handshake arithmetic holds:
+    avg_degree·n_nodes = 2·n_edges (within the round-6 display
+    tolerance)."""
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        item_cooccurrence,
+    )
+
+    stats = registry.QUERIES["q_graph_degree_stats"](spark, sf_dir).collect()[0]
+    n_pairs = item_cooccurrence(
+        _cached_ratings(spark, sf_dir), min_support=2
+    ).count()
+    assert stats.n_edges == n_pairs
+    assert abs(stats.avg_degree * stats.n_nodes - 2 * stats.n_edges) < 1e-2
+
+
+def test_anomaly_alerts_exceed_threshold(spark, sf_dir):
+    """Every emitted alert satisfies the |z| ≥ 2.5 contract, and alerts
+    are a small fraction of the bucket space (an alarm that fires on
+    >10% of hours is a broken detector, not an anomaly signal)."""
+    alerts = registry.QUERIES["q_events_anomaly"](spark, sf_dir).collect()
+    for r in alerts:
+        assert abs(r.zscore) >= 2.5 - 1e-4, r
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+
+    e = load_events(spark, sf_dir)
+    n_buckets = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type").count().count()
+    )
+    assert len(alerts) <= max(1, n_buckets // 10)
