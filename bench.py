@@ -77,21 +77,24 @@ def main() -> None:
         "q_dedup_near",
         "q_knn_cosine_ivf",
     ]
-    # BASELINE.md's measured DuckDB sf0.1 numbers (seconds), keyed by the
-    # registered query that mirrors each baseline row; valid only at sf=0.1.
+    # BASELINE.md's round-3 re-measured DuckDB sf0.1 twins (seconds):
+    # each exact query's twin is its CURRENT registered oracle SQL, timed
+    # by tools/bench_duckdb_twins.py on this box this round (round 2's
+    # flagship row timed a heavier pre-pruning formulation — see
+    # BASELINE.md).  Valid only at sf=0.1.
     baseline_sf01 = {
-        "q_agg_pricing_summary": 0.092,
-        "q_join_agg_q3": 0.083,
-        "q_window_topk_per_group": 0.148,
-        "q_window_tumbling": 0.032,
-        "q_topk_similar_items": 6.505,
-        "q_knn_cosine": 0.018,
+        "q_agg_pricing_summary": 0.068,
+        "q_join_agg_q3": 0.053,
+        "q_join_broadcast": 0.048,
+        "q_window_topk_per_group": 0.066,
+        "q_window_tumbling": 0.013,
+        "q_topk_similar_items": 0.744,
+        "q_knn_cosine": 0.008,
         "q_dedup_exact": 0.012,
-        "q_text_wordcount": 0.040,
-        # round-3 LLM-pipeline rows (tools/bench_duckdb_twins.py)
-        "q_text_tfidf": 0.143,
-        "q_dedup_near": 0.580,
-        "q_knn_cosine_ivf": 0.056,
+        "q_text_wordcount": 0.032,
+        "q_text_tfidf": 0.135,
+        "q_dedup_near": 0.508,
+        "q_knn_cosine_ivf": 0.052,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
@@ -107,7 +110,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
-    timings = {name: round(timed_best(name, sf_dir), 3) for name in to_run}
+    # Best-of-3 at the headline SF: co-tenant CPU noise on this box was
+    # measured at ±50% between back-to-back runs; two samples are not
+    # enough to see through it.
+    timings = {name: round(timed_best(name, sf_dir, runs=3), 3) for name in to_run}
 
     out = {
         "metric": "total_wall_sec",
@@ -117,8 +123,13 @@ def main() -> None:
         "sf": sf,
     }
     if sf == 0.1:
-        # Per-query fixed-overhead estimate: same plan at sf0.001.
-        overhead = {name: round(timed_best(name, small_dir), 3) for name in to_run}
+        # Per-query fixed-overhead estimate: same plan at sf0.001, same
+        # best-of-3 (the estimate is as noise-exposed as the timing; an
+        # overhead sample above the sf0.1 time clamps the adjusted ratio
+        # to 0 = "data work indistinguishable from fixed cost").
+        overhead = {
+            name: round(timed_best(name, small_dir, runs=3), 3) for name in to_run
+        }
         out["overhead_sec"] = overhead
         out["baseline_sec"] = {q: baseline_sf01[q] for q in timings if q in baseline_sf01}
         out["vs_baseline"] = {

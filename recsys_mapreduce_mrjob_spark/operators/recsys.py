@@ -111,17 +111,32 @@ def pairwise_stats(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
         & (F.col("a.item_id") < F.col("b.item_id")),
-    )
-    stats = pairs.groupBy(
+    ).select(
         F.col("a.item_id").alias("item_x"),
         F.col("b.item_id").alias("item_y"),
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("a.rating") * F.col("b.rating")).alias("sxy"),
-        F.sum(F.col("a.rating")).alias("sx"),
-        F.sum(F.col("b.rating")).alias("sy"),
-        F.sum(F.col("a.rating") * F.col("a.rating")).alias("sxx"),
-        F.sum(F.col("b.rating") * F.col("b.rating")).alias("syy"),
+        F.col("a.rating").alias("rx"),
+        F.col("b.rating").alias("ry"),
+    )
+    # Explicit repartition on the pair key BEFORE the aggregation: the
+    # pair relation has almost no duplicates within a user-partitioned
+    # task (12.7M distinct of 13.1M pair events at sf0.1), so the default
+    # partial aggregate reduces ~nothing yet ships WIDE partial rows
+    # (2 keys + 7 buffers) through the exchange.  Repartitioning first
+    # ships the NARROW (item_x, item_y, rx, ry) rows instead and the
+    # whole aggregation runs on the receiving side — measured ~20% off
+    # the flagship's pair stage at sf0.1, and strictly less shuffle I/O
+    # at any scale (same row count, fewer bytes per row).
+    stats = (
+        pairs.repartition("item_x", "item_y")
+        .groupBy("item_x", "item_y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+            F.sum(F.col("rx")).alias("sx"),
+            F.sum(F.col("ry")).alias("sy"),
+            F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+            F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        )
     )
     return stats.where(F.col("n") >= min_support)
 
@@ -204,10 +219,14 @@ def item_cooccurrence(ratings: DataFrame, min_support: int = 2) -> DataFrame:
             (F.col("a.user_id") == F.col("b.user_id"))
             & (F.col("a.item_id") < F.col("b.item_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.item_id").alias("item_x"),
             F.col("b.item_id").alias("item_y"),
         )
+        # Same narrow-rows-first repartition as pairwise_stats (the pair
+        # relation barely deduplicates map-side).
+        .repartition("item_x", "item_y")
+        .groupBy("item_x", "item_y")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_support)
     )

@@ -89,11 +89,29 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # The full bench headline set (bench.py): every exact-oracle query's
+    # twin IS its registered oracle SQL — re-measured each round so the
+    # baseline tracks current box conditions and the CURRENT oracle
+    # formulation (round 2's flagship row timed a heavier variant that
+    # scored all 13.1M pairs before pruning; the registered oracle prunes
+    # at n>=2 first).
     twins = {
-        "q_text_tfidf": registry.ORACLES["q_text_tfidf"],
-        "q_knn_cosine_ivf": registry.ORACLES["q_knn_cosine_ivf"],
-        "q_dedup_near": DEDUP_NEAR_TWIN,
+        name: registry.ORACLES[name]
+        for name in (
+            "q_agg_pricing_summary",
+            "q_join_agg_q3",
+            "q_join_broadcast",
+            "q_window_topk_per_group",
+            "q_window_tumbling",
+            "q_topk_similar_items",
+            "q_knn_cosine",
+            "q_dedup_exact",
+            "q_text_wordcount",
+            "q_text_tfidf",
+            "q_knn_cosine_ivf",
+        )
     }
+    twins["q_dedup_near"] = DEDUP_NEAR_TWIN
     out = {}
     for name, sql in twins.items():
         rows = len(con.execute(sql).fetchall())  # warm run

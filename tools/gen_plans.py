@@ -42,9 +42,12 @@ ENTRIES = [
         "Flagship R2→R14: ratings derivation (orders⋈lineitem) computed "
         "once behind InMemoryTableScan (persisted fan-out), pair self-join "
         "as a shuffled equi-join on user_id with the item_x<item_y residual, "
-        "partial+final hash aggregation of the sufficient stats (the "
-        "'combiner' the reference wished for), broadcast joins for the "
-        "rater counts, single window for top-K.",
+        "then an explicit repartition on the PAIR key before the "
+        "sufficient-stats aggregation — the pair relation barely "
+        "deduplicates map-side (12.7M distinct of 13.1M events at sf0.1), "
+        "so shipping the narrow (ix, iy, rx, ry) rows once beats a "
+        "useless partial-agg pass shipping wide partial buffers; broadcast "
+        "joins for the rater counts, single window for top-K.",
     ),
     (
         "q_agg_salted_twophase",
