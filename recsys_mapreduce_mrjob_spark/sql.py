@@ -479,3 +479,185 @@ def q_corr_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01)."""
     register_testdata_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q17_SQL)
+
+
+# The testdata has no partsupp table; these four shapes (the only TPC-H
+# queries needing it) run over a DERIVED deterministic substitute: one row
+# per (partkey, suppkey) seen in lineitem, supplycost = min unit price,
+# availqty = total shipped quantity.  The CTE text is shared verbatim by
+# the Spark query and the DuckDB oracle.  ps_supplycost is deliberately
+# NOT rounded here: both engines derive the identical IEEE quotient, so
+# MIN and equality agree exactly, whereas round(x, 2) hits half-up
+# boundary values whose shortest-decimal vs exact-binary treatment
+# differs between engines (caught by the parity gate: per-row ±0.01
+# disagreements that Q11's sums amplified).  Rounding happens only on
+# output sums/projections per SURVEY §7.4.
+_PARTSUPP_CTE = """
+partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           min(l_extendedprice / l_quantity) AS ps_supplycost,
+           CAST(sum(l_quantity) AS DOUBLE) AS ps_availqty
+    FROM lineitem GROUP BY 1, 2
+)"""
+
+
+_Q2_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT round(s.s_acctbal, 2) + 0.0 AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_name,
+       round(ps.ps_supplycost, 6) + 0.0 AS ps_supplycost
+FROM part p
+JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 25 AND r.r_name = 'ASIA'
+  AND ps.ps_supplycost = (
+      SELECT min(ps2.ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n.n_name ASC, s.s_name ASC, p.p_partkey ASC
+LIMIT 100
+"""
+
+
+@register("q_corr_min_q2", oracle=_Q2_SQL)
+def q_corr_min_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated MIN subquery
+    that itself contains a 3-way join — Catalyst decorrelates it into a
+    per-partkey aggregate over the joined relation and equi-joins it back,
+    so the "for each part, its regional minimum" never probes per row.
+    The minimum-equality compares UNROUNDED doubles — both engines derive
+    the identical IEEE quotient, so MIN selects the identical value (see
+    the _PARTSUPP_CTE note on why rounding there is the wrong move)."""
+    register_testdata_views(
+        spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region")
+    )
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT ps.ps_partkey,
+       round(sum(ps.ps_supplycost * ps.ps_availqty), 2) + 0.0 AS value
+FROM partsupp ps
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2')
+GROUP BY ps.ps_partkey
+HAVING sum(ps.ps_supplycost * ps.ps_availqty) > (
+    SELECT 0.001 * sum(ps2.ps_supplycost * ps2.ps_availqty)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name IN ('NATION_1', 'NATION_2'))
+ORDER BY value DESC, ps.ps_partkey ASC
+"""
+
+
+@register("q_agg_having_q11", oracle=_Q11_SQL)
+def q_agg_having_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING against an uncorrelated
+    scalar subquery — the same filtered aggregate computed twice, once
+    grouped and once total; the total is one broadcast scalar, so the
+    threshold filter costs nothing per group."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND ps.ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+"""
+
+
+@register("q_notin_distinct_q16", oracle=_Q16_SQL)
+def q_notin_distinct_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-part relationships): NOT IN over a
+    subquery (null-safe anti join on the non-nullable key) feeding a
+    grouped COUNT(DISTINCT) — the distinct expands inside the aggregate,
+    the exclusion list broadcasts."""
+    register_testdata_views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT s.s_name, round(s.s_acctbal, 2) + 0.0 AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND s.s_suppkey IN (
+      SELECT ps.ps_suppkey FROM partsupp ps
+      WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+        AND ps.ps_availqty > (
+            SELECT 0.5 * sum(l.l_quantity) FROM lineitem l
+            WHERE l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+ORDER BY s.s_name
+"""
+
+
+@register("q_nested_exists_q20", oracle=_Q20_SQL)
+def q_nested_exists_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): THREE nesting levels —
+    an IN whose subquery contains another IN plus a correlated scalar
+    aggregate (half of that (part, supplier)'s shipped quantity in the
+    year).  Catalyst flattens the INs to semi joins and decorrelates the
+    scalar into a per-(partkey, suppkey) aggregate joined back; a NULL
+    year-sum (no shipments in the window) compares false in both
+    engines."""
+    register_testdata_views(
+        spark, sf_dir, ("lineitem", "supplier", "nation", "part")
+    )
+    return spark.sql(_Q20_SQL)
+
+
+_Q9_SQL = f"""
+WITH {_PARTSUPP_CTE}
+SELECT nation, o_year, round(sum(amount), 2) + 0.0 AS sum_profit,
+       count(*) AS n_lines
+FROM (
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           l.l_extendedprice * (1 - l.l_discount)
+               - ps.ps_supplycost * l.l_quantity AS amount
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
+                    AND ps.ps_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%e%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+@register("q_join_agg_q9", oracle=_Q9_SQL)
+def q_join_agg_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): the fact table joined to an
+    AGGREGATE OF ITSELF (the derived partsupp) on the composite
+    (partkey, suppkey) — a fact⋈fact-aggregate pattern plus four dims,
+    profit rolled up per nation per order year.  With this, all 22 TPC-H
+    query shapes are registered (18 over the native tables, 4 over the
+    derived partsupp; Q1's shape lives in operators/aggregates.py)."""
+    register_testdata_views(
+        spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation")
+    )
+    return spark.sql(_Q9_SQL)

@@ -145,6 +145,11 @@ NEVER_GRADED = [
     "q_corr_scalar_q17",
     "q_events_anomaly",
     "q_graph_degree_stats",
+    "q_corr_min_q2",
+    "q_agg_having_q11",
+    "q_notin_distinct_q16",
+    "q_nested_exists_q20",
+    "q_join_agg_q9",
 ]
 
 
