@@ -112,3 +112,27 @@ def test_ivf_assignment_avoids_window_shuffle(spark, sf_dir):
     import re
 
     assert re.search(r"\(\d+\) (Sort|Hash)Aggregate", plan), plan
+
+
+SUBQUERY_SHAPES = [
+    "q_join_exists_q4",
+    "q_agg_having_q11",
+    "q_corr_scalar_q17",
+    "q_nested_exists_q20",
+    "q_join_multi_exists_q21",
+    "q_corr_min_q2",
+]
+
+
+@pytest.mark.parametrize("name", SUBQUERY_SHAPES)
+def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir, name):
+    """Every EXISTS / NOT EXISTS / correlated-scalar / correlated-MIN
+    TPC-H shape must decorrelate into hash joins — a
+    BroadcastNestedLoopJoin (or worse, a per-row subquery) here would be
+    the O(n·m) plan the docstrings claim Catalyst avoids."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    import re
+
+    assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
