@@ -719,3 +719,69 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.min("avg_logp"), 6) + F.lit(0.0)).alias("worst_doc_logp"),
         )
     )
+
+
+@register(
+    "q_text_contamination",
+    oracle="""
+WITH toklists AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toklists
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s FROM idx
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
+hits AS (
+    SELECT c.doc_id, count(*) AS n_shared
+    FROM sh c JOIN bench b ON c.s = b.s
+    WHERE c.doc_id >= 10
+    GROUP BY c.doc_id
+)
+SELECT h.doc_id, h.n_shared,
+       round(h.n_shared / CAST(z.n_sh AS DOUBLE), 6) + 0.0 AS contamination
+FROM hits h JOIN sizes z USING (doc_id)
+""",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing 5-token
+    shingles with the benchmark set (here: doc_id < 10 stands in for the
+    held-out eval set) — the leakage check every training-data pipeline
+    runs before a corpus ships.  5-grams discriminate: the word-salad
+    corpus shares plenty of 3-grams by chance but almost no 5-grams
+    (2 flagged docs at sf0.01).
+
+    Scale shape: the benchmark shingle set is benchmark-sized (tiny) and
+    broadcasts; the corpus side is one distinct-shingle scan + a
+    broadcast equi-join + per-doc count — no corpus×benchmark pair space,
+    no shuffle beyond the per-doc aggregate.
+    """
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bench = F.broadcast(
+        sh.where(F.col("doc_id") < 10).select("s").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") >= 10)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_shared",
+            (
+                F.round(F.col("n_shared") / F.col("n_sh").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("contamination"),
+        )
+    )

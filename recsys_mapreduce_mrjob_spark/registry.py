@@ -136,6 +136,7 @@ GRADING_ORDER: list[str] = [
     "q_notin_distinct_q16",
     "q_nested_exists_q20",
     "q_join_agg_q9",
+    "q_text_contamination",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

@@ -150,6 +150,7 @@ NEVER_GRADED = [
     "q_notin_distinct_q16",
     "q_nested_exists_q20",
     "q_join_agg_q9",
+    "q_text_contamination",
 ]
 
 
