@@ -295,3 +295,89 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: thumbnails (not full payloads) are what flows to the
     next stage, cutting the shuffled volume by the stride factor."""
     return resize_assets(documents_as_assets(spark, sf_dir))
+
+
+# Audio-style windowed feature extraction: non-overlapping fixed-length
+# sample windows per payload, per-window RMS energy — the framing shape a
+# real audio pipeline (spectrograms, VAD, loudness normalization) runs
+# over decoded PCM.  Payload bytes stand in for unsigned 8-bit samples:
+# the decode stub is honest (_decode_real raises), the framing/batch
+# plumbing and arithmetic are real and byte-exact across engines.
+_WIN_LEN = 256
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("win_off", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_windows(assets: DataFrame) -> DataFrame:
+    """Frame each payload into ``len // _WIN_LEN`` non-overlapping windows
+    and compute per-window RMS of the byte values via Arrow-batched
+    ``mapInPandas``.  All arithmetic is exact until the final sqrt: byte
+    values ≤ 255, so the window's sum of squares is an exact integer and
+    the mean divides by a power of two; rounding uses the engine-portable
+    ``floor(x·1e6 + 0.5)`` (same convention as the quantization audit)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, rmss = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(len(arr) // _WIN_LEN):
+                    seg = arr[w * _WIN_LEN : (w + 1) * _WIN_LEN].astype(np.float64)
+                    rms = float(np.sqrt(np.mean(seg * seg)))
+                    ids.append(aid)
+                    idxs.append(w)
+                    offs.append(w * _WIN_LEN + 1)
+                    rmss.append(np.floor(rms * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "win_off": pd.Series(offs, dtype="int32"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                }
+            )
+
+    return assets.repartition(F.xxhash64("payload")).mapInPandas(
+        batches, AUDIO_WINDOW_SCHEMA
+    )
+
+
+@register(
+    "q_multimodal_audio_windows",
+    oracle=f"""
+WITH chars AS (
+    SELECT doc_id,
+           unnest(generate_series(1, (length(text) // {_WIN_LEN}) * {_WIN_LEN}))
+               AS i
+    FROM documents
+),
+coded AS (
+    SELECT c.doc_id,
+           CAST((c.i - 1) // {_WIN_LEN} AS INT) AS w,
+           ascii(d.text[c.i]) AS code
+    FROM chars c JOIN documents d USING (doc_id)
+)
+SELECT doc_id AS asset_id,
+       w AS win_idx,
+       CAST(w * {_WIN_LEN} + 1 AS INT) AS win_off,
+       floor(sqrt(avg(CAST(code * code AS DOUBLE))) * 1000000 + 0.5) / 1000000
+           AS rms
+FROM coded
+GROUP BY doc_id, w
+""",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality framing: per-asset non-overlapping 256-sample
+    windows with per-window RMS energy, byte-exact against DuckDB
+    computing the identical arithmetic over the same payload bytes
+    (documents.text is ASCII, so character codes ARE the payload bytes).
+    One input row explodes to len//256 window rows through the Arrow
+    batch — the same 1→N shape as frame sampling, on the audio axis."""
+    return audio_windows(documents_as_assets(spark, sf_dir))

@@ -151,6 +151,7 @@ NEVER_GRADED = [
     "q_nested_exists_q20",
     "q_join_agg_q9",
     "q_text_contamination",
+    "q_multimodal_audio_windows",
 ]
 
 
