@@ -785,3 +785,47 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@register(
+    "q_text_boilerplate",
+    oracle="""
+WITH toklists AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i FROM toklists
+),
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s FROM idx
+),
+df AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+SELECT s AS phrase, n_docs
+FROM df
+WHERE n_docs >= 3
+ORDER BY n_docs DESC, phrase ASC
+LIMIT 20
+""",
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase detection: 4-token shingles counted by DOCUMENT
+    frequency (distinct per doc, unlike the occurrence-counted bigram
+    collocations) — phrases recurring across many documents are the
+    template/navigation text a curation pipeline strips before training.
+
+    Scale shape: distinct-shingle scan → df aggregation (phrase-keyed,
+    vocabulary-bounded state) → ranked limit; at 100 TB the df relation is
+    the only shuffle and TakeOrderedAndProject keeps the driver at k rows.
+    """
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 4))).alias("s"),
+    )
+    return (
+        sh.groupBy(F.col("s").alias("phrase"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), F.asc("phrase"))
+        .limit(20)
+    )

@@ -138,6 +138,7 @@ GRADING_ORDER: list[str] = [
     "q_join_agg_q9",
     "q_text_contamination",
     "q_multimodal_audio_windows",
+    "q_text_boilerplate",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

@@ -152,6 +152,7 @@ NEVER_GRADED = [
     "q_join_agg_q9",
     "q_text_contamination",
     "q_multimodal_audio_windows",
+    "q_text_boilerplate",
 ]
 
 
