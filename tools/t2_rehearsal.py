@@ -1,0 +1,72 @@
+"""Full t2 dress rehearsal: the driver's correctness sweep, simulated.
+
+Runs from ANY cwd in a fresh process with a deliberately hostile session
+(non-UTC timezone, 200 shuffle partitions — the driver owns its own
+SparkSession, so the contract boundary in ``__spark_entry__`` must cope):
+``entry()`` smoke, then EVERY ``queries()`` entry compared against
+``oracle_sql()`` through DuckDB with tests/parity.py's normalization.
+
+Usage:  python /root/repo/tools/t2_rehearsal.py  [sf_dir]
+Exit 0 = every query green; 1 = failures listed on stdout.
+
+Round-3 observations for budgeting: the full 119-query sweep took ~140 s
+at sf0.01 on local[32]; the Python-worker queries (mapInPandas /
+applyInPandas) are the ones that break first under a foreign cwd — they
+need ``_ship_package``'s zip shipping, which pytest-from-repo-root never
+exercises (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.shuffle.partitions", "200")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    assert E.entry(spark).collect(), "entry() returned no rows"
+
+    from tests.parity import compare
+
+    qs, osql = E.queries(), E.oracle_sql()
+    print(f"queries={len(qs)} oracles={len(osql)} sf_dir={sf_dir}", flush=True)
+    fails: list[str] = []
+    t_start = time.monotonic()
+    for i, name in enumerate(qs):
+        try:
+            compare(spark, name, qs[name], osql.get(name), sf_dir)
+        except Exception:
+            fails.append(name)
+            traceback.print_exc()
+            print(f"[{i + 1}/{len(qs)}] {name}: FAIL", flush=True)
+        if (i + 1) % 20 == 0:
+            print(f"[{i + 1}/{len(qs)}] ... ok so far", flush=True)
+    print(
+        f"done in {time.monotonic() - t_start:.0f}s; failures: {fails or 'NONE'}"
+    )
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
