@@ -45,7 +45,14 @@ import time
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    small_dir = "/root/testdata/sf0.001"
+    # Overhead-probe dir: smallest sibling SF of the benched dir (env
+    # override first).  Missing dir → the overhead/adjusted block is
+    # skipped, raw timings still print (ADVICE r3: a hardcoded path would
+    # crash the whole bench after the timings were taken).
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_OVERHEAD_DIR",
+        os.path.join(os.path.dirname(sf_dir.rstrip("/")) or "/root/testdata", "sf0.001"),
+    )
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -98,50 +105,63 @@ def main() -> None:
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
-    def timed_best(name: str, data_dir: str, runs: int = 2) -> float:
+    def timed_runs(name: str, data_dir: str, runs: int = 2) -> list[float]:
         spark.catalog.clearCache()
         registry.QUERIES[name](spark, data_dir).collect()  # warmup
-        best = None
+        samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             registry.QUERIES[name](spark, data_dir).collect()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        return best
+            samples.append(round(time.monotonic() - t0, 3))
+        return samples
 
     # Best-of-3 at the headline SF: co-tenant CPU noise on this box was
     # measured at ±50% between back-to-back runs; two samples are not
-    # enough to see through it.
-    timings = {name: round(timed_best(name, sf_dir, runs=3), 3) for name in to_run}
+    # enough to see through it.  Raw per-run samples ship in the JSON
+    # (VERDICT r3 #7) so a round-over-round regression is separable from
+    # noise.
+    all_runs = {name: timed_runs(name, sf_dir, runs=3) for name in to_run}
+    timings = {name: min(rs) for name, rs in all_runs.items()}
 
     out = {
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": sf,
     }
     if sf == 0.1:
-        # Per-query fixed-overhead estimate: same plan at sf0.001, same
-        # best-of-3 (the estimate is as noise-exposed as the timing; an
-        # overhead sample above the sf0.1 time clamps the adjusted ratio
-        # to 0 = "data work indistinguishable from fixed cost").
-        overhead = {
-            name: round(timed_best(name, small_dir, runs=3), 3) for name in to_run
-        }
-        out["overhead_sec"] = overhead
         out["baseline_sec"] = {q: baseline_sf01[q] for q in timings if q in baseline_sf01}
         out["vs_baseline"] = {
             q: round(timings[q] / baseline_sf01[q], 2)
             for q in timings
             if q in baseline_sf01
         }
-        out["vs_baseline_adj"] = {
-            q: round(max(timings[q] - overhead[q], 0.0) / baseline_sf01[q], 2)
-            for q in timings
-            if q in baseline_sf01
-        }
+        if os.path.isdir(small_dir):
+            # Per-query fixed-overhead estimate: same plan at sf0.001, same
+            # best-of-3 (the estimate is as noise-exposed as the timing; an
+            # overhead sample above the sf0.1 time clamps the adjusted ratio
+            # to 0 = "data work indistinguishable from fixed cost").  CAVEAT
+            # (ADVICE r3): the sf0.001 run still does real (100×-smaller)
+            # data work plus any eager build-time jobs, so overhead_sec can
+            # overstate the fixed cost and vs_baseline_adj understate the
+            # ratio — raw vs_baseline is always printed alongside.
+            overhead = {
+                name: round(min(timed_runs(name, small_dir, runs=3)), 3)
+                for name in to_run
+            }
+            out["overhead_sec"] = overhead
+            out["overhead_note"] = (
+                "overhead_sec = same-plan wall at sf0.001; includes residual "
+                "small-scale data work, so adjusted ratios are a lower bound"
+            )
+            out["vs_baseline_adj"] = {
+                q: round(max(timings[q] - overhead[q], 0.0) / baseline_sf01[q], 2)
+                for q in timings
+                if q in baseline_sf01
+            }
     sys.stdout.write(json.dumps(out) + "\n")
     sys.stdout.flush()
     spark.stop()

@@ -448,6 +448,15 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_NPROBE)
         .collect()
     )
+    # NOTE: the probe lookup above is an EAGER collect() at build time (two
+    # tiny jobs — K centroid scores + the query vector) — plan-only
+    # consumers (explain/gen_plans) pay it too.  Constant-size by
+    # construction; kept eager because the probe list must be a literal
+    # for the filter to prune partitions in a persisted index.
+    if not probe_rows:  # query vector absent → empty result, stable schema
+        return spark.createDataFrame(
+            [], "vec_id long, label int, cos_sim double"
+        )
     probe_cids = [r["cid"] for r in probe_rows]
     # float32 → Python float is exact double widening, so the literal array
     # is bit-identical to casting the qvec column.

@@ -129,9 +129,9 @@ WITH flagged AS (
     FROM events
 ),
 numbered AS (
-    SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                                ORDER BY ts_epoch ASC, event_id ASC
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+    SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts_epoch ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
     FROM flagged
 )
 SELECT user_id, session_idx,

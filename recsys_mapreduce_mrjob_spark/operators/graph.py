@@ -104,7 +104,7 @@ deg AS (
     FROM sym GROUP BY id
 )
 SELECT count(*) AS n_nodes,
-       CAST(sum(degree) AS BIGINT) / 2 AS n_edges,
+       CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
        round(avg(degree), 6) + 0.0 AS avg_degree,
        CAST(max(degree) AS BIGINT) AS max_degree,
        round(avg(wdegree), 6) + 0.0 AS avg_wdegree,

@@ -196,7 +196,7 @@ def topk_similar_items(ratings: DataFrame, k: int = 10) -> DataFrame:
         F.desc("corr"), F.desc("cos"), F.asc("item_y")
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             "item_x", "item_y", "corr", "cos", "reg_corr", "jaccard", "n", "rank"
@@ -300,7 +300,7 @@ def topk_similar_dimsum(
         F.desc(F.round("cos_est", 6)), F.asc("item_y")
     )
     return (
-        est.withColumn("rank", F.row_number().over(w))
+        est.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
             "item_x",
@@ -570,7 +570,7 @@ def recommend_topn(ratings: DataFrame, k: int = 10, n: int = 5) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy(F.desc("pred"), F.asc("item_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= n)
         .select("user_id", "item_id", "pred", "n_contrib", "rank")
     )

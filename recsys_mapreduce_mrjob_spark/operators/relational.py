@@ -475,7 +475,7 @@ def q_join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.length("name_a") - F.length("name_b")) <= 2
             ),
         )
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("dist") <= 2)
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )

@@ -86,7 +86,7 @@ kept AS (
 )
 SELECT lang,
        count(*) AS n_kept,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM kept
 GROUP BY lang
 """,
@@ -198,6 +198,6 @@ def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select("doc_id", "lang", "n_chars", priority.alias("priority"))
     w = Window.partitionBy("lang").orderBy(F.desc("priority"), F.asc("doc_id"))
     return (
-        keyed.withColumn("sample_rank", F.row_number().over(w))
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= 20)
     )

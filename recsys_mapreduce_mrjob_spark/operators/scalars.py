@@ -46,7 +46,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("p_name").alias("name_upper"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.trim(F.col("p_type")).alias("type_trim"),
         F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
         F.col("p_type").like("PRO%").alias("is_promo"),
@@ -74,8 +74,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         d.alias("order_date"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
         (F.dayofweek(d) - 1).cast("long").alias("order_dow"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias(
@@ -95,7 +95,7 @@ SELECT p_partkey,
        round(pow(p_retailprice, 2), 4) + 0.0 AS price_sq,
        CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
-       sign(p_retailprice - 950.0) + 0.0 AS above_950
+       CAST(sign(p_retailprice - 950.0) AS DOUBLE) AS above_950
 FROM part
 """,
 )

@@ -322,7 +322,7 @@ deduped AS (
 )
 SELECT lang_pred,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) + 0.0 AS avg_quality
 FROM deduped
 WHERE rn = 1

@@ -56,9 +56,12 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         _round2(F.col("o_totalprice")).alias("o_totalprice"),
-        F.row_number().over(unique).alias("rn"),
-        F.rank().over(by_price).alias("rnk"),
-        F.dense_rank().over(by_price).alias("drnk"),
+        # .cast("long"): Spark ranks are INT, DuckDB's BIGINT — align the
+        # arrow type so the driver's schema/value hash sees one integer
+        # kind (round-4 arrow-type parity sweep).
+        F.row_number().over(unique).cast("long").alias("rn"),
+        F.rank().over(by_price).cast("long").alias("rnk"),
+        F.dense_rank().over(by_price).cast("long").alias("drnk"),
     )
 
 
@@ -115,7 +118,7 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         d.alias("o_orderdate"),
-        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prev"),
         F.lead(d).over(w).alias("next_orderdate"),
     )
 
@@ -186,7 +189,7 @@ def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("l_partkey"))
     return (
-        rev.withColumn("rn", F.row_number().over(w))
+        rev.withColumn("rn", F.row_number().over(w).cast("long"))
         .where(F.col("rn") <= 5)
         .select("p_brand", "l_partkey", "revenue", "rn")
     )
@@ -241,7 +244,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         (F.round(F.percent_rank().over(w), 6) + F.lit(0.0)).alias("pct_rank"),
         (F.round(F.cume_dist().over(w), 6) + F.lit(0.0)).alias("cume"),
     )

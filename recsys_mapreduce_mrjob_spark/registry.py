@@ -23,89 +23,28 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
-# Grading order.  The driver grades a PREFIX of the registered names (round 2
-# graded exactly the first 50), so registration order is the lever that
-# decides which operators get a driver correctness row.  The first 50 names
-# below are chosen to cover EVERY SURVEY §2.2 family:
-#   flagship (I) → all of K (text / dedup / embeddings / graph / multimodal /
-#   sampling) → all of J (events) → both L (UDF) queries → one TPC-H SQL
-#   shape (M) → one representative per A–H family.
-# Everything after slot 50 is either redundant within its family or was
-# already driver-verified in round 2 (CORRECTNESS_r02.json).
-# tests/test_registry_order.py pins the family-coverage invariant.
+# Grading order.  The driver grades a PREFIX of the registered names (rounds
+# 2–3: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-4 rotation (VERDICT r3
+# "Next round" #5): after r2 ∪ r3, every name EXCEPT 31 never-graded ones has
+# a driver row, so the prefix now is
+#   flagship → the 3 queries whose oracles were fixed this round
+#   (HUGEINT casts, VERDICT #1) → the de-flaked q11 (VERDICT #2) → the other
+#   30 never-graded names → q_dedup_embedding (re-registered in its
+#   LSH-candidate form, VERDICT #6) → a 14-name spread re-verifying one
+#   representative per family on the regenerated testdata.
+# tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (§2.2.I) --
     "q_topk_similar_items",
-    # -- slots 2–32: §2.2.K LLM-data-pipeline, all 31 --
-    # text
-    "q_text_wordcount",
-    "q_text_doc_stats",
-    "q_text_tfidf",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_corpus_curation",
-    "q_text_winnow_pairs",
-    "q_text_bpe_tokens",
-    "q_sketch_countmin",
-    "q_text_bigrams",
-    # dedup
-    "q_dedup_exact",
-    "q_dedup_jaccard_pairs",
-    "q_dedup_near",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    "q_dedup_components",
-    # embeddings / ANN
-    "q_knn_cosine",
-    "q_knn_per_label",
-    "q_embedding_label_stats",
-    "q_knn_cosine_lsh",
-    "q_kmeans_embeddings",
-    "q_knn_cosine_ivf",
-    # graph
-    "q_pagerank_items",
-    # multimodal
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    # sampling
-    "q_sample_split",
+    # -- slots 2–4: round-3 driver hash-FAILs, oracles fixed this round --
     "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sample_reservoir_per_lang",
-    # -- slots 33–39: §2.2.J events, all 7 --
-    "q_window_tumbling",
-    "q_window_sliding",
+    "q_corpus_curation",
     "q_window_session",
-    "q_late_data_filter",
-    "q_stateful_dedup_events",
-    "q_events_funnel",
-    "q_events_retention",
-    # -- slots 40–41: §2.2.L UDF queries, both --
-    "q_udf_reg_corr",
-    "q_udf_znorm_per_user",
-    # -- slot 42: one M-section TPC-H SQL shape --
-    "q_join_agg_q3",
-    # -- slots 43–50: one representative per A–H family --
-    "q_scan_pruned",  # A scan + pushdown
-    "q_filter_compound",  # B
-    "q_join_inner",  # C
-    "q_agg_pricing_summary",  # D
-    "q_window_rank",  # E
-    "q_topn_orders",  # F
-    "q_union_all",  # G
-    "q_string_funcs",  # H
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  If the driver's cutoff turns out
-    # to be a TIME budget rather than a 50-name cap (VERDICT.md round 2
-    # hypothesized both), the shrunk prefix outputs may let it grade past
-    # slot 50 — so the names that have NEVER received a driver row
-    # (ND in CORRECTNESS_r02.json) come first, and the round-2-verified
-    # breadth goes last.
-    # ------------------------------------------------------------------
-    # never driver-graded yet: H stragglers + M extras + TPC-H SQL shapes
+    # -- slot 5: de-flaked rounding boundary (decimal term sum) --
+    "q_agg_having_q11",
+    # -- slots 6–35: the 30 remaining names with no driver row in r1–r3 --
     "q_array_funcs",
     "q_map_funcs",
     "q_cond_funcs",
@@ -116,8 +55,6 @@ GRADING_ORDER: list[str] = [
     "q_join_agg_q18",
     "q_agg_q6_forecast",
     "q_join_agg_q14",
-    # round-3 additions (new, so also never graded): the remaining TPC-H
-    # shapes expressible over the available tables
     "q_join_exists_q4",
     "q_join_agg_q12",
     "q_outer_agg_q13",
@@ -132,13 +69,68 @@ GRADING_ORDER: list[str] = [
     "q_events_anomaly",
     "q_graph_degree_stats",
     "q_corr_min_q2",
-    "q_agg_having_q11",
     "q_notin_distinct_q16",
     "q_nested_exists_q20",
     "q_join_agg_q9",
     "q_text_contamination",
     "q_multimodal_audio_windows",
     "q_text_boilerplate",
+    # -- slot 36: re-registered scale-path plan needs a fresh row --
+    "q_dedup_embedding",
+    # -- slots 37–50: one representative per family, re-verified on the
+    #    regenerated (timestamp[us]) testdata --
+    "q_text_tfidf",  # K-text
+    "q_dedup_jaccard_pairs",  # K-dedup
+    "q_knn_cosine",  # K-ann
+    "q_multimodal_features",  # K-mm
+    "q_udf_reg_corr",  # L
+    "q_join_agg_q3",  # M SQL shape
+    "q_scan_pruned",  # A scan + pushdown
+    "q_filter_compound",  # B
+    "q_join_inner",  # C
+    "q_agg_pricing_summary",  # D
+    "q_window_rank",  # E
+    "q_topn_orders",  # F
+    "q_union_all",  # G
+    "q_string_funcs",  # H
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix.  If the driver's cutoff turns out
+    # to be a TIME budget rather than a 50-name cap (VERDICT.md round 2
+    # hypothesized both), grading may spill past slot 50 — so the
+    # r3-green K/J/L names (gradeable on the regenerated data) come
+    # first, and the round-2-verified breadth goes last.
+    # ------------------------------------------------------------------
+    "q_text_wordcount",
+    "q_text_doc_stats",
+    "q_text_token_stats",
+    "q_text_quality",
+    "q_text_langid",
+    "q_text_winnow_pairs",
+    "q_text_bpe_tokens",
+    "q_sketch_countmin",
+    "q_text_bigrams",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_components",
+    "q_knn_per_label",
+    "q_embedding_label_stats",
+    "q_knn_cosine_lsh",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_ivf",
+    "q_pagerank_items",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_sample_split",
+    "q_sample_weighted",
+    "q_sample_reservoir_per_lang",
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_late_data_filter",
+    "q_stateful_dedup_events",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_udf_znorm_per_user",
     # rest of I (all driver-verified in round 2)
     "q_ratings_matrix",
     "q_user_stats",

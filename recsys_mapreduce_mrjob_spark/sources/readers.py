@@ -64,19 +64,27 @@ def rebalance_if_starved(df: DataFrame) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events stream table, with its nanosecond timestamp made usable.
+    """The events stream table, with its timestamp normalized to TIMESTAMP.
 
-    The testdata writes ``ts`` as parquet INT64 TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
-    Read it as a raw long (``nanosAsLong`` legacy conf, runtime-settable)
-    and truncate to microseconds with exact integer division — matching
-    DuckDB, whose TIMESTAMP is µs precision and truncates on read, so both
-    engines see bit-identical timestamps.  (Float division would round
-    incorrectly: ns-since-epoch ≈ 1.7e18 exceeds double's 53-bit mantissa.)
+    The testdata has shipped ``ts`` two ways across driver rounds:
+      - INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+        (PARQUET_TYPE_ILLEGAL) — read as a raw long (``nanosAsLong``
+        legacy conf, runtime-settable) and truncate to microseconds with
+        exact integer division, matching DuckDB's µs truncation on read.
+        (Float division would round incorrectly: ns-since-epoch ≈ 1.7e18
+        exceeds double's 53-bit mantissa.)
+      - TIMESTAMP(MICROS) without timezone, which Spark reads as
+        TIMESTAMP_NTZ — cast to TIMESTAMP; the session timezone is pinned
+        UTC (session.py), so the naive value is interpreted as UTC,
+        bit-identical to DuckDB's naive µs TIMESTAMP.
+    Branching on the observed dtype keeps both encodings working.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_ratings_pipe(spark: SparkSession, path: str) -> DataFrame:

@@ -540,21 +540,27 @@ def q_corr_min_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_SQL = f"""
-WITH {_PARTSUPP_CTE}
-SELECT ps.ps_partkey,
-       round(sum(ps.ps_supplycost * ps.ps_availqty), 2) + 0.0 AS value
-FROM partsupp ps
-JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
-JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE n.n_name IN ('NATION_1', 'NATION_2')
-GROUP BY ps.ps_partkey
-HAVING sum(ps.ps_supplycost * ps.ps_availqty) > (
-    SELECT 0.001 * sum(ps2.ps_supplycost * ps2.ps_availqty)
-    FROM partsupp ps2
-    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
-    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-    WHERE n2.n_name IN ('NATION_1', 'NATION_2'))
-ORDER BY value DESC, ps.ps_partkey ASC
+WITH {_PARTSUPP_CTE},
+-- Each (partkey, suppkey) term is a deterministic double; rounding it to
+-- 4dp and summing as DECIMAL makes the group sum EXACT, so neither
+-- Spark's partition-order noise nor DuckDB's summation order can flip the
+-- displayed cents or the HAVING threshold (VERDICT r3: the round-2dp
+-- double sum coin-flipped at a .xx5 boundary).
+terms AS (
+    SELECT ps.ps_partkey,
+           CAST(round(ps.ps_supplycost * ps.ps_availqty, 4)
+                AS DECIMAL(28, 4)) AS term
+    FROM partsupp ps
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2')
+)
+SELECT ps_partkey,
+       CAST(sum(term) AS DOUBLE) + 0.0 AS value
+FROM terms
+GROUP BY ps_partkey
+HAVING sum(term) > (SELECT 0.001 * CAST(sum(term) AS DOUBLE) FROM terms)
+ORDER BY value DESC, ps_partkey ASC
 """
 
 

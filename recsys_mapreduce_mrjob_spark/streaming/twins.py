@@ -23,33 +23,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The events parquet stores ts as INT64 TIMESTAMP(NANOS); the streaming
-# reader needs an explicit schema (no inference) and the same nanosAsLong
-# handling as the batch reader (sources/readers.py load_events).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# The streaming file source needs an explicit schema (no inference); the
+# ts column has shipped two ways across driver testdata rounds (see
+# sources/readers.py load_events): INT64 TIMESTAMP(NANOS) — declared LONG
+# under nanosAsLong and truncated ns→µs — or TIMESTAMP(MICROS), declared
+# TIMESTAMP directly (session tz is pinned UTC, matching the naive value).
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` twin of ``load_events``: same schema, same ns→µs
-    truncation, unbounded file source."""
+    """``readStream`` twin of ``load_events``: same schema and the same
+    ts normalization as the batch reader, unbounded file source.  A batch
+    footer probe picks the encoding (plan-time only, no job)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos = (
+        dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+        in ("bigint", "long")
+    )
+    ts_type = T.LongType() if nanos else T.TimestampType()
     # The streaming file source requires a *directory*; glob-filter it down
     # to the events file so sibling tables aren't picked up.
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:

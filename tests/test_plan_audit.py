@@ -114,6 +114,19 @@ def test_ivf_assignment_avoids_window_shuffle(spark, sf_dir):
     assert re.search(r"\(\d+\) (Sort|Hash)Aggregate", plan), plan
 
 
+def test_dedup_embedding_has_no_pairwise_join(spark, sf_dir):
+    """The re-registered blocked-GEMM form (VERDICT r3 #6) must contain NO
+    row-level join of any kind — the pair space exists only inside the
+    per-tile numpy kernel — and must run the tile kernel via Arrow
+    (FlatMapGroupsInPandas), with the tile fan-out as one hash exchange on
+    the block-pair key."""
+    plan = _plan(spark, sf_dir, "q_dedup_embedding")
+    assert "Join" not in plan, plan  # matches *HashJoin, SortMergeJoin, BNLJ
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(bi" in plan, plan
+
+
 SUBQUERY_SHAPES = [
     "q_join_exists_q4",
     "q_agg_having_q11",
