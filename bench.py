@@ -15,9 +15,13 @@ Timing contract (matches how BASELINE.md's DuckDB numbers were taken):
 one shared SparkSession (JVM startup excluded, as DuckDB's import/connect
 is), per query one untimed warmup run (JIT-compiles the generated
 whole-stage code — a fresh JVM's first-ever run pays ~12 s of JIT warmup
-no steady-state deployment would see), then the best of two timed runs to
-a full ``collect()`` (the baseline's ``fetchall()`` contract), with the
-cache cleared between runs so no run rides a predecessor's persisted
+no steady-state deployment would see), then the best of three timed runs
+to a full ``toPandas()`` — Arrow columnar fetch, the symmetric twin of
+the baseline's ``fetchdf()`` (round 4; both engines materialize the full
+result as a caller-side DataFrame.  Row-pickling ``collect()`` vs native
+``fetchall()`` was asymmetric: ~1 s of Py4J row serialization on the
+169k-row flagship counted against one engine only) — with the cache
+cleared between runs so no run rides a predecessor's persisted
 relations.  (Keeping the BASE tables persisted across the bench was
 measured and is a wash-to-loss at this scale — the vectorized parquet
 reader beats re-reading cached batches — so the contract stays cold.)
@@ -84,35 +88,35 @@ def main() -> None:
         "q_dedup_near",
         "q_knn_cosine_ivf",
     ]
-    # BASELINE.md's round-3 re-measured DuckDB sf0.1 twins (seconds):
+    # BASELINE.md's round-4 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
-    # by tools/bench_duckdb_twins.py on this box this round (round 2's
-    # flagship row timed a heavier pre-pruning formulation — see
-    # BASELINE.md).  Valid only at sf=0.1.
+    # by tools/bench_duckdb_twins.py on this box this round with the
+    # symmetric fetchdf() contract (see timing-contract note above).
+    # Valid only at sf=0.1.
     baseline_sf01 = {
-        "q_agg_pricing_summary": 0.068,
-        "q_join_agg_q3": 0.053,
-        "q_join_broadcast": 0.048,
+        "q_agg_pricing_summary": 0.059,
+        "q_join_agg_q3": 0.054,
+        "q_join_broadcast": 0.045,
         "q_window_topk_per_group": 0.066,
-        "q_window_tumbling": 0.013,
-        "q_topk_similar_items": 0.744,
+        "q_window_tumbling": 0.011,
+        "q_topk_similar_items": 0.653,
         "q_knn_cosine": 0.008,
-        "q_dedup_exact": 0.012,
-        "q_text_wordcount": 0.032,
-        "q_text_tfidf": 0.135,
-        "q_dedup_near": 0.508,
+        "q_dedup_exact": 0.008,
+        "q_text_wordcount": 0.031,
+        "q_text_tfidf": 0.084,
+        "q_dedup_near": 0.388,
         "q_knn_cosine_ivf": 0.052,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
     def timed_runs(name: str, data_dir: str, runs: int = 2) -> list[float]:
         spark.catalog.clearCache()
-        registry.QUERIES[name](spark, data_dir).collect()  # warmup
+        registry.QUERIES[name](spark, data_dir).toPandas()  # warmup
         samples = []
         for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.monotonic()
-            registry.QUERIES[name](spark, data_dir).collect()
+            registry.QUERIES[name](spark, data_dir).toPandas()
             samples.append(round(time.monotonic() - t0, 3))
         return samples
 

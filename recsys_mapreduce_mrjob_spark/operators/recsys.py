@@ -117,18 +117,18 @@ def pairwise_stats(
         F.col("a.rating").alias("rx"),
         F.col("b.rating").alias("ry"),
     )
-    # Explicit repartition on the pair key BEFORE the aggregation: the
-    # pair relation has almost no duplicates within a user-partitioned
-    # task (12.7M distinct of 13.1M pair events at sf0.1), so the default
-    # partial aggregate reduces ~nothing yet ships WIDE partial rows
-    # (2 keys + 7 buffers) through the exchange.  Repartitioning first
-    # ships the NARROW (item_x, item_y, rx, ry) rows instead and the
-    # whole aggregation runs on the receiving side — measured ~20% off
-    # the flagship's pair stage at sf0.1, and strictly less shuffle I/O
-    # at any scale (same row count, fewer bytes per row).
+    # Direct partial+final aggregation on the pair key.  Round 3 inserted
+    # an explicit narrow-row repartition before the agg (ship 4 columns,
+    # aggregate receiver-side); round-4 re-measurement under lower box
+    # noise shows it a ~27% LOSS at sf0.1 (2.18 s vs 1.59 s direct): the
+    # ratings side auto-broadcasts here, so pair generation has no
+    # exchange of its own and the repartition only adds a second full
+    # pass over the 13.1 M pair rows.  At cluster scale the trade-off is
+    # the same either way (exactly one pair-keyed exchange); partial
+    # aggregation additionally absorbs whatever intra-task duplication
+    # exists, so direct is never worse on shuffle bytes per distinct key.
     stats = (
-        pairs.repartition("item_x", "item_y")
-        .groupBy("item_x", "item_y")
+        pairs.groupBy("item_x", "item_y")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("rx") * F.col("ry")).alias("sxy"),

@@ -14,8 +14,13 @@ same MinHash-LSH pipeline — 32 min-hashes over distinct 3-shingles,
 verification at >= 0.8 — written with DuckDB's own `hash()`: identical
 work shape and candidate-generation strategy, engine-native hash.
 
-Contract matches BASELINE.md: warm run first, then best-of-2 timed
-`fetchall()` runs on one connection.
+Contract matches BASELINE.md (round 4): warm run first, then best-of-3
+timed `fetchdf()` runs on one connection — the DataFrame-fetch API, the
+symmetric twin of bench.py's Spark `toPandas()` (both engines materialize
+the full result on the caller as a columnar frame; round 2-3 timed
+`fetchall()` vs Spark's row-pickling `collect()`, which graded ~1s of
+Py4J row serialization on the 169k-row flagship as if it were query
+time on one engine only).
 
 Run:  python tools/bench_duckdb_twins.py  [sf_dir]
 """
@@ -114,14 +119,13 @@ def main() -> None:
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
     out = {}
     for name, sql in twins.items():
-        rows = len(con.execute(sql).fetchall())  # warm run
-        best = None
-        for _ in range(2):
+        rows = len(con.execute(sql).fetchdf())  # warm run
+        samples = []
+        for _ in range(3):
             t0 = time.monotonic()
-            con.execute(sql).fetchall()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = {"sec": round(best, 3), "rows": rows}
+            con.execute(sql).fetchdf()
+            samples.append(round(time.monotonic() - t0, 3))
+        out[name] = {"sec": min(samples), "rows": rows, "runs": samples}
     print(json.dumps({"sf_dir": sf_dir, "duckdb": duckdb.__version__, "twins": out}))
 
 
