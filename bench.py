@@ -87,6 +87,10 @@ def main() -> None:
         "q_text_tfidf",
         "q_dedup_near",
         "q_knn_cosine_ivf",
+        # round 4: blocked-GEMM exact similarity join — the row where the
+        # engine beats the single-node baseline outright (BLAS tiles vs
+        # per-pair list folds over the 2M-pair space)
+        "q_dedup_embedding",
     ]
     # BASELINE.md's round-4 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -106,6 +110,7 @@ def main() -> None:
         "q_text_tfidf": 0.084,
         "q_dedup_near": 0.388,
         "q_knn_cosine_ivf": 0.052,
+        "q_dedup_embedding": 2.978,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

@@ -59,9 +59,16 @@ def user_stats(ratings: DataFrame) -> DataFrame:
 
 def item_rater_counts(ratings: DataFrame) -> DataFrame:
     """R9 support: distinct raters per item (feeds real Jaccard — the
-    vectorSimilarities.py variant, not the movies job's 0.0 placeholder)."""
+    vectorSimilarities.py variant, not the movies job's 0.0 placeholder).
+
+    The ratings relation is unique on (user_id, item_id) by construction
+    (``derive_ratings`` groups on exactly that key; the reference's R2
+    parse likewise emits one rating per user-item), so the distinct-rater
+    count is a plain ``count(*)`` — no count_distinct, which would plan
+    an extra dedup aggregate over the full relation for the same answer.
+    """
     return ratings.groupBy("item_id").agg(
-        F.count_distinct("user_id").alias("n_raters")
+        F.count(F.lit(1)).alias("n_raters")
     )
 
 

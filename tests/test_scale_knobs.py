@@ -74,6 +74,39 @@ def test_minhash_lsh_finds_planted_dupes_sf01(spark):
     assert expected <= perfect
 
 
+def test_blocked_gemm_dedup_matches_allpairs_sf01(spark):
+    """The blocked-GEMM q_dedup_embedding (round 4) must reproduce the
+    exact all-pairs result at sf0.1 — the SF the oracle parity suite does
+    not cover (it runs sf0.001/sf0.01).  Checked against the same
+    Catalyst-fold all-pairs formulation the oracle encodes."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.functions.vectors import dot, l2_norm
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in registry.QUERIES["q_dedup_embedding"](spark, SF01).collect()
+    }
+    emb = load_table(spark, SF01, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).withColumn("norm", l2_norm(F.col("v")))
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    exact = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.45)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.round(cos, 5) + F.lit(0.0)).alias("cos_sim"),
+        )
+        .collect()
+    }
+    assert blocked == exact
+    assert len(blocked) > 0
+
+
 def test_lsh_ann_overlaps_exact_topk(spark, sf_dir):
     exact = [r.vec_id for r in registry.QUERIES["q_knn_cosine"](spark, sf_dir).collect()]
     approx = [

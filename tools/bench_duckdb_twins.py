@@ -114,6 +114,7 @@ def main() -> None:
             "q_text_wordcount",
             "q_text_tfidf",
             "q_knn_cosine_ivf",
+            "q_dedup_embedding",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

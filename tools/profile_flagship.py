@@ -16,13 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from recsys_mapreduce_mrjob_spark.operators.recsys import (
     _cached_ratings,
-    item_rater_counts,
-    item_similarity,
     topk_similar_items,
 )
 from recsys_mapreduce_mrjob_spark.session import get_session
