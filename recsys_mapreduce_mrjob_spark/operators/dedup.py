@@ -443,24 +443,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by a unit test).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(docs)
-    banded = fps.select(
-        "doc_id",
-        "fingerprint",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("band"), F.col(f"chunk{c}").alias("cval")
-                    )
-                    for c in range(_SIM_CHUNKS)
-                ]
-            )
-        ).alias("bc"),
-    ).select(
-        "doc_id", "fingerprint",
-        F.col("bc.band").alias("band"), F.col("bc.cval").alias("cval"),
-    )
+
+    # The banded fingerprint relation feeds both self-join sides; the
+    # SimHash derivation underneath (token explode + 64 bit-sum
+    # aggregates) is the expensive part and would run twice without
+    # persistence (plan-verified: 4 Generate nodes, 0 ReusedExchange).
+    # Memo-persisted like the shingle/ratings relations.
+    def build_banded() -> DataFrame:
+        fps = simhash_fingerprints(docs)
+        return fps.select(
+            "doc_id",
+            "fingerprint",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("band"), F.col(f"chunk{c}").alias("cval")
+                        )
+                        for c in range(_SIM_CHUNKS)
+                    ]
+                )
+            ).alias("bc"),
+        ).select(
+            "doc_id", "fingerprint",
+            F.col("bc.band").alias("band"), F.col("bc.cval").alias("cval"),
+        )
+
+    banded = memo_persist(spark, "simhash_banded", sf_dir, build_banded)
     a = banded.alias("a")
     b = banded.alias("b")
     hamming = F.bit_count(

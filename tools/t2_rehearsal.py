@@ -32,15 +32,23 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.sql.shuffle.partitions", "200")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # The hostile simulation keeps the BARE default heap (the point is the
+    # conf boundary, and the driver's own sweep runs at sf0.01, where 1g
+    # suffices).  At sf0.1 the flagship's 13M-row aggregation OOMs a 1g
+    # JVM and every later query reads "connection refused" — export
+    # SPARK_GRAFT_T2_DRIVER_MEMORY=16g for the local deep sweep.
+    mem = os.environ.get("SPARK_GRAFT_T2_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as E
