@@ -204,13 +204,20 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # One pass computes all 32 minhashes AND the shingle-set size the
     # Jaccard verification needs — no separate sizes aggregation over sh.
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
-            for i in range(_N_HASHES)
-        ],
-        F.count(F.lit(1)).alias("n_sh"),
-    )
+    # Memo-persisted: the signature relation fans into both band-join
+    # sides AND both size lookups (4 lazy branches), and ReuseExchange
+    # does not cover them — unpersisted, the 32-aggregate pass over the
+    # shingle relation re-ran per branch (round-4 fan-out sweep).
+    def build_sig() -> DataFrame:
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+                for i in range(_N_HASHES)
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+
+    sig = memo_persist(spark, "minhash_sig", sf_dir, build_sig)
     bands = sig.select(
         "doc_id",
         F.explode(
