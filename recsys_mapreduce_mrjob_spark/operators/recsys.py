@@ -531,6 +531,65 @@ def q_topk_similar_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_similar_dimsum(_cached_ratings(spark, sf_dir), k=10, gamma=15000.0)
 
 
+@register("q_recommend_als")  # rows-only: iterative MF, not SQL-expressible
+def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 recommendations per user from MLlib ALS matrix factorization —
+    the model-based recommender next to the neighborhood one
+    (``q_recommend_topn``): the reference's item-item pipeline IS its
+    model, while ALS learns low-rank user/item factors from the same
+    (user, item, rating) relation and predicts by dot product.  Both
+    paths share the derived ratings matrix, so a user of the reference
+    gets the classic output AND the factorization upgrade from one input.
+
+    Deterministic given the fixed seed and the derived input (pinned by a
+    same-session refit test); declared rows-only — iterative blocked
+    factorization has no SQL oracle.  Scale shape: MLlib ALS is the
+    canonical distributed MF — user/item factor blocks co-partitioned so
+    each least-squares solve is block-local, communication is factor
+    (rank-sized) rows, never the ratings matrix; ``recommendForAllUsers``
+    does the scoring as a blocked cross-product with per-block top-k
+    (never materializing the full user×item score matrix).  Rank/iters
+    are the cost knobs; already-rated items are anti-joined away like the
+    neighborhood recommender.
+    """
+    from pyspark.ml.recommendation import ALS
+
+    ratings = _cached_ratings(spark, sf_dir)
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(10).select(
+        "user_id", F.explode("recommendations").alias("r")
+    ).select(
+        "user_id",
+        F.col("r.item_id").alias("item_id"),
+        F.col("r.rating").cast("double").alias("pred"),
+    )
+    seen = ratings.select("user_id", "item_id")
+    unseen = recs.join(seen, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("pred", 6)), F.asc("item_id")
+    )
+    return (
+        unseen.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "user_id",
+            "item_id",
+            (F.round("pred", 6) + F.lit(0.0)).alias("pred"),
+            "rank",
+        )
+    )
+
+
 def recommend_topn(ratings: DataFrame, k: int = 10, n: int = 5) -> DataFrame:
     """Item-based collaborative-filtering recommendations — the end goal
     the reference's similarity pipeline feeds (its README frames the

@@ -140,6 +140,7 @@ GRADING_ORDER: list[str] = [
     "q_item_cooccurrence",
     "q_topk_similar_dimsum",
     "q_recommend_topn",
+    "q_recommend_als",
     # rest of A–C
     "q_scan_parquet",
     "q_project_expr",

@@ -74,6 +74,26 @@ def test_minhash_lsh_finds_planted_dupes_sf01(spark):
     assert expected <= perfect
 
 
+def test_als_recommender_is_seeded_deterministic(spark, sf_dir):
+    """MLlib ALS with a fixed seed over the derived ratings must refit to
+    the identical top-5 set within a session (the rows-only declaration
+    leans on this), recommend only unseen items, and cover most users."""
+    from recsys_mapreduce_mrjob_spark.sources.readers import derive_ratings
+
+    first = registry.QUERIES["q_recommend_als"](spark, sf_dir).collect()
+    second = registry.QUERIES["q_recommend_als"](spark, sf_dir).collect()
+    as_set = lambda rows: {(r.user_id, r.item_id, r.pred, r.rank) for r in rows}
+    assert as_set(first) == as_set(second)
+    assert all(1 <= r.rank <= 5 for r in first)
+    seen = {
+        (r.user_id, r.item_id)
+        for r in derive_ratings(spark, sf_dir).select("user_id", "item_id").collect()
+    }
+    assert all((r.user_id, r.item_id) not in seen for r in first)
+    n_users = derive_ratings(spark, sf_dir).select("user_id").distinct().count()
+    assert len({r.user_id for r in first}) >= 0.9 * n_users
+
+
 def test_blocked_gemm_dedup_matches_allpairs_sf01(spark):
     """The blocked-GEMM q_dedup_embedding (round 4) must reproduce the
     exact all-pairs result at sf0.1 — the SF the oracle parity suite does
