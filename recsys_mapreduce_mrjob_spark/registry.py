@@ -92,7 +92,11 @@ GRADING_ORDER: list[str] = [
     "q_window_rank",  # E
     "q_topn_orders",  # F
     "q_union_all",  # G
-    "q_string_funcs",  # H
+    # -- slot 50: the round-4 ALS recommender (new name, so no driver row
+    #    yet; takes the H-rep slot — q_string_funcs reads only the part
+    #    strings table, the lowest regenerated-data risk of the 14 reps,
+    #    and keeps its r2 ∪ r3 green history) --
+    "q_recommend_als",
     # ------------------------------------------------------------------
     # Past the 50-slot grading prefix.  If the driver's cutoff turns out
     # to be a TIME budget rather than a 50-name cap (VERDICT.md round 2
@@ -140,7 +144,6 @@ GRADING_ORDER: list[str] = [
     "q_item_cooccurrence",
     "q_topk_similar_dimsum",
     "q_recommend_topn",
-    "q_recommend_als",
     # rest of A–C
     "q_scan_parquet",
     "q_project_expr",
@@ -176,6 +179,7 @@ GRADING_ORDER: list[str] = [
     "q_intersect",
     "q_except",
     # rest of H
+    "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
     "q_json_funcs",

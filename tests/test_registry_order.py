@@ -59,9 +59,12 @@ NEVER_GRADED = {
     "q_text_boilerplate",
 }
 
-# Re-registered this round with the LSH-candidate scale plan — needs a
-# fresh driver row under the new plan shape.
-REREGISTERED = {"q_dedup_embedding"}
+# New or re-registered this round — need a first/fresh driver row:
+# q_dedup_embedding's blocked-GEMM plan, and the new ALS recommender
+# (takes the H-rep slot: q_string_funcs reads only the part strings
+# table — the lowest regenerated-data risk — and keeps its r2 ∪ r3
+# green history).
+REREGISTERED = {"q_dedup_embedding", "q_recommend_als"}
 
 # One representative per family, re-verified on the regenerated
 # (timestamp[us]) testdata + the flagship.
@@ -80,7 +83,6 @@ FAMILY_REPS = {
     "q_window_rank",  # E
     "q_topn_orders",  # F
     "q_union_all",  # G
-    "q_string_funcs",  # H
 }
 
 
