@@ -310,7 +310,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
-    n_blocks = 8
+    # B derived from the relation size (VERDICT r4 watch-list: a hard-coded
+    # 8 was a bench-scale artifact).  Tile ≈ 2n/B vectors of d·8 bytes (+
+    # ids); the parquet footer row count is a driver-side metadata read, no
+    # Spark job.  floor=8 keeps the measured-good local tiling; results are
+    # B-invariant (every unordered pair lands in exactly one tile for any
+    # B — pinned at two Bs in tests/test_scale_knobs.py).
+    from ..functions.blocking import gemm_block_count
+
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _n = _pq.ParquetFile(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        _n = 0  # unreadable footer → floor tiling
+    n_blocks = gemm_block_count(_n, row_bytes=64 * 8 + 16, floor=8)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",

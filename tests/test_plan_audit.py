@@ -67,9 +67,30 @@ def test_theta_join_is_bucketed_equi_join(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_flagship_reads_ratings_from_cache(spark, sf_dir):
+def test_flagship_is_single_pass_gemm_pipeline(spark, sf_dir):
+    """Round 5: the flagship fused the ratings derivation and rater
+    counts into the blocked-GEMM tile kernel, so the right plan is one
+    linear pipeline — exactly two parquet scans (lineitem + orders, no
+    branch re-reading either), the orders side broadcast, the pair space
+    existing only inside the Arrow kernel (no row-level join of the
+    ratings relation with itself), and one hash exchange on the tile
+    key."""
     plan = _plan(spark, sf_dir, "q_topk_similar_items")
-    assert "InMemoryTableScan" in plan, "ratings CTE not persisted before fan-out"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "hashpartitioning(bi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ratings_matrix_reads_from_cache(spark, sf_dir):
+    """The shared derived-ratings relation (consumed by the I-family
+    diagnostics) stays memo-persisted so fan-out consumers reuse one
+    materialization (caching.py contract)."""
+    plan = _plan(spark, sf_dir, "q_ratings_matrix")
+    assert "InMemoryTableScan" in plan, "ratings relation not persisted"
 
 
 def test_windows_are_single_partial_shuffle(spark, sf_dir):

@@ -127,6 +127,71 @@ def test_blocked_gemm_dedup_matches_allpairs_sf01(spark):
     assert len(blocked) > 0
 
 
+def test_pairwise_gemm_matches_join_and_is_block_invariant(spark, sf_dir):
+    """The blocked sparse-Gram pair stage (round 5) must reproduce the
+    relational self-join's relation exactly in keys/counts and to float
+    precision in the sums, at TWO block counts (results are B-invariant:
+    every unordered pair lands in exactly one tile for any B), with the
+    in-kernel rater counts equal to :func:`item_rater_counts`."""
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        item_rater_counts,
+        pairwise_stats_gemm,
+    )
+
+    r = _cached_ratings(spark, sf_dir)
+    base = {
+        (x.item_x, x.item_y): x for x in pairwise_stats(r, 2).collect()
+    }
+    raters = {x.item_id: x.n_raters for x in item_rater_counts(r).collect()}
+    for nb in (4, 7):
+        got = pairwise_stats_gemm(
+            r, 2, n_blocks=nb, with_rater_counts=True
+        ).collect()
+        assert len(got) == len(base), (nb, len(got), len(base))
+        for g in got:
+            b = base[(g.item_x, g.item_y)]
+            assert g.n == b.n, (nb, g, b)
+            for c in ("sxy", "sx", "sy", "sxx", "syy"):
+                assert abs(g[c] - b[c]) <= 1e-9 * max(abs(b[c]), 1.0), (nb, g, b)
+            assert g.nx == raters[g.item_x] and g.ny == raters[g.item_y], g
+
+
+def test_flagship_fused_matches_relational(spark, sf_dir):
+    """The registered flagship (derivation + rater counts fused into the
+    GEMM kernel, exact integer HALF_UP rounding) must return the
+    IDENTICAL rounded relation as the relational fallback — full row
+    equality, not approximate."""
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        topk_similar_items,
+    )
+
+    want = sorted(
+        map(tuple, topk_similar_items(_cached_ratings(spark, sf_dir), 10).collect())
+    )
+    got = sorted(
+        map(tuple, registry.QUERIES["q_topk_similar_items"](spark, sf_dir).collect())
+    )
+    assert want == got
+
+
+def test_gemm_block_count_scales_with_rows():
+    """B must grow once the two-block tile would exceed the target, and
+    never fall below the operator floor."""
+    from recsys_mapreduce_mrjob_spark.functions.blocking import (
+        TARGET_TILE_BYTES,
+        gemm_block_count,
+    )
+
+    assert gemm_block_count(0, 32) == 4
+    assert gemm_block_count(600_000, 32) == 4  # sf0.1 stays at the floor
+    big = gemm_block_count(10_000_000_000, 32, floor=4)
+    assert big > 4
+    assert 2 * 10_000_000_000 * 32 / big <= TARGET_TILE_BYTES
+    assert gemm_block_count(10, 32, floor=8) == 8
+
+
 def test_lsh_ann_overlaps_exact_topk(spark, sf_dir):
     exact = [r.vec_id for r in registry.QUERIES["q_knn_cosine"](spark, sf_dir).collect()]
     approx = [
