@@ -114,7 +114,7 @@ def main() -> None:
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
-    def timed_runs(name: str, data_dir: str, runs: int = 2) -> list[float]:
+    def timed_runs(name: str, data_dir: str, runs: int = 3) -> list[float]:
         spark.catalog.clearCache()
         registry.QUERIES[name](spark, data_dir).toPandas()  # warmup
         samples = []

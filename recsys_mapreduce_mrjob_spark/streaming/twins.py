@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.readers import ntz_as_utc_instant
+
 # The streaming file source needs an explicit schema (no inference); the
 # ts column has shipped two ways across driver testdata rounds (see
 # sources/readers.py load_events): INT64 TIMESTAMP(NANOS) — declared LONG
@@ -50,7 +52,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
         in ("bigint", "long")
     )
-    ts_type = T.LongType() if nanos else T.TimestampType()
+    # Micros encoding: declare NTZ (what the file actually stores — no
+    # zone) and convert to the UTC instant explicitly, so the stream's
+    # event time matches the batch reader under any session timezone.
+    ts_type = T.LongType() if nanos else T.TimestampNTZType()
     # The streaming file source requires a *directory*; glob-filter it down
     # to the events file so sibling tables aren't picked up.
     raw = (
@@ -60,7 +65,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", ntz_as_utc_instant(F.col("ts")))
 
 
 def tumbling_stream(events: DataFrame) -> DataFrame:

@@ -110,3 +110,27 @@ def test_orc_roundtrip_preserves_relation(spark, sf_dir, tmp_path):
     back = spark.read.orc(path)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_load_events_is_session_timezone_independent(spark, sf_dir):
+    """The events ts column must denote the same instant under any session
+    timezone (ADVICE r4: the NTZ cast used to drift with the ambient zone;
+    ``ntz_as_utc_instant`` pins naive-wall-clock-as-UTC explicitly)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+
+    tz_key = "spark.sql.session.timeZone"
+    original = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc_first = load_events(spark, sf_dir).select(
+            F.min(F.unix_micros("ts")).alias("m")
+        ).first()["m"]
+        spark.conf.set(tz_key, "America/New_York")
+        ny_first = load_events(spark, sf_dir).select(
+            F.min(F.unix_micros("ts")).alias("m")
+        ).first()["m"]
+    finally:
+        spark.conf.set(tz_key, original)
+    assert utc_first == ny_first

@@ -126,6 +126,29 @@ def test_blocked_gemm_dedup_matches_allpairs_sf01(spark):
     assert blocked == exact
     assert len(blocked) > 0
 
+    # ADVICE r4: the ≥1.8e-8 margin to the .xxxxx5 round-to-5 boundary is
+    # an empirical property of THIS testdata — GEMM-order vs fold-order
+    # float noise (~1e-16) only stays invisible while it holds.  Assert a
+    # floor on both margins so a regenerated dataset that collapses them
+    # fails HERE, loudly, instead of as an opaque driver hash-FAIL.
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    thr_margin = (
+        pairs.where(cos >= 0.4)  # near-threshold pairs on BOTH sides of the cut
+        .select(F.min(F.abs(cos - F.lit(0.45))).alias("m"))
+        .first()["m"]
+    )
+    round_margin_e5 = (
+        pairs.where(cos >= 0.45)  # only emitted pairs get rounded
+        .select(
+            F.min(
+                F.abs((cos * 1e5) - F.floor(cos * 1e5) - F.lit(0.5))
+            ).alias("m")
+        )
+        .first()["m"]
+    )
+    assert thr_margin > 1e-6, thr_margin
+    assert round_margin_e5 > 1e-4, round_margin_e5  # ≥1e-9 on raw cos
+
 
 def test_pairwise_gemm_matches_join_and_is_block_invariant(spark, sf_dir):
     """The blocked sparse-Gram pair stage (round 5) must reproduce the
