@@ -188,33 +188,55 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via deterministic MinHash-LSH.
 
     Pipeline (all DataFrame ops, no MLlib fit, no randomness):
-      1. distinct 3-shingles per doc;
-      2. 32 min-hashes: ``min(xxhash64(shingle, seed_i))`` per doc — one
-         groupBy computing all 32 aggregates in a single pass;
+      1. one fused pass over the corpus: explode distinct 3-shingles,
+         hash each shingle to a LONG once (``xxhash64(s)``), then one
+         groupBy computing the 32 min-hashes as
+         ``min(xxhash64(hs, seed_i))`` — re-hashing the fixed-width long
+         instead of the variable-width string makes the 32-way inner
+         loop pure codegen'd long arithmetic (round-5 profile: the
+         string form and a no-explode higher-order-function form were
+         both slower; HOF lambdas evaluate interpreted);
+      2. the same groupBy also collects the hashed-shingle SET and its
+         size, so the Jaccard verification needs no second pass over
+         the text;
       3. band signatures: 8 bands × 4 rows, each band's signature =
          ``xxhash64`` of its 4 min-hashes;
       4. candidate pairs = docs equal in ≥1 (band, signature) — an
          equi-join on the band key, never an all-pairs comparison;
-      5. exact Jaccard verification of candidates; keep ``≥ 0.8``.
+      5. Jaccard verification via ``array_intersect`` of the two
+         hashed-shingle sets — replaces the two shingle-row joins +
+         pair groupBy of the round-4 plan (per-pair work is still
+         O(|A|+|B|), now in one project).  Intersecting 64-bit hashes
+         instead of strings is exact up to hash collisions
+         (P ≈ n²/2⁶⁴ ≈ 4e-9 at the sf0.1 shingle count — negligible,
+         and this query is declared rows-only).
 
+    Scale shape: one corpus scan, one aggregate shuffle on doc_id, the
+    band equi-join, and broadcast-size candidate lookups.  The per-doc
+    hashed set rides the signature relation (O(doc length) per row —
+    the same bytes the round-4 plan shuffled as exploded rows).
     For truly identical texts every band collides and jaccard = 1.0 (the
     sf0.1 planted dupes — pinned by a unit test).
-    """
-    sh = _doc_shingles(spark, sf_dir)
 
-    # One pass computes all 32 minhashes AND the shingle-set size the
-    # Jaccard verification needs — no separate sizes aggregation over sh.
-    # Memo-persisted: the signature relation fans into both band-join
-    # sides AND both size lookups (4 lazy branches), and ReuseExchange
-    # does not cover them — unpersisted, the 32-aggregate pass over the
-    # shingle relation re-ran per branch (round-4 fan-out sweep).
+    Memo-persisted: the signature relation fans into both band-join
+    sides AND both verification lookups (4 lazy branches), and
+    ReuseExchange does not cover them.
+    """
+
     def build_sig() -> DataFrame:
-        return sh.groupBy("doc_id").agg(
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+        ex = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+        )
+        hs = ex.select("doc_id", F.xxhash64("s").alias("hs"))
+        return hs.groupBy("doc_id").agg(
             *[
-                F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"mh{i}")
+                F.min(F.xxhash64(F.col("hs"), F.lit(i))).alias(f"mh{i}")
                 for i in range(_N_HASHES)
             ],
             F.count(F.lit(1)).alias("n_sh"),
+            F.collect_set("hs").alias("sh_set"),
         )
 
     sig = memo_persist(spark, "minhash_sig", sf_dir, build_sig)
@@ -253,8 +275,33 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sig.select("doc_id", "n_sh")
-    return _jaccard_verify(cand, sh, sizes, min_jaccard=0.8)
+    sets = sig.select("doc_id", "sh_set", "n_sh")
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = n_common / (F.col("na") + F.col("nb") - n_common).cast("double")
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_set").alias("sa"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_set").alias("sb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .where(jaccard >= 0.8)  # raw-value threshold, as in _jaccard_verify
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(jaccard, 6) + F.lit(0.0)).alias("jaccard"),
+        )
+    )
 
 
 @register(

@@ -24,28 +24,85 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–3: exactly the first 50), so registration order is the lever that decides
-# which operators get a driver correctness row.  Round-4 rotation (VERDICT r3
-# "Next round" #5): after r2 ∪ r3, every name EXCEPT 31 never-graded ones has
-# a driver row, so the prefix now is
-#   flagship → the 3 queries whose oracles were fixed this round
-#   (HUGEINT casts, VERDICT #1) → the de-flaked q11 (VERDICT #2) → the other
-#   30 never-graded names → q_dedup_embedding (re-registered in its
-#   LSH-candidate form, VERDICT #6) → a 14-name spread re-verifying one
-#   representative per family on the regenerated testdata.
+# 2–4: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-5 rotation (VERDICT r4
+# "Next round" #6): after r2 ∪ r3 ∪ r4, EVERY name has a driver row, so the
+# prefix now re-verifies staleness and this round's changes:
+#   flagship (re-registered as the blocked sparse-Gram pair stage)
+#   → q_array_funcs (the one red r4 row, head4 now projected to scalars)
+#   → q_dedup_embedding (GEMM tile count became data-dependent)
+#   → the 6 §J event queries (ts reader now converts naive-as-UTC
+#     explicitly) → the 41 names whose latest green row is from the
+#     round-2 data era.
 # tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
-    # -- slot 1: flagship (§2.2.I) --
+    # -- slot 1: flagship (§2.2.I), re-registered round 5 as the blocked
+    #    sparse-Gram pair stage — needs a fresh driver row --
     "q_topk_similar_items",
-    # -- slots 2–4: round-3 driver hash-FAILs, oracles fixed this round --
+    # -- slot 2: the one red r4 row; head4 now projected to scalars --
+    "q_array_funcs",
+    # -- slot 3: GEMM tile count became data-dependent this round --
+    "q_dedup_embedding",
+    # -- slots 4-9: §J events — the ts reader changed to explicit
+    #    naive-as-UTC conversion; re-verify the family --
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_late_data_filter",
+    "q_stateful_dedup_events",
+    "q_events_funnel",
+    "q_events_retention",
+    # -- slots 10-50: the 41 names whose latest green row is from the
+    #    round-2 data era (VERDICT r4 "Next round" #6) --
+    "q_ratings_matrix",
+    "q_user_stats",
+    "q_item_rater_counts",
+    "q_pairwise_stats",
+    "q_item_similarity",
+    "q_item_cooccurrence",
+    "q_topk_similar_dimsum",
+    "q_recommend_topn",
+    "q_scan_parquet",
+    "q_project_expr",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_join_selfpair",
+    "q_join_asof",
+    "q_join_salted_skew",
+    "q_join_fuzzy_names",
+    "q_audit_constraints",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_approx_distinct",
+    "q_agg_percentiles",
+    "q_pivot_events",
+    "q_agg_string_agg",
+    "q_agg_salted_twophase",
+    "q_window_running",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_topk_per_group",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_intersect",
+    "q_except",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix: everything re-verified on r3/r4
+    # data-era rows, freshest first in case the cutoff is time-budgeted.
+    # ------------------------------------------------------------------
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",
-    # -- slot 5: de-flaked rounding boundary (decimal term sum) --
     "q_agg_having_q11",
-    # -- slots 6–35: the 30 remaining names with no driver row in r1–r3 --
-    "q_array_funcs",
     "q_map_funcs",
     "q_cond_funcs",
     "q_histogram",
@@ -75,35 +132,20 @@ GRADING_ORDER: list[str] = [
     "q_text_contamination",
     "q_multimodal_audio_windows",
     "q_text_boilerplate",
-    # -- slot 36: re-registered scale-path plan needs a fresh row --
-    "q_dedup_embedding",
-    # -- slots 37–50: one representative per family, re-verified on the
-    #    regenerated (timestamp[us]) testdata --
-    "q_text_tfidf",  # K-text
-    "q_dedup_jaccard_pairs",  # K-dedup
-    "q_knn_cosine",  # K-ann
-    "q_multimodal_features",  # K-mm
-    "q_udf_reg_corr",  # L
-    "q_join_agg_q3",  # M SQL shape
-    "q_scan_pruned",  # A scan + pushdown
-    "q_filter_compound",  # B
-    "q_join_inner",  # C
-    "q_agg_pricing_summary",  # D
-    "q_window_rank",  # E
-    "q_topn_orders",  # F
-    "q_union_all",  # G
-    # -- slot 50: the round-4 ALS recommender (new name, so no driver row
-    #    yet; takes the H-rep slot — q_string_funcs reads only the part
-    #    strings table, the lowest regenerated-data risk of the 14 reps,
-    #    and keeps its r2 ∪ r3 green history) --
+    "q_text_tfidf",
+    "q_dedup_jaccard_pairs",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_udf_reg_corr",
+    "q_join_agg_q3",
+    "q_scan_pruned",
+    "q_filter_compound",
+    "q_join_inner",
+    "q_agg_pricing_summary",
+    "q_window_rank",
+    "q_topn_orders",
+    "q_union_all",
     "q_recommend_als",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  If the driver's cutoff turns out
-    # to be a TIME budget rather than a 50-name cap (VERDICT.md round 2
-    # hypothesized both), grading may spill past slot 50 — so the
-    # r3-green K/J/L names (gradeable on the regenerated data) come
-    # first, and the round-2-verified breadth goes last.
-    # ------------------------------------------------------------------
     "q_text_wordcount",
     "q_text_doc_stats",
     "q_text_token_stats",
@@ -128,61 +170,8 @@ GRADING_ORDER: list[str] = [
     "q_sample_split",
     "q_sample_weighted",
     "q_sample_reservoir_per_lang",
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_late_data_filter",
-    "q_stateful_dedup_events",
-    "q_events_funnel",
-    "q_events_retention",
     "q_udf_znorm_per_user",
-    # rest of I (all driver-verified in round 2)
-    "q_ratings_matrix",
-    "q_user_stats",
-    "q_item_rater_counts",
-    "q_pairwise_stats",
-    "q_item_similarity",
-    "q_item_cooccurrence",
-    "q_topk_similar_dimsum",
-    "q_recommend_topn",
-    # rest of A–C
-    "q_scan_parquet",
-    "q_project_expr",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_join_selfpair",
-    "q_join_asof",
-    "q_join_salted_skew",
-    "q_join_fuzzy_names",
-    "q_audit_constraints",
-    # rest of D
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_agg_approx_distinct",
-    "q_agg_percentiles",
-    "q_pivot_events",
-    "q_agg_string_agg",
-    "q_agg_salted_twophase",
-    # rest of E–F
-    "q_window_running",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_topk_per_group",
-    "q_window_ntile",
-    "q_window_first_last",
-    # rest of G
-    "q_intersect",
-    "q_except",
-    # rest of H
     "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
 ]
 
 

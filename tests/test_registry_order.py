@@ -1,12 +1,14 @@
 """Pin the grading-order invariants (registry.GRADING_ORDER).
 
 The grading driver checks a PREFIX of the registered query names (rounds
-2-3: exactly the first 50), so registration order decides which operators
-receive a driver correctness row.  Round-4 contract: the prefix is the
-flagship + the 35 names with no green driver row after r2 ∪ r3 (3 fixed
-hash-FAILs, the de-flaked q11, the 30 never-graded, the re-registered
-q_dedup_embedding) + a 14-name one-per-family spread re-verified on the
-regenerated testdata.
+2-4: exactly the first 50), so registration order decides which operators
+receive a driver correctness row.  Round-5 contract: after r2 ∪ r3 ∪ r4
+every name has at least one driver row, so the prefix re-verifies what is
+stale or changed — the flagship (re-registered as the blocked sparse-Gram
+pair stage), q_array_funcs (the single red r4 row, head4 now projected to
+scalars), q_dedup_embedding (data-dependent GEMM tile count), the six §J
+event queries (the ts reader now converts naive-as-UTC explicitly), and
+the 41 names whose latest green row is from the round-2 data era.
 """
 
 from __future__ import annotations
@@ -15,74 +17,69 @@ from recsys_mapreduce_mrjob_spark import registry
 
 PREFIX = 50
 
-# Round-3 driver hash-FAILs whose oracles were fixed this round, plus the
-# rounding-boundary flake (VERDICT r3 "What's wrong" 1-4).
-FIXED_R4 = {
-    "q_sample_stratified",
-    "q_corpus_curation",
-    "q_window_session",
-    "q_agg_having_q11",
+# Implementation or output shape changed in round 5 — need a fresh row.
+CHANGED_R5 = {
+    "q_topk_similar_items",  # flagship: blocked sparse-Gram pair stage
+    "q_array_funcs",  # head4 array projected to scalar columns
+    "q_dedup_embedding",  # GEMM tile count now derived from relation size
 }
 
-# Names with no driver correctness row in rounds 1-3 (VERDICT r3 table),
-# minus q11 which FIXED_R4 carries.
-NEVER_GRADED = {
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_cond_funcs",
-    "q_histogram",
-    "q_join_agg_q5",
-    "q_join_agg_q7",
-    "q_join_agg_q10",
-    "q_join_agg_q18",
-    "q_agg_q6_forecast",
-    "q_join_agg_q14",
-    "q_join_exists_q4",
-    "q_join_agg_q12",
-    "q_outer_agg_q13",
-    "q_join_or_q19",
-    "q_join_multi_exists_q21",
-    "q_anti_scalar_q22",
-    "q_text_unigram_lm",
-    "q_embedding_quantize",
-    "q_join_agg_q8",
-    "q_agg_max_q15",
-    "q_corr_scalar_q17",
-    "q_events_anomaly",
-    "q_graph_degree_stats",
-    "q_corr_min_q2",
-    "q_notin_distinct_q16",
-    "q_nested_exists_q20",
-    "q_join_agg_q9",
-    "q_text_contamination",
-    "q_multimodal_audio_windows",
-    "q_text_boilerplate",
+# §J event queries: load_events/stream_events ts conversion changed to the
+# explicit naive-as-UTC form (session-timezone independent).
+EVENTS_READER_R5 = {
+    "q_window_tumbling",
+    "q_window_sliding",
+    "q_late_data_filter",
+    "q_stateful_dedup_events",
+    "q_events_funnel",
+    "q_events_retention",
 }
 
-# New or re-registered this round — need a first/fresh driver row:
-# q_dedup_embedding's blocked-GEMM plan, and the new ALS recommender
-# (takes the H-rep slot: q_string_funcs reads only the part strings
-# table — the lowest regenerated-data risk — and keeps its r2 ∪ r3
-# green history).
-REREGISTERED = {"q_dedup_embedding", "q_recommend_als"}
-
-# One representative per family, re-verified on the regenerated
-# (timestamp[us]) testdata + the flagship.
-FAMILY_REPS = {
-    "q_topk_similar_items",  # I flagship
-    "q_text_tfidf",  # K-text
-    "q_dedup_jaccard_pairs",  # K-dedup
-    "q_knn_cosine",  # K-ann
-    "q_multimodal_features",  # K-mm
-    "q_udf_reg_corr",  # L
-    "q_join_agg_q3",  # M SQL shape
-    "q_scan_pruned",  # A
-    "q_filter_compound",  # B
-    "q_join_inner",  # C
-    "q_agg_pricing_summary",  # D
-    "q_window_rank",  # E
-    "q_topn_orders",  # F
-    "q_union_all",  # G
+# Names whose latest green driver row is from round 2 — before the
+# testdata regeneration — per the CORRECTNESS_r02–r04 history
+# (VERDICT r4 "Next round" #6).
+R2_DATA_ERA = {
+    "q_ratings_matrix",
+    "q_user_stats",
+    "q_item_rater_counts",
+    "q_pairwise_stats",
+    "q_item_similarity",
+    "q_item_cooccurrence",
+    "q_topk_similar_dimsum",
+    "q_recommend_topn",
+    "q_scan_parquet",
+    "q_project_expr",
+    "q_join_left",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_broadcast",
+    "q_join_theta_range",
+    "q_join_selfpair",
+    "q_join_asof",
+    "q_join_salted_skew",
+    "q_join_fuzzy_names",
+    "q_audit_constraints",
+    "q_agg_distinct",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_stats",
+    "q_agg_approx_distinct",
+    "q_agg_percentiles",
+    "q_pivot_events",
+    "q_agg_string_agg",
+    "q_agg_salted_twophase",
+    "q_window_running",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_topk_per_group",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_intersect",
+    "q_except",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_json_funcs",
 }
 
 
@@ -109,17 +106,16 @@ def test_flagship_is_first():
     assert _loaded_names()[0] == "q_topk_similar_items"
 
 
-def test_prefix_is_exactly_the_ungraded_plus_family_spread():
+def test_prefix_is_exactly_the_round5_reverification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
-        ("fixed-r4", FIXED_R4),
-        ("never-graded", NEVER_GRADED),
-        ("re-registered", REREGISTERED),
-        ("family reps", FAMILY_REPS),
+        ("changed-r5", CHANGED_R5),
+        ("events-reader-r5", EVENTS_READER_R5),
+        ("r2-data-era", R2_DATA_ERA),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
-    assert prefix == FIXED_R4 | NEVER_GRADED | REREGISTERED | FAMILY_REPS
+    assert prefix == CHANGED_R5 | EVENTS_READER_R5 | R2_DATA_ERA
 
 
 def test_entry_views_preserve_order():
