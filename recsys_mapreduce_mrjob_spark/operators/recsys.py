@@ -852,7 +852,12 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic given the fixed seed and the derived input (pinned by a
     same-session refit test); declared rows-only — iterative blocked
-    factorization has no SQL oracle.  Scale shape: MLlib ALS is the
+    factorization has no SQL oracle.  Hyperparameters are the round-5
+    held-out sweep's pick (reg 5.0, 10 iters): the derived TPC-H-ish
+    ratings carry no learnable low-rank structure, so the quality gate is
+    "generalizes to within 1.15× of the best constant predictor" (RMSE
+    1.08× measured; the original reg 0.1 overfit to 1.51×) — pinned by a
+    held-out-RMSE test on the hash split.  Scale shape: MLlib ALS is the
     canonical distributed MF — user/item factor blocks co-partitioned so
     each least-squares solve is block-local, communication is factor
     (rank-sized) rows, never the ratings matrix; ``recommendForAllUsers``
@@ -866,8 +871,8 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratings = _cached_ratings(spark, sf_dir)
     als = ALS(
         rank=8,
-        maxIter=5,
-        regParam=0.1,
+        maxIter=10,
+        regParam=5.0,
         seed=42,
         userCol="user_id",
         itemCol="item_id",

@@ -49,3 +49,41 @@ def test_documents_adapter_schema(spark, sf_dir):
     assert fields["media_type"] == "string"
     row = assets.limit(1).collect()[0]
     assert isinstance(bytes(row.payload), bytes)
+
+
+def test_best_available_decode_falls_back_to_fake_here():
+    """This container has no PIL/soundfile, so the probe finds nothing and
+    best_available_decode equals the deterministic fake for every type."""
+    assert M._probe_decoders() == {}
+    for mt in ("image", "audio", "video"):
+        assert np.array_equal(
+            M.best_available_decode(b"payload", mt),
+            M.deterministic_fake_decode(b"payload", mt),
+        )
+
+
+def test_real_decoder_activation_keeps_contract_columns(spark, monkeypatch):
+    """When a real decoder IS present (simulated), the same query runs and
+    only the feature column changes — asset_id / byte_len / payload_sha256
+    stay byte-identical (VERDICT r4 #7 done-criterion)."""
+    rows = [
+        (1, "image", bytearray(b"\x89PNG-ish-bytes"), (64, 64, None, None)),
+        (2, "audio", bytearray(b"RIFF-ish-bytes"), (None, None, 16000, None)),
+    ]
+    assets = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    base = {r.asset_id: r for r in M.extract_features(assets).collect()}
+
+    def pseudo_real(payload: bytes, media_type: str) -> np.ndarray:
+        # stands in for a PIL/soundfile decode: different values, same shape
+        return np.full(M._FEATURE_DIM, float(len(payload)))
+
+    swapped = {
+        r.asset_id: r
+        for r in M.extract_features(assets, decode=pseudo_real).collect()
+    }
+    assert set(base) == set(swapped)
+    for aid in base:
+        assert base[aid].byte_len == swapped[aid].byte_len
+        assert base[aid].payload_sha256 == swapped[aid].payload_sha256
+        assert base[aid].media_type == swapped[aid].media_type
+        assert not np.allclose(base[aid].feature, swapped[aid].feature)
