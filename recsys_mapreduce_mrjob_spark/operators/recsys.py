@@ -33,7 +33,12 @@ from ..caching import memo_persist
 from ..functions import similarity as S
 from ..functions.blocking import gemm_block_count as _block_count
 from ..registry import register
-from ..sources.readers import RATINGS_ORACLE_CTE, derive_ratings, load_table
+from ..sources.readers import (
+    RATINGS_ORACLE_CTE,
+    derive_ratings,
+    load_table,
+    rebalance_if_starved,
+)
 
 
 def round6(c):
@@ -159,8 +164,11 @@ _GEMM_ROW_BYTES = 32  # user_id + item_id + rating + blk, Arrow-encoded
 def gemm_block_count(n_rows: int, row_bytes: int = _GEMM_ROW_BYTES) -> int:
     """Data-dependent tile count for the pair-stats GEMM: smallest B whose
     two-block tile stays under the shared target
-    (``functions.blocking.TARGET_TILE_BYTES``); floor 4 ⇒ ≥10 tiles."""
-    return _block_count(n_rows, row_bytes, floor=4)
+    (``functions.blocking.TARGET_TILE_BYTES``); floor 5 ⇒ ≥15 tiles
+    (round-5 sweep at sf0.1: B=5 edges out B=4 — 15 tiles load-balance
+    the 32-thread kernel stage better than 10 and the +25% replicate
+    shuffle is cheaper than the tail task; B≥6 loses to replication)."""
+    return _block_count(n_rows, row_bytes, floor=5)
 
 
 def pairwise_stats_gemm(
@@ -801,8 +809,15 @@ def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass  # pairwise_stats_gemm counts the relation instead
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     raw = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey", "l_quantity")
+        # The bench-scale lineitem parquet plans 3 input splits, which
+        # serializes the broadcast join + B-way replicate explode + tile
+        # shuffle write behind 3 tasks; round-robin to core count first
+        # (no-op on an already-parallel scan — the 100 TB case).
+        rebalance_if_starved(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey", "l_quantity"
+            )
+        )
         .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.col("o_custkey").alias("user_id"),
