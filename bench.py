@@ -92,25 +92,25 @@ def main() -> None:
         # per-pair list folds over the 2M-pair space)
         "q_dedup_embedding",
     ]
-    # BASELINE.md's round-4 re-measured DuckDB sf0.1 twins (seconds):
+    # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
     # by tools/bench_duckdb_twins.py on this box this round with the
     # symmetric fetchdf() contract (see timing-contract note above).
     # Valid only at sf=0.1.
     baseline_sf01 = {
-        "q_agg_pricing_summary": 0.059,
-        "q_join_agg_q3": 0.054,
-        "q_join_broadcast": 0.045,
-        "q_window_topk_per_group": 0.066,
-        "q_window_tumbling": 0.011,
-        "q_topk_similar_items": 0.653,
-        "q_knn_cosine": 0.008,
-        "q_dedup_exact": 0.008,
-        "q_text_wordcount": 0.031,
-        "q_text_tfidf": 0.084,
-        "q_dedup_near": 0.388,
-        "q_knn_cosine_ivf": 0.052,
-        "q_dedup_embedding": 2.978,
+        "q_agg_pricing_summary": 0.111,
+        "q_join_agg_q3": 0.067,
+        "q_join_broadcast": 0.06,
+        "q_window_topk_per_group": 0.084,
+        "q_window_tumbling": 0.016,
+        "q_topk_similar_items": 0.896,
+        "q_knn_cosine": 0.011,
+        "q_dedup_exact": 0.011,
+        "q_text_wordcount": 0.042,
+        "q_text_tfidf": 0.148,
+        "q_dedup_near": 0.465,
+        "q_knn_cosine_ivf": 0.079,
+        "q_dedup_embedding": 3.013,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

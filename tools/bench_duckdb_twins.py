@@ -9,10 +9,12 @@ docstring assertions.
 For the two exact-oracle queries the twin IS the registered oracle SQL
 (identical semantics by construction).  `q_dedup_near` is rows-only (its
 minhashes are Spark `xxhash64`, which DuckDB lacks), so its twin is the
-same MinHash-LSH pipeline — 32 min-hashes over distinct 3-shingles,
-8 bands x 4 rows, band-signature equi-join candidates, exact Jaccard
-verification at >= 0.8 — written with DuckDB's own `hash()`: identical
-work shape and candidate-generation strategy, engine-native hash.
+same MinHash-LSH pipeline — each distinct 3-shingle hashed to a long
+once, 32 min-hashes derived by re-hashing the long (mirrors the round-5
+engine kernel), 8 bands x 4 rows, band-signature equi-join candidates,
+Jaccard verification on the hashed sets at >= 0.8 — written with
+DuckDB's own `hash()`: identical work shape and candidate-generation
+strategy, engine-native hash.
 
 Contract matches BASELINE.md (round 4): warm run first, then best-of-3
 timed `fetchdf()` runs on one connection — the DataFrame-fetch API, the
@@ -48,11 +50,11 @@ idx AS (
     SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toklists
 ),
 sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s FROM idx
+    SELECT DISTINCT doc_id, hash(array_to_string(t[i:i+2], ' ')) AS hs FROM idx
 ),
 seeds AS (SELECT unnest(generate_series(0, 31)) AS seed),
 minhash AS (
-    SELECT doc_id, seed, min(hash(s || '#' || seed)) AS mh
+    SELECT doc_id, seed, min(hash(hs, seed)) AS mh
     FROM sh CROSS JOIN seeds
     GROUP BY doc_id, seed
 ),
@@ -72,7 +74,7 @@ inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS n_common
     FROM cand c
     JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    JOIN sh b ON b.doc_id = c.doc_b AND b.hs = a.hs
     GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
