@@ -120,33 +120,49 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF, pure-relational: tf = term_count/doc_len, idf = ln(N/df),
     top-5 terms per doc (ranked on the ROUNDED weight, term tie-break).
 
-    Expressed as two aggregations + broadcast joins rather than MLlib's
+    Expressed as one aggregation + broadcast joins rather than MLlib's
     HashingTF/IDF so the arithmetic is exactly oracle-checkable; the df
     and N relations are tiny (vocabulary-sized / scalar) and broadcast.
 
-    The tf relation fans into THREE lazy branches (doc lengths, document
-    frequencies, the scored join base); without persistence each branch
-    re-runs the tokenize + explode + aggregate — plan-verified: 3
-    Generate nodes, 0 ReusedExchange (the round-robin rebalance defeats
-    exchange reuse).  Persisted via the same memo the ratings/shingle
-    relations use, so the corpus is tokenized once per session.
+    Round-5 single-partitioning shape: the doc length is ``size(toks)``
+    carried THROUGH the explode as a grouping constant — no doc-length
+    aggregation and no doc_id join at all — and the corpus is hash-
+    repartitioned on ``doc_id`` once, BEFORE the explode (ships the raw
+    text rows, not the exploded tokens).  ``HashPartitioning(doc_id)``
+    satisfies the (doc_id, n_toks, tok) aggregate's clustered-
+    distribution requirement, so the TF build has exactly ONE exchange
+    of the corpus and a no-shuffle partial+final aggregate.  Remaining
+    exchanges are all small: the vocabulary-sized df aggregate, the
+    scalar N, and the window's post-partial-limit exchange (≤5 rows per
+    doc survive the partial ``WindowGroupLimit``; the cached plan's
+    AQE wrapper hides its partitioning from the outer window, so Spark
+    re-ships the limited rows rather than nothing — measured noise).
+
+    The tf relation still fans into two lazy branches (document
+    frequencies, the scored base); persisted via the session memo so the
+    corpus is tokenized once.
     """
-    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
 
     def build_tf() -> DataFrame:
-        return (
-            docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-            .groupBy("doc_id", "tok")
-            .agg(F.count(F.lit(1)).alias("tc"))
+        toks = (
+            docs.repartition("doc_id")
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .select(
+                "doc_id",
+                F.size("toks").alias("n_toks"),
+                F.explode("toks").alias("tok"),
+            )
+        )
+        return toks.groupBy("doc_id", "n_toks", "tok").agg(
+            F.count(F.lit(1)).alias("tc")
         )
 
     tf = memo_persist(spark, "tfidf_tf", sf_dir, build_tf)
-    doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("n_toks"))
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("docs_with"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(doclen, "doc_id")
-        .join(F.broadcast(df), "tok")
+        tf.join(F.broadcast(df), "tok")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
