@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Profile the flagship pair exchange at sf0.1 (VERDICT r3 #4).
+"""Profile the flagship pair stage at sf0.1 (VERDICT r3 #4, round-5 GEMM).
 
-Times the registered flagship plus plan variants of the pairwise stage so
-the recorded BENCH number can be attributed: self-join strategy
-(sort-merge vs shuffle-hash), the explicit pair repartition, posting-list
-pair expansion (no self-join), and stage-level timing of the pair exchange
-alone.  Prints one line per variant; run on an otherwise idle box.
+Times the registered flagship (round 5: fused blocked sparse-Gram kernel)
+against the relational fallback and its historical plan variants, plus
+the GEMM stage alone at several tile counts, so the recorded BENCH
+number can be attributed.  Every lambda builds a FRESH DataFrame per
+timed run — re-collecting a captured DataFrame reuses shuffle outputs
+and reports ~0.1 s fantasy numbers.  Prints one line per variant; run on
+an otherwise idle box (co-tenant noise here is +/-50%).
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ from pyspark.sql import functions as F
 
 from recsys_mapreduce_mrjob_spark.operators.recsys import (
     _cached_ratings,
+    pairwise_stats_gemm,
     topk_similar_items,
 )
 from recsys_mapreduce_mrjob_spark.session import get_session
@@ -104,8 +107,18 @@ def main():
     n = ratings.count()  # materialize the persist
     print(f"ratings rows: {n}")
 
-    timed("flagship (registered, end-to-end)",
-          lambda: topk_similar_items(ratings).collect())
+    from recsys_mapreduce_mrjob_spark import registry
+
+    registry.load_all()
+    timed("flagship (registered: fused GEMM, end-to-end)",
+          lambda: registry.QUERIES["q_topk_similar_items"](spark, SF_DIR).toPandas())
+    timed("flagship (relational fallback, end-to-end)",
+          lambda: topk_similar_items(ratings, impl="join").toPandas())
+    for B in (4, 5, 8):
+        timed(f"GEMM pair stage alone, B={B} (+rater counts)",
+              lambda B=B: pairwise_stats_gemm(
+                  ratings, 2, n_blocks=B, with_rater_counts=True
+              ).count())
     timed("pair stats: SMJ/AQE default + repartition",
           lambda: agg_stats(pairs_joined(ratings)).count())
     timed("pair stats: shuffle_hash hint + repartition",
@@ -122,7 +135,7 @@ def main():
           lambda: pairs_postinglist(ratings).count())
 
     print("\n-- registered flagship plan --")
-    topk_similar_items(ratings).explain("formatted")
+    registry.QUERIES["q_topk_similar_items"](spark, SF_DIR).explain("formatted")
 
 
 if __name__ == "__main__":
