@@ -232,8 +232,6 @@ def pairwise_stats_gemm(
     kernel asserts quantity integrality loudly rather than risk a silent
     1-ulp drift from float rounding).
     """
-    import pandas as pd
-
     if n_blocks is None:
         n_blocks = gemm_block_count(ratings.count())
 
@@ -274,22 +272,38 @@ def pairwise_stats_gemm(
         out_cols += ["nx", "ny"]
         out_dtypes.update({"nx": "int64", "ny": "int64"})
 
-    def stats_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    def stats_tile(tbl):
+        # Arrow-native group kernel (round 5: applyInArrow — the Arrow
+        # columns convert to numpy zero-copy, skipping per-tile pandas
+        # DataFrame construction in BOTH directions).
         import numpy as np
+        import pyarrow as pa
 
         def empty():
-            return pd.DataFrame({c: [] for c in out_cols}).astype(out_dtypes)
+            return pa.table(
+                {c: np.array([], dtype=out_dtypes[c]) for c in out_cols}
+            )
 
-        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
-        left = pdf[pdf["blk"] == bi]
-        right = left if bi == bj else pdf[pdf["blk"] == bj]
-        if left.empty or right.empty:
+        bi = int(tbl.column("bi")[0].as_py())
+        bj = int(tbl.column("bj")[0].as_py())
+        blk = tbl.column("blk").to_numpy()
+        u_all = tbl.column("user_id").to_numpy()
+        i_all = tbl.column("item_id").to_numpy()
+        v_all = tbl.column("rating").to_numpy()
+        mask_x = blk == bi
+        left = (u_all[mask_x], i_all[mask_x], v_all[mask_x])
+        if bi == bj:
+            right = left
+        else:
+            mask_y = blk == bj
+            right = (u_all[mask_y], i_all[mask_y], v_all[mask_y])
+        if left[0].size == 0 or right[0].size == 0:
             return empty()
 
         def side(part):
-            u = part["user_id"].to_numpy(np.int64)
-            i = part["item_id"].to_numpy(np.int64)
-            v = part["rating"].to_numpy(np.float64)
+            u = part[0].astype(np.int64, copy=False)
+            i = part[1].astype(np.int64, copy=False)
+            v = part[2].astype(np.float64, copy=False)
             if pre_aggregate:
                 # Raw (user, item, qty) rows → round(avg(qty), 6) per key,
                 # exact HALF_UP in integer arithmetic (see docstring).
@@ -384,7 +398,7 @@ def pairwise_stats_gemm(
             all_ids, all_cnt = all_ids[order], all_cnt[order]
             out["nx"] = all_cnt[np.searchsorted(all_ids, item_x)].astype(np.int64)
             out["ny"] = all_cnt[np.searchsorted(all_ids, item_y)].astype(np.int64)
-        return pd.DataFrame(out)
+        return pa.table(out)
 
     schema = (
         "item_x long, item_y long, n long, sxy double, "
@@ -392,7 +406,7 @@ def pairwise_stats_gemm(
     )
     if with_rater_counts:
         schema += ", nx long, ny long"
-    return replicated.groupBy("bi", "bj").applyInPandas(stats_tile, schema=schema)
+    return replicated.groupBy("bi", "bj").applyInArrow(stats_tile, schema=schema)
 
 
 def item_similarity(
