@@ -80,7 +80,7 @@ def test_flagship_is_single_pass_gemm_pipeline(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInArrow" in plan, plan
     assert "hashpartitioning(bi" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
@@ -149,12 +149,12 @@ def test_dedup_embedding_has_no_pairwise_join(spark, sf_dir):
     """The re-registered blocked-GEMM form (VERDICT r3 #6) must contain NO
     row-level join of any kind — the pair space exists only inside the
     per-tile numpy kernel — and must run the tile kernel via Arrow
-    (FlatMapGroupsInPandas), with the tile fan-out as one hash exchange on
+    (FlatMapGroupsInArrow), with the tile fan-out as one hash exchange on
     the block-pair key."""
     plan = _plan(spark, sf_dir, "q_dedup_embedding")
     assert "Join" not in plan, plan  # matches *HashJoin, SortMergeJoin, BNLJ
     assert "CartesianProduct" not in plan, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInArrow" in plan, plan
     assert "hashpartitioning(bi" in plan, plan
 
 
