@@ -235,6 +235,13 @@ def pairwise_stats_gemm(
     if n_blocks is None:
         n_blocks = gemm_block_count(ratings.count())
 
+    # Side membership ships as ONE boolean (is_x) instead of the 8-byte
+    # blk column — the replicate exchange is the plan's largest shuffle,
+    # so row width matters.  The (bi, bj) tag stays TWO LONG columns:
+    # round-5 measurements showed both a single packed int (bi·B+bj) and
+    # int-cast bi/bj hash-collide the 15 tiles into 9–12 of 32 shuffle
+    # partitions, costing kernel-stage parallelism worth far more than
+    # the 12 bytes/row — Murmur3 over the two-long key spreads 15/15.
     blocked = ratings.select(
         "user_id",
         "item_id",
@@ -245,21 +252,23 @@ def pairwise_stats_gemm(
         "user_id",
         "item_id",
         "rating",
-        "blk",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.least(F.col("blk"), F.lit(p)).alias("bi"),
                         F.greatest(F.col("blk"), F.lit(p)).alias("bj"),
+                        (F.col("blk") <= F.lit(p)).alias("is_x"),
                     )
                     for p in range(n_blocks)
                 ]
             )
         ).alias("bp"),
     ).select(
-        "user_id", "item_id", "rating", "blk",
-        F.col("bp.bi").alias("bi"), F.col("bp.bj").alias("bj"),
+        "user_id", "item_id", "rating",
+        F.col("bp.bi").alias("bi"),
+        F.col("bp.bj").alias("bj"),
+        F.col("bp.is_x").alias("is_x"),
     )
 
     out_cols = ["item_x", "item_y", "n", "sxy", "sx", "sy", "sxx", "syy"]
@@ -286,16 +295,16 @@ def pairwise_stats_gemm(
 
         bi = int(tbl.column("bi")[0].as_py())
         bj = int(tbl.column("bj")[0].as_py())
-        blk = tbl.column("blk").to_numpy()
         u_all = tbl.column("user_id").to_numpy()
         i_all = tbl.column("item_id").to_numpy()
         v_all = tbl.column("rating").to_numpy()
-        mask_x = blk == bi
-        left = (u_all[mask_x], i_all[mask_x], v_all[mask_x])
         if bi == bj:
+            left = (u_all, i_all, v_all)  # diagonal tile: every row is x
             right = left
         else:
-            mask_y = blk == bj
+            mask_x = tbl.column("is_x").to_numpy()
+            mask_y = ~mask_x
+            left = (u_all[mask_x], i_all[mask_x], v_all[mask_x])
             right = (u_all[mask_y], i_all[mask_y], v_all[mask_y])
         if left[0].size == 0 or right[0].size == 0:
             return empty()
