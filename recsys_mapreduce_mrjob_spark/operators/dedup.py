@@ -304,6 +304,190 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-oracle MinHash-LSH: engine-portable hashing (round 5).
+#
+# q_dedup_near is rows-only because its xxhash64 family has no DuckDB
+# equivalent.  This variant removes that caveat: each distinct shingle is
+# hashed ONCE via md5 → first 15 hex digits → 60-bit integer (the repo's
+# established portable-hash arithmetic, operators/sampling.hash_bucket),
+# then the 32-member hash family is h_i(x) = (a_i·x + b_i) mod (2^61−1),
+# computed EXACTLY on both engines — Spark in DECIMAL(38,0) (a_i·x ≤ 2^90
+# fits), DuckDB in HUGEINT — so every minhash, band signature, candidate
+# pair and Jaccard value is bit-identical cross-engine and the driver
+# hash-grades the full LSH pipeline.
+# ---------------------------------------------------------------------------
+
+_MH_P = (1 << 61) - 1  # Mersenne prime 2^61 − 1
+
+
+def _mh_seed_constants(n: int = _N_HASHES) -> list[tuple[int, int]]:
+    """Fixed (a_i, b_i) universal-hash constants — deterministic LCG
+    expansion of a literal seed, identical in code and in the generated
+    oracle SQL (the single source of truth for both engines)."""
+    seeds = []
+    state = 0x5DEECE66D
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        a = (state % ((1 << 30) - 3)) | 1  # odd, < 2^30
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        b = state % _MH_P
+        seeds.append((a, b))
+    return seeds
+
+
+_MH_SEEDS = _mh_seed_constants()
+
+_MH_SEED_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_SEEDS)
+)
+
+_NEAR_EXACT_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+shh AS (
+    SELECT DISTINCT doc_id,
+           CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hs
+    FROM sh
+),
+seeds(i, a, b) AS (VALUES {_MH_SEED_VALUES}),
+mh AS (
+    SELECT doc_id, i,
+           min(CAST((CAST(a AS HUGEINT) * hs + b) % {_MH_P} AS BIGINT)) AS mh
+    FROM shh CROSS JOIN seeds GROUP BY doc_id, i
+),
+bands AS (
+    SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bsig
+    FROM mh GROUP BY doc_id, i // {_ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN shh a ON a.doc_id = c.doc_a
+    JOIN shh b ON b.doc_id = c.doc_b AND b.hs = a.hs
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6)
+           + 0.0 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.8
+"""
+
+
+@register("q_dedup_near_exact", oracle=_NEAR_EXACT_ORACLE)
+def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with a full DuckDB oracle — the exact-graded
+    companion to :func:`q_dedup_near` (see the module-level portable-hash
+    note).  Same fused single-pass plan shape: one groupBy computes the
+    32 min-hashes AND the hashed-shingle set; banding equi-join; Jaccard
+    as an ``array_intersect`` projection.  The hash family is slower than
+    xxhash64 (md5 per shingle + decimal mod per member) — the price of
+    bit-identical cross-engine grading; q_dedup_near stays the
+    performance registration.
+    """
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    base = ex.select("doc_id", hs.alias("hs"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    sig = (
+        base.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(
+                        dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
+                        dec(F.lit(_MH_P)),
+                    ).cast("long")
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_MH_SEEDS)
+            ],
+            F.collect_set("hs").alias("sh_set"),
+        )
+        .withColumn("n_sh", F.size("sh_set"))
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{band * _ROWS_PER_BAND + r}")
+                                    for r in range(_ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("bsig"),
+                    )
+                    for band in range(_N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
+
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sets = sig.select("doc_id", "sh_set", "n_sh")
+    n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = n_common / (F.col("na") + F.col("nb") - n_common).cast("double")
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh_set").alias("sa"),
+                F.col("n_sh").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh_set").alias("sb"),
+                F.col("n_sh").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .where(jaccard >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(jaccard, 6) + F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
 @register(
     "q_dedup_embedding",
     oracle="""
