@@ -342,8 +342,10 @@ _MH_SEED_VALUES = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_SEEDS)
 )
 
-_NEAR_EXACT_ORACLE = f"""
-WITH {_SHINGLES_CTE},
+# Shared CTE chain: shingles → portable 60-bit hashes → 32 minhashes →
+# banding → candidates → verified near-dup pairs.  Reused by the exact
+# near-dup oracle AND the recursive-CTE components oracle.
+_NEAR_EXACT_CTES = f"""{_SHINGLES_CTE},
 shh AS (
     SELECT DISTINCT doc_id,
            CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hs
@@ -372,15 +374,20 @@ inter AS (
     JOIN shh a ON a.doc_id = c.doc_a
     JOIN shh b ON b.doc_id = c.doc_b AND b.hs = a.hs
     GROUP BY c.doc_a, c.doc_b
+),
+near_pairs AS (
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6)
+               + 0.0 AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.8
+)"""
+
+_NEAR_EXACT_ORACLE = (
+    f"WITH {_NEAR_EXACT_CTES}\nSELECT doc_a, doc_b, jaccard FROM near_pairs"
 )
-SELECT i.doc_a, i.doc_b,
-       round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6)
-           + 0.0 AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.8
-"""
 
 
 @register("q_dedup_near_exact", oracle=_NEAR_EXACT_ORACLE)
@@ -817,6 +824,58 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc in a multi-doc component, its component id (= min doc_id, the
     keeper) and component size."""
     pairs = q_dedup_near(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = connected_components(docs, edges, max_iter=10)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "label")
+        .where(F.col("component_size") > 1)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("component_id"),
+            "component_size",
+        )
+    )
+
+
+_COMPONENTS_EXACT_ORACLE = f"""
+WITH RECURSIVE {_NEAR_EXACT_CTES},
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM near_pairs
+),
+walk(id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+comp_sizes AS (SELECT label, count(*) AS component_size FROM labels GROUP BY label)
+SELECT l.id AS doc_id, l.label AS component_id, s.component_size
+FROM labels l JOIN comp_sizes s ON s.label = l.label
+WHERE s.component_size > 1
+"""
+
+
+@register("q_dedup_components_exact", oracle=_COMPONENTS_EXACT_ORACLE)
+def q_dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with a full DuckDB oracle: the transitive closure
+    of the PORTABLE-hash LSH pairs (:func:`q_dedup_near_exact`), graded
+    end-to-end — the oracle computes the identical pair set, then the
+    component labels as a recursive-CTE reachability walk (label = min
+    node id reachable; the symmetric edge set makes that exactly the
+    min-label-propagation fixpoint the Spark side converges to).  The
+    iterative engine algorithm and its cluster-scale shape are unchanged
+    from :func:`q_dedup_components`; what this adds is hash-level driver
+    verification for the GRAPH stage of the dedup pipeline, which was
+    previously rows-only by transitivity from its xxhash64 input."""
+    pairs = q_dedup_near_exact(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
