@@ -216,6 +216,149 @@ def _simhash_bits(emb, n_planes: int = _N_PLANES):
     )
 
 
+def _lsh_plane_signs(n_planes: int = _N_PLANES, dim: int = 64) -> list:
+    """Fixed ±1 hyperplane matrix — deterministic LCG expansion of a
+    literal seed, identical in code and in the generated oracle SQL (the
+    engine-portable variant of the xxhash parity planes: literal
+    constants need no hash function at all, so BOTH engines fold the
+    same numbers in the same order)."""
+    state = 0xB5297A4D
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (
+                1 << 62
+            )
+            row.append(1.0 if (state >> 17) & 1 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+_LSH_SIGNS = _lsh_plane_signs()
+
+
+def _lsh_bits_literal(emb):
+    """Sign bits against the literal plane matrix (cf. _simhash_bits)."""
+    return F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        emb,
+                        F.array(*[F.lit(s) for s in row]),
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0
+            ).cast("int")
+            for row in _LSH_SIGNS
+        ]
+    )
+
+
+def _lsh_band_sql(b: int, emb_expr: str) -> str:
+    """One band's 4-bit signature string for the oracle (planes 4b..4b+3)."""
+    bits = []
+    for r in range(4):
+        row = _LSH_SIGNS[b * 4 + r]
+        lit = "[" + ", ".join(repr(s) for s in row) + "]"
+        bits.append(
+            "(CASE WHEN list_inner_product(list_transform("
+            f"{emb_expr}, x -> CAST(x AS DOUBLE)), {lit}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+_LSH_EXACT_ORACLE = f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {", ".join(f"{_lsh_band_sql(b, 'embedding')} AS b{b}" for b in range(4))}
+    FROM embeddings
+),
+q AS (
+    SELECT b0 AS qb0, b1 AS qb1, b2 AS qb2, b3 AS qb3, embedding AS qvec
+    FROM sigs WHERE vec_id = 0
+)
+SELECT s.vec_id, s.label,
+       round({_COS_SQL.format(a='s.embedding', b='q.qvec')}, 5) + 0.0 AS cos_sim
+FROM sigs s CROSS JOIN q
+WHERE s.vec_id <> 0
+  AND (s.b0 = q.qb0 OR s.b1 = q.qb1 OR s.b2 = q.qb2 OR s.b3 = q.qb3)
+ORDER BY cos_sim DESC, s.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("q_knn_cosine_lsh_exact", oracle=_LSH_EXACT_ORACLE)
+def q_knn_cosine_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection ANN with a full DuckDB oracle: the same banded
+    candidate generation and exact re-rank as :func:`q_knn_cosine_lsh`,
+    but against the LITERAL ±1 plane matrix (``_LSH_SIGNS``) instead of
+    xxhash parity — both engines fold identical constants, so buckets,
+    candidates and the rounded top-10 hash-match exactly.  The oracle
+    expresses candidacy as "shares ≥1 of 4 band signatures with the
+    query", the set-level meaning of the engine's band equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    with_sig = emb.select(
+        "vec_id", "label", "embedding", _lsh_bits_literal(F.col("embedding")).alias("sig")
+    )
+    bpb = _N_PLANES // 4  # 4 bands × 4 bits
+    banded = with_sig.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.element_at("sig", b * bpb + r + 1).cast("string")
+                                for r in range(bpb)
+                            ],
+                        ).alias("bsig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select(
+        "vec_id", "label", "embedding",
+        F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"),
+    )
+    qb = F.broadcast(
+        banded.where(F.col("vec_id") == 0).select(
+            F.col("band").alias("qband"),
+            F.col("bsig").alias("qbsig"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    cand = (
+        banded.where(F.col("vec_id") != 0)
+        .join(
+            qb,
+            (F.col("band") == F.col("qband")) & (F.col("bsig") == F.col("qbsig")),
+        )
+        .select("vec_id", "label", "embedding", "qvec")
+        .dropDuplicates(["vec_id"])
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            _round5(cosine_sim(F.col("embedding"), F.col("qvec"))).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 @register("q_knn_cosine_lsh")  # rows-only: LSH bucketing has no SQL oracle
 def q_knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-linear ANN for the same query as ``q_knn_cosine``: sign-random-

@@ -105,6 +105,7 @@ GRADING_ORDER: list[str] = [
     "q_stream_user_counter_exec",
     "q_dedup_near_exact",
     "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",
