@@ -776,6 +776,139 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-oracle SimHash: engine-portable token hashing (round 5).
+#
+# q_dedup_simhash is rows-only because its per-token xxhash64 has no DuckDB
+# equivalent.  This variant swaps in the repo's portable md5 → 15-hex-digit
+# → 60-bit hash (same arithmetic as the MinHash exact twin above); every
+# step after the hash — weighted bit sums, sign threshold, fingerprint
+# assembly, pigeonhole banding, Hamming verify — is INTEGER arithmetic, so
+# the whole pipeline is bit-identical cross-engine with no float margins
+# at all.  60 bits = 4 pigeonhole chunks × 15 bits (the hash is positive
+# < 2^60, so no shift ever touches the sign bit on either engine).
+# ---------------------------------------------------------------------------
+
+_SIMX_BITS = 60
+_SIMX_CHUNKS = 4
+_SIMX_BPC = _SIMX_BITS // _SIMX_CHUNKS  # 15-bit chunks
+_SIMX_MAX_HAMMING = 3
+
+_SIMHASH_EXACT_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, tok, count(*) AS tc,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok
+),
+bits AS (
+    SELECT doc_id, b, CAST(sum(tc * (((h >> b) & 1) * 2 - 1)) AS BIGINT) AS s
+    FROM tf CROSS JOIN (SELECT unnest(generate_series(0, {_SIMX_BITS - 1})) AS b)
+    GROUP BY doc_id, b
+),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS fingerprint
+    FROM bits GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id, fingerprint, c AS band,
+           (fingerprint >> (c * {_SIMX_BPC})) & {(1 << _SIMX_BPC) - 1} AS cval
+    FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_SIMX_CHUNKS - 1})) AS c)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.cval = b.cval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {_SIMX_MAX_HAMMING}
+"""
+
+
+@register("q_dedup_simhash_exact", oracle=_SIMHASH_EXACT_ORACLE)
+def q_dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a full DuckDB oracle — the exact-graded
+    companion to :func:`q_dedup_simhash` (see the module-level
+    portable-hash note).  Same scale shape: one token explode + one
+    groupBy computing the 60 weighted bit sums, pigeonhole banding on
+    4×15-bit chunks, candidates from a (band, chunk-value) equi-join —
+    never an all-pairs scan — and ``bit_count(xor)`` verification on
+    candidates only.  q_dedup_simhash stays the performance registration
+    (xxhash64 beats an md5 per distinct token)."""
+    from ..functions.textfns import tokens
+
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    bit_sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tc")
+                * (F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(_SIMX_BITS)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(_SIMX_BITS):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    fps = bit_sums.select("doc_id", fp.alias("fingerprint"))
+    banded = fps.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band"),
+                        F.shiftright(F.col("fingerprint"), c * _SIMX_BPC)
+                        .bitwiseAND(F.lit((1 << _SIMX_BPC) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(_SIMX_CHUNKS)
+                ]
+            )
+        ).alias("bc"),
+    ).select(
+        "doc_id", "fingerprint",
+        F.col("bc.band").alias("band"), F.col("bc.cval").alias("cval"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= _SIMX_MAX_HAMMING)
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int = 10
 ) -> DataFrame:

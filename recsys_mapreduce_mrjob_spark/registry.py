@@ -106,6 +106,8 @@ GRADING_ORDER: list[str] = [
     "q_dedup_near_exact",
     "q_dedup_components_exact",
     "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",
