@@ -45,6 +45,8 @@ list_inner_product(list_transform({a}, x -> CAST(x AS DOUBLE)),
                              list_transform({b}, x -> CAST(x AS DOUBLE)))))
 """
 
+_KNN_KERNEL_MIN_ROWS = 100_000
+
 
 @register(
     "q_knn_cosine",
@@ -59,10 +61,94 @@ LIMIT 10
 """,
 )
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-10 nearest neighbors of vec_id 0 by cosine: broadcast the
-    query vector (with its norm prehoisted), score the corpus in one scan —
-    one dot fold + one row-norm fold per row instead of three — and
-    heap-select the top-k (ranked on the ROUNDED score, vec_id tie-break)."""
+    """Exact top-10 nearest neighbors of vec_id 0 by cosine — one corpus
+    scan, no shuffle, heap top-k on the ROUNDED score with a vec_id
+    tie-break; at 100 TB this is the correct exact algorithm and it
+    parallelizes embarrassingly.
+
+    Data-dependent physical dispatch (same pattern as the GEMM tile
+    count): below ``_KNN_KERNEL_MIN_ROWS`` the scoring runs as a pure
+    Catalyst fold (:func:`knn_cosine_fold` — no Python boundary, which
+    MEASURES faster when the per-row work can't amortize the Arrow
+    worker round-trip: 0.38 s vs 0.57 s at the 2k-row bench scale);
+    above it, as a vectorized float64 GEMV ``mapInArrow`` kernel
+    (:func:`knn_cosine_kernel` — ~100× lower per-row cost than the
+    ~64 interpreted lambda steps of the fold, the q_dedup_embedding
+    kernel shape).  Both paths produce identical rounded scores (pinned
+    with boundary margins by tests/test_scale_knobs.py); the row count
+    is a driver-side parquet-footer read, no Spark job."""
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        n = _pq.ParquetFile(
+            _os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        n = 0  # unreadable footer → fold path
+    if n < _KNN_KERNEL_MIN_ROWS:
+        return knn_cosine_fold(spark, sf_dir)
+    return knn_cosine_kernel(spark, sf_dir)
+
+
+def knn_cosine_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized scale path of :func:`q_knn_cosine`: fetch the
+    single query vector to the driver (one row — the same constant-size
+    eager lookup as the IVF probe list), score the whole corpus in one
+    ``mapInArrow`` pass (float64 GEMV per Arrow batch), top-k on the
+    rounded score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+
+    import numpy as np
+
+    qarr = np.asarray(qrow[0], dtype="float64")
+    qnrm = float(np.sqrt(qarr @ qarr))
+
+    def score(batches):
+        import pyarrow as pa
+
+        for rb in batches:  # mapInArrow streams RecordBatches
+            mat = (
+                rb.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype("float64", copy=False)
+                .reshape(rb.num_rows, -1)
+            )
+            # Same algebraic order as the Catalyst fold / DuckDB oracle:
+            # dot / (row_norm * query_norm).
+            nrm = np.sqrt((mat * mat).sum(axis=1))
+            cos = (mat @ qarr) / (nrm * qnrm)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("vec_id"),
+                    rb.column("label"),
+                    pa.array(cos, type=pa.float64()),
+                ],
+                names=["vec_id", "label", "cos_raw"],
+            )
+
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", "label")
+        .mapInArrow(score, "vec_id long, label int, cos_raw double")
+    )
+    return (
+        scored.select(
+            "vec_id", "label", _round5(F.col("cos_raw")).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def knn_cosine_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-Catalyst small-corpus path of :func:`q_knn_cosine` and
+    the equivalence baseline the kernel is tested against (broadcast
+    query vector, prehoisted norms, one dot fold + one row-norm fold
+    per row)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.broadcast(
         emb.where(F.col("vec_id") == 0)

@@ -577,3 +577,54 @@ def test_als_heldout_rmse_within_constant_baseline_factor(spark, sf_dir):
         F.sqrt(F.avg((F.lit(mean) - F.col("rating")) ** 2)).alias("x")
     ).first()["x"]
     assert rmse <= 1.15 * baseline, (rmse, baseline)
+
+
+def test_knn_kernel_matches_fold_with_margins(spark):
+    """The Arrow GEMV q_knn_cosine (round 5) must reproduce the Catalyst
+    fold formulation exactly at sf0.1 — same contract as the GEMM dedup:
+    rounded-score equality plus an explicit floor on the distance to the
+    round-to-5 boundary, so a regenerated dataset that collapses the
+    float margin fails HERE instead of as an opaque driver hash-FAIL."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.functions.vectors import dot, l2_norm
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+        knn_cosine_fold,
+        knn_cosine_kernel,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    # Force the kernel path (the registered query dispatches to the fold
+    # below _KNN_KERNEL_MIN_ROWS, so the bench corpus never exercises it).
+    kernel = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in knn_cosine_kernel(spark, SF01).collect()
+    ]
+    fold = [
+        (r.vec_id, r.label, r.cos_sim)
+        for r in knn_cosine_fold(spark, SF01).collect()
+    ]
+    assert kernel == fold
+    assert len(kernel) == 10
+
+    # Margin floor over the WHOLE corpus (top-k membership depends on
+    # every row's rounded score, not just the winners').
+    emb = load_table(spark, SF01, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = F.broadcast(
+        emb.where(F.col("vec_id") == 0)
+        .select(F.col("v").alias("qv"))
+        .withColumn("qn", l2_norm(F.col("qv")))
+    )
+    cos = dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * F.col("qn"))
+    margin = (
+        emb.where(F.col("vec_id") != 0)
+        .join(q)
+        .select(
+            F.min(
+                F.abs((cos * 1e5) - F.floor(cos * 1e5) - F.lit(0.5))
+            ).alias("m")
+        )
+        .first()["m"]
+    )
+    assert margin > 1e-4, margin  # ≥1e-9 on the raw cosine
