@@ -108,6 +108,7 @@ GRADING_ORDER: list[str] = [
     "q_knn_cosine_lsh_exact",
     "q_dedup_simhash_exact",
     "q_pagerank_exact",
+    "q_stream_session_exec",
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",

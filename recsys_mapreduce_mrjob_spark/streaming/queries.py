@@ -1,7 +1,7 @@
 """Declared queries that EXECUTE through Structured Streaming.
 
 The §J batch formulations (operators/events.py) are the oracle-graded
-twins; these two names run the same computations through a REAL streaming
+twins; these names run the same computations through a REAL streaming
 execution — ``readStream`` file source → watermarked stateful operator →
 ``availableNow`` drain into a memory sink — and return the sink's end
 state as the result relation (VERDICT r4 "What's missing" #3: the twins
@@ -32,7 +32,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .twins import run_to_memory, stateful_counter_stream, stream_events, tumbling_stream
+from .twins import (
+    run_to_memory,
+    session_stream,
+    stateful_counter_stream,
+    stream_events,
+    tumbling_stream,
+)
 
 # Memory-sink query names must be unique per session; queries may run more
 # than once (rehearsal + driver) in one process.
@@ -93,3 +99,46 @@ def q_stream_user_counter_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+@register(
+    "q_stream_session_exec",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, {_EPOCH} AS ts_epoch, event_id,
+           CASE WHEN {_EPOCH}
+                     - lag({_EPOCH}) OVER (PARTITION BY user_id
+                                           ORDER BY {_EPOCH} ASC, event_id ASC)
+                     > 1800
+                  OR lag({_EPOCH}) OVER (PARTITION BY user_id
+                                         ORDER BY {_EPOCH} ASC, event_id ASC) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+numbered AS (
+    SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_epoch ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flagged
+)
+SELECT user_id,
+       min(ts_epoch) AS session_start,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_idx
+""",
+)
+def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization executed through Structured Streaming: native
+    ``session_window`` (30-minute gap) with watermark-bounded state,
+    drained ``availableNow`` into a complete-mode memory sink — the
+    MERGING-window stateful operator, a genuinely different state-store
+    shape from the tumbling aggregate (windows coalesce as events
+    arrive).  Graded against the batch gaps-and-islands oracle of
+    ``q_window_session``; stream/batch boundary-convention equality is
+    additionally pinned by tests/test_streaming_twins.py."""
+    stream = session_stream(stream_events(spark, sf_dir))
+    sink = run_to_memory(
+        stream, f"q_stream_session_exec_{next(_SINK_SEQ)}", output_mode="complete"
+    )
+    return sink.select("user_id", "session_start", "n_events")
