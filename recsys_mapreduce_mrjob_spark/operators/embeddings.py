@@ -521,14 +521,25 @@ def _dist2_to(centroid: list, emb) -> "F.Column":
     )
 
 
-def kmeans_assign(emb: DataFrame, centroids: list) -> DataFrame:
+def kmeans_assign(
+    emb: DataFrame, centroids: list, rounded: bool = False
+) -> DataFrame:
     """Assign each vector to its nearest centroid (ties → lowest cluster
     id via (dist, cid) struct ordering).  Centroids ship as literals inside
-    the expression — the classic broadcast-the-model iteration step."""
+    the expression — the classic broadcast-the-model iteration step.
+
+    ``rounded=True`` ranks on the 6-rounded squared distance instead of
+    the raw one — the IVF argmax stabilization (cross-engine float noise
+    ~1e-15 sits far below the 1e-6 rounding step, so the DISCRETE
+    assignment decision is engine-portable; see :func:`q_kmeans_exact`)."""
     scored = F.array(
         *[
             F.struct(
-                _dist2_to(c, F.col("embedding")).alias("d2"),
+                (
+                    F.round(_dist2_to(c, F.col("embedding")), 6)
+                    if rounded
+                    else _dist2_to(c, F.col("embedding"))
+                ).alias("d2"),
                 F.lit(i).alias("cid"),
             )
             for i, c in enumerate(centroids)
@@ -544,7 +555,9 @@ def kmeans_assign(emb: DataFrame, centroids: list) -> DataFrame:
     )
 
 
-def kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5) -> DataFrame:
+def kmeans(
+    emb: DataFrame, k: int = 8, n_iter: int = 5, rounded: bool = False
+) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column.
 
     Init = the embeddings of vec_id 0..k−1 (no randomness, reproducible).
@@ -562,7 +575,7 @@ def kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5) -> DataFrame:
         .collect()
     )
     centroids = [[float(x) for x in r.embedding] for r in init]
-    assigned = kmeans_assign(emb, centroids)
+    assigned = kmeans_assign(emb, centroids, rounded=rounded)
     for _ in range(n_iter):
         comp = (
             assigned.select("cluster", F.posexplode("embedding").alias("i", "v"))
@@ -578,7 +591,7 @@ def kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5) -> DataFrame:
         for r in rows:
             new_centroids[r.cluster] = [float(x) for x in r.cvec]
         centroids = new_centroids
-        assigned = kmeans_assign(emb, centroids)
+        assigned = kmeans_assign(emb, centroids, rounded=rounded)
     return assigned
 
 
@@ -593,6 +606,91 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster",
         (F.round(F.sqrt("dist2"), 5) + F.lit(0.0)).alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-oracle k-means (round 5): like PageRank, a FIXED Lloyd iteration
+# count unrolls into a CTE chain — assignment (cross join to the k-row
+# centroid relation, argmin) and centroid refresh (per-(cluster, position)
+# avg) per round.  Two float disciplines make it engine-portable:
+# (1) the DISCRETE assignment ranks on the 6-rounded squared distance
+# (cross-engine summation noise ~1e-15 « the 1e-6 step — the IVF argmax
+# stabilization), so both engines pick identical clusters; (2) centroids
+# themselves stay unrounded (their ~1e-16 cross-engine drift only
+# perturbs d2 by ~1e-15, absorbed by (1) — rounding them would ADD a
+# divergence source at the round boundary).  Empty clusters keep their
+# previous centroid on both engines (engine: dict update; oracle:
+# LEFT JOIN + COALESCE).
+# ---------------------------------------------------------------------------
+
+_KMX_K = 8
+_KMX_ITER = 5
+
+# Rounded squared distance from embedding row e to centroid list c.cvec.
+_KMX_D2 = """round(list_sum(list_transform(
+               generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6)"""
+
+
+def _kmx_iter_ctes(n_iter: int) -> str:
+    blocks = []
+    for t in range(n_iter + 1):  # n_iter+1 assignments, n_iter refreshes
+        blocks.append(f"""asg{t} AS (
+    SELECT vec_id, embedding, cid, d2r,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2r ASC, cid ASC) AS rn
+    FROM (SELECT e.vec_id, e.embedding, c.cid, {_KMX_D2} AS d2r
+          FROM embeddings e CROSS JOIN cent{t} c)
+),
+best{t} AS (SELECT vec_id, embedding, cid AS cluster, d2r
+            FROM asg{t} WHERE rn = 1)""")
+        if t < n_iter:
+            blocks.append(f"""upd{t} AS (
+    SELECT cid, list(c ORDER BY i) AS cvec FROM (
+        SELECT cluster AS cid, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
+        FROM (SELECT cluster, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM best{t})
+        GROUP BY cluster, i
+    ) GROUP BY cid
+),
+cent{t + 1} AS (
+    SELECT c0.cid, COALESCE(u.cvec, c0.cvec) AS cvec
+    FROM cent{t} c0 LEFT JOIN upd{t} u ON u.cid = c0.cid
+)""")
+    return ",\n".join(blocks)
+
+
+_KMEANS_EXACT_ORACLE = f"""
+WITH cent0 AS (
+    SELECT vec_id AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < {_KMX_K}
+),
+{_kmx_iter_ctes(_KMX_ITER)}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, d2r + 0.0 AS dist2_r
+FROM best{_KMX_ITER}
+"""
+
+
+@register("q_kmeans_exact", oracle=_KMEANS_EXACT_ORACLE)
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means with a full DuckDB oracle — the exact-graded companion to
+    :func:`q_kmeans_embeddings` (see the unrolled-iteration note above).
+    Identical engine path (:func:`kmeans`, k = 8, 5 rounds, vec_id 0..7
+    init) except assignments rank on the 6-rounded squared distance,
+    making every discrete cluster decision engine-portable; the graded
+    output is (vector, final cluster, rounded squared distance).
+    q_kmeans_embeddings stays the raw-distance rows-only registration
+    with the convergence pin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans(emb, k=_KMX_K, n_iter=_KMX_ITER, rounded=True)
+    return out.select(
+        "vec_id",
+        "cluster",
+        (F.col("dist2") + F.lit(0.0)).alias("dist2_r"),
     )
 
 

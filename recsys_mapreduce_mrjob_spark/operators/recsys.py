@@ -878,6 +878,135 @@ def q_topk_similar_dimsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_similar_dimsum(_cached_ratings(spark, sf_dir), k=10, gamma=15000.0)
 
 
+# ---------------------------------------------------------------------------
+# Exact-oracle DIMSUM (round 5): the sampling "randomness" is a
+# deterministic per-(user, pair) hash by design (speculative-task safety —
+# see dimsum_cosine), so swapping xxhash64 for the repo's portable
+# md5→60-bit hash makes the ENTIRE sampled estimator oracle-gradeable:
+# both engines draw the identical 6-digit uniform per co-rating, keep the
+# identical sample, and the estimate rounds to 6 far above the ~1e-15
+# norm-product noise.  The keep decision (u < γ/(‖x‖·‖y‖)) compares a
+# 1e-6-granular rational against a float whose cross-engine difference is
+# ~1e-16·p — a flip needs |u − p| < 1e-15, vanishingly unlikely and
+# data-checkable.
+# ---------------------------------------------------------------------------
+
+_DIMX_GAMMA = 15000.0
+_DIMX_SEED = 42
+_DIMX_K = 10
+
+_DIMSUM_EXACT_ORACLE = f"""
+WITH {RATINGS_ORACLE_CTE},
+norms AS (
+    SELECT item_id, sqrt(sum(rating * rating)) AS norm
+    FROM ratings GROUP BY item_id
+),
+r AS (
+    SELECT ra.user_id, ra.item_id, ra.rating, n.norm
+    FROM ratings ra JOIN norms n ON n.item_id = ra.item_id
+),
+kept AS (
+    SELECT a.item_id AS item_x, b.item_id AS item_y,
+           a.rating AS rx, b.rating AS ry,
+           least({_DIMX_GAMMA}, a.norm * b.norm) AS denom
+    FROM r a JOIN r b ON a.user_id = b.user_id AND a.item_id < b.item_id
+    WHERE (CAST(concat('0x', substr(md5(
+               a.user_id || ':' || a.item_id || ':' || b.item_id
+                         || ':{_DIMX_SEED}'), 1, 15)) AS BIGINT)
+           % 1000000) / 1e6
+          < least(1.0, {_DIMX_GAMMA} / (a.norm * b.norm))
+),
+est AS (
+    SELECT item_x, item_y,
+           count(*) AS n_sampled,
+           round(sum(rx * ry) / min(denom), 6) + 0.0 AS cos_est
+    FROM kept GROUP BY item_x, item_y
+)
+SELECT item_x, item_y, cos_est, n_sampled, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY item_x ORDER BY cos_est DESC, item_y ASC
+    ) AS BIGINT) AS rank FROM est
+) WHERE rank <= {_DIMX_K}
+"""
+
+
+@register("q_topk_similar_dimsum_exact", oracle=_DIMSUM_EXACT_ORACLE)
+def q_topk_similar_dimsum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM-sampled top-K with a full DuckDB oracle — the exact-graded
+    companion to :func:`q_topk_similar_dimsum` (see the portable-hash
+    note above).  Same estimator, same γ/seed/k; only the uniform draw
+    changes (md5-derived instead of xxhash64) and the per-pair constant
+    denominator aggregates via ``min`` (= ``first`` on a constant, but
+    order-free on both engines).  The xxhash64 form stays the
+    performance registration."""
+    ratings = _cached_ratings(spark, sf_dir)
+    gamma = _DIMX_GAMMA
+    norms = ratings.groupBy("item_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm")
+    )
+    r = ratings.join(norms, "item_id")
+    a = r.select(
+        "user_id",
+        F.col("item_id").alias("item_x"),
+        F.col("rating").alias("rx"),
+        F.col("norm").alias("nx"),
+    )
+    b = r.select(
+        "user_id",
+        F.col("item_id").alias("item_y"),
+        F.col("rating").alias("ry"),
+        F.col("norm").alias("ny"),
+    )
+    pairs = a.join(b, "user_id").where(F.col("item_x") < F.col("item_y"))
+    denom = F.least(F.lit(gamma), F.col("nx") * F.col("ny"))
+    p_keep = F.least(F.lit(1.0), F.lit(gamma) / (F.col("nx") * F.col("ny")))
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id"),
+                            F.col("item_x"),
+                            F.col("item_y"),
+                            F.lit(str(_DIMX_SEED)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        ).cast("double")
+        / 1e6
+    )
+    est = (
+        pairs.where(u < p_keep)
+        .groupBy("item_x", "item_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            (F.sum(F.col("rx") * F.col("ry")) / F.min(denom)).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("item_x").orderBy(
+        F.desc(F.round("cos_raw", 6)), F.asc("item_y")
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _DIMX_K)
+        .select(
+            "item_x",
+            "item_y",
+            round6(F.col("cos_raw")).alias("cos_est"),
+            "n_sampled",
+            "rank",
+        )
+    )
+
+
 @register("q_recommend_als")  # rows-only: iterative MF, not SQL-expressible
 def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 recommendations per user from MLlib ALS matrix factorization —

@@ -109,6 +109,8 @@ GRADING_ORDER: list[str] = [
     "q_dedup_simhash_exact",
     "q_pagerank_exact",
     "q_stream_session_exec",
+    "q_kmeans_exact",
+    "q_topk_similar_dimsum_exact",
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",
