@@ -15,7 +15,7 @@ Timing contract (matches how BASELINE.md's DuckDB numbers were taken):
 one shared SparkSession (JVM startup excluded, as DuckDB's import/connect
 is), per query one untimed warmup run (JIT-compiles the generated
 whole-stage code — a fresh JVM's first-ever run pays ~12 s of JIT warmup
-no steady-state deployment would see), then the best of three timed runs
+no steady-state deployment would see), then the best of five timed runs
 to a full ``toPandas()`` — Arrow columnar fetch, the symmetric twin of
 the baseline's ``fetchdf()`` (round 4; both engines materialize the full
 result as a caller-side DataFrame.  Row-pickling ``collect()`` vs native
@@ -114,7 +114,7 @@ def main() -> None:
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
-    def timed_runs(name: str, data_dir: str, runs: int = 3) -> list[float]:
+    def timed_runs(name: str, data_dir: str, runs: int = 5) -> list[float]:
         spark.catalog.clearCache()
         registry.QUERIES[name](spark, data_dir).toPandas()  # warmup
         samples = []
@@ -125,12 +125,14 @@ def main() -> None:
             samples.append(round(time.monotonic() - t0, 3))
         return samples
 
-    # Best-of-3 at the headline SF: co-tenant CPU noise on this box was
-    # measured at ±50% between back-to-back runs; two samples are not
-    # enough to see through it.  Raw per-run samples ship in the JSON
-    # (VERDICT r3 #7) so a round-over-round regression is separable from
-    # noise.
-    all_runs = {name: timed_runs(name, sf_dir, runs=3) for name in to_run}
+    # Best-of-5 at the headline SF (round 5; was best-of-3): co-tenant
+    # CPU noise on this box comes in waves measured at ±50% between
+    # back-to-back runs, and three samples can all land inside one wave.
+    # The DuckDB twins are measured under the SAME best-of-5 contract
+    # (tools/bench_duckdb_twins.py), so the bar tightens symmetrically.
+    # Raw per-run samples ship in the JSON (VERDICT r3 #7) so a
+    # round-over-round regression is separable from noise.
+    all_runs = {name: timed_runs(name, sf_dir, runs=5) for name in to_run}
     timings = {name: min(rs) for name, rs in all_runs.items()}
 
     out = {
@@ -150,7 +152,7 @@ def main() -> None:
         }
         if os.path.isdir(small_dir):
             # Per-query fixed-overhead estimate: same plan at sf0.001, same
-            # best-of-3 (the estimate is as noise-exposed as the timing; an
+            # best-of-5 (the estimate is as noise-exposed as the timing; an
             # overhead sample above the sf0.1 time clamps the adjusted ratio
             # to 0 = "data work indistinguishable from fixed cost").  CAVEAT
             # (ADVICE r3): the sf0.001 run still does real (100×-smaller)
@@ -158,7 +160,7 @@ def main() -> None:
             # overstate the fixed cost and vs_baseline_adj understate the
             # ratio — raw vs_baseline is always printed alongside.
             overhead = {
-                name: round(min(timed_runs(name, small_dir, runs=3)), 3)
+                name: round(min(timed_runs(name, small_dir, runs=5)), 3)
                 for name in to_run
             }
             out["overhead_sec"] = overhead

@@ -814,7 +814,9 @@ fp AS (
                          ELSE 0 END) AS BIGINT) AS fingerprint
     FROM bits GROUP BY doc_id
 ),
-banded AS (
+banded AS MATERIALIZED (
+    -- MATERIALIZED: the candidate stage self-joins banded; inlined, the
+    -- 60-aggregate bit-sum derivation would run twice.
     SELECT doc_id, fingerprint, c AS band,
            (fingerprint >> (c * {_SIMX_BPC})) & {(1 << _SIMX_BPC) - 1} AS cval
     FROM fp CROSS JOIN (SELECT unnest(generate_series(0, {_SIMX_CHUNKS - 1})) AS c)

@@ -647,6 +647,9 @@ def _kmx_iter_ctes(n_iter: int) -> str:
 best{t} AS (SELECT vec_id, embedding, cid AS cluster, d2r
             FROM asg{t} WHERE rn = 1)""")
         if t < n_iter:
+            # cent{t+1} MATERIALIZED: each level references cent{t} twice
+            # (carry LEFT JOIN + via the assignment), so an inlining
+            # planner would recompute level t's whole chain 2^t times.
             blocks.append(f"""upd{t} AS (
     SELECT cid, list(c ORDER BY i) AS cvec FROM (
         SELECT cluster AS cid, i, avg(CAST(embedding[i] AS DOUBLE)) AS c
@@ -656,7 +659,7 @@ best{t} AS (SELECT vec_id, embedding, cid AS cluster, d2r
         GROUP BY cluster, i
     ) GROUP BY cid
 ),
-cent{t + 1} AS (
+cent{t + 1} AS MATERIALIZED (
     SELECT c0.cid, COALESCE(u.cvec, c0.cvec) AS cvec
     FROM cent{t} c0 LEFT JOIN upd{t} u ON u.cid = c0.cid
 )""")

@@ -117,7 +117,7 @@ _PR_ITER_CTES = ",\n".join(
 
 _PAGERANK_EXACT_ORACLE = f"""
 WITH {RATINGS_ORACLE_CTE},
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT a.item_id AS item_x, b.item_id AS item_y, count(*) AS n_common
     FROM ratings a JOIN ratings b
       ON a.user_id = b.user_id AND a.item_id < b.item_id
@@ -130,7 +130,12 @@ sym AS (
     SELECT item_y AS src, item_x AS dst, CAST(n_common AS DOUBLE) AS w FROM pairs
 ),
 wdeg AS (SELECT src, sum(w) AS wd FROM sym GROUP BY src),
-norm AS (SELECT s.src, s.dst, s.w / d.wd AS p FROM sym s JOIN wdeg d ON d.src = s.src),
+-- MATERIALIZED: the 5 unrolled iterations reference norm once each; an
+-- inlining planner would otherwise recompute the ratings pair join per
+-- iteration (measured: OOM at sf0.1 under co-tenant memory pressure).
+norm AS MATERIALIZED (
+    SELECT s.src, s.dst, s.w / d.wd AS p FROM sym s JOIN wdeg d ON d.src = s.src
+),
 nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM norm),
 pr0 AS (SELECT DISTINCT src AS id, 1.0 / (SELECT n FROM nn) AS pr FROM norm),
 {_PR_ITER_CTES}

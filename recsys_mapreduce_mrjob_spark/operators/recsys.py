@@ -901,7 +901,9 @@ norms AS (
     SELECT item_id, sqrt(sum(rating * rating)) AS norm
     FROM ratings GROUP BY item_id
 ),
-r AS (
+r AS MATERIALIZED (
+    -- MATERIALIZED: the pair stage self-joins r; inlined, the ratings
+    -- derivation + norm join would run twice.
     SELECT ra.user_id, ra.item_id, ra.rating, n.norm
     FROM ratings ra JOIN norms n ON n.item_id = ra.item_id
 ),

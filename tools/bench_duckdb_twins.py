@@ -16,7 +16,7 @@ Jaccard verification on the hashed sets at >= 0.8 — written with
 DuckDB's own `hash()`: identical work shape and candidate-generation
 strategy, engine-native hash.
 
-Contract matches BASELINE.md (round 4): warm run first, then best-of-3
+Contract matches BASELINE.md (round 5): warm run first, then best-of-5
 timed `fetchdf()` runs on one connection — the DataFrame-fetch API, the
 symmetric twin of bench.py's Spark `toPandas()` (both engines materialize
 the full result on the caller as a columnar frame; round 2-3 timed
@@ -124,7 +124,7 @@ def main() -> None:
     for name, sql in twins.items():
         rows = len(con.execute(sql).fetchdf())  # warm run
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.monotonic()
             con.execute(sql).fetchdf()
             samples.append(round(time.monotonic() - t0, 3))
