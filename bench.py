@@ -97,20 +97,23 @@ def main() -> None:
     # by tools/bench_duckdb_twins.py on this box this round with the
     # symmetric fetchdf() contract (see timing-contract note above).
     # Valid only at sf=0.1.
+    # Round-5 final twins: best-of-5 fetchdf() on an IDLE box (stricter
+    # than the mid-round co-tenant-loaded measurements; BASELINE.md keeps
+    # both).  tools/bench_duckdb_twins.py regenerates.
     baseline_sf01 = {
-        "q_agg_pricing_summary": 0.111,
-        "q_join_agg_q3": 0.067,
-        "q_join_broadcast": 0.06,
-        "q_window_topk_per_group": 0.084,
-        "q_window_tumbling": 0.016,
-        "q_topk_similar_items": 0.896,
-        "q_knn_cosine": 0.011,
-        "q_dedup_exact": 0.011,
-        "q_text_wordcount": 0.042,
-        "q_text_tfidf": 0.148,
-        "q_dedup_near": 0.465,
-        "q_knn_cosine_ivf": 0.079,
-        "q_dedup_embedding": 3.013,
+        "q_agg_pricing_summary": 0.068,
+        "q_join_agg_q3": 0.054,
+        "q_join_broadcast": 0.048,
+        "q_window_topk_per_group": 0.065,
+        "q_window_tumbling": 0.012,
+        "q_topk_similar_items": 0.638,
+        "q_knn_cosine": 0.008,
+        "q_dedup_exact": 0.009,
+        "q_text_wordcount": 0.03,
+        "q_text_tfidf": 0.089,
+        "q_dedup_near": 0.505,
+        "q_knn_cosine_ivf": 0.056,
+        "q_dedup_embedding": 2.968,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
