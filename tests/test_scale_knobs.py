@@ -628,3 +628,122 @@ def test_knn_kernel_matches_fold_with_margins(spark):
         .first()["m"]
     )
     assert margin > 1e-4, margin  # ≥1e-9 on the raw cosine
+
+
+def test_exact_twin_rounding_margins(spark):
+    """The round-5 float-sensitive exact twins (pagerank, k-means, DIMSUM)
+    grade rounded doubles whose cross-engine noise is ~1e-15; like the
+    GEMM dedup margin test above, assert the testdata keeps a wide berth
+    to every rounding boundary so a regenerated dataset that collapses a
+    margin fails HERE, loudly, not as an opaque driver hash-FAIL."""
+    from pyspark.sql import functions as F
+
+    def min_boundary_margin(df, col, scale):
+        """Distance of col·scale to the nearest .5 (the round() decision
+        boundary), minimized over the relation."""
+        x = F.col(col) * F.lit(float(scale))
+        return df.select(
+            F.min(F.abs(x - F.floor(x) - F.lit(0.5))).alias("m")
+        ).first()["m"]
+
+    # PageRank: graded value is round(pr·N, 6) — re-derive the unrounded
+    # pr·N and check its 1e6-scaled distance to the boundary.
+    from recsys_mapreduce_mrjob_spark.operators.graph import (
+        _PR_D,
+        _PR_ITER,
+        pagerank,
+    )
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        item_cooccurrence,
+    )
+
+    pairs = item_cooccurrence(_cached_ratings(spark, SF01), min_support=2)
+    edges = pairs.select(
+        F.col("item_x").alias("src"),
+        F.col("item_y").alias("dst"),
+        F.col("n_common").cast("double").alias("weight"),
+    ).unionByName(
+        pairs.select(
+            F.col("item_y").alias("src"),
+            F.col("item_x").alias("dst"),
+            F.col("n_common").cast("double").alias("weight"),
+        )
+    )
+    pr = pagerank(edges, d=_PR_D, n_iter=_PR_ITER, scaled=True)
+    m_pr = min_boundary_margin(pr, "pr", 1e6)
+    # Floor calibrated empirically: the MEASURED max Spark-vs-DuckDB
+    # delta on unrounded pr·N at sf0.1 is 2.2e-15 (20k nodes, this
+    # session); the sf0.1 data margin is 5.7e-12.  1e-6 scaled = 1e-12
+    # raw keeps a ≥450× berth over measured noise.
+    assert m_pr > 1e-6, m_pr
+
+    # k-means: the DISCRETE assignment ranks on round(d2, 6) — check the
+    # raw squared distances of the FINAL model's scoring pass.
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+        _KMX_ITER,
+        _KMX_K,
+        kmeans,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF01, "embeddings")
+    out = kmeans(emb, k=_KMX_K, n_iter=_KMX_ITER, rounded=False)
+    m_km = min_boundary_margin(out, "dist2", 1e6)
+    assert m_km > 1e-5, m_km  # ≥1e-11 margin on the raw d2
+
+    # DIMSUM: the keep decision compares the 1e-6-granular portable
+    # uniform against p = γ/(‖x‖·‖y‖); a cross-engine flip needs
+    # |u − p| within float noise of 0.  Assert the minimum gap over all
+    # sampled pairs (p < 1 side only — p ≥ 1 keeps everything).
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _DIMX_GAMMA,
+        _DIMX_SEED,
+    )
+
+    ratings = _cached_ratings(spark, SF01)
+    norms = ratings.groupBy("item_id").agg(
+        F.sqrt(F.sum(F.col("rating") * F.col("rating"))).alias("norm")
+    )
+    r = ratings.join(norms, "item_id")
+    a = r.select(
+        "user_id",
+        F.col("item_id").alias("item_x"),
+        F.col("norm").alias("nx"),
+    )
+    b = r.select(
+        "user_id",
+        F.col("item_id").alias("item_y"),
+        F.col("norm").alias("ny"),
+    )
+    pr_pairs = a.join(b, "user_id").where(F.col("item_x") < F.col("item_y"))
+    p_keep = F.lit(_DIMX_GAMMA) / (F.col("nx") * F.col("ny"))
+    u = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("user_id"),
+                            F.col("item_x"),
+                            F.col("item_y"),
+                            F.lit(str(_DIMX_SEED)),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        ).cast("double")
+        / 1e6
+    )
+    m_dx = (
+        pr_pairs.where(p_keep < 1.0)
+        .select(F.min(F.abs(u - p_keep)).alias("m"))
+        .first()["m"]
+    )
+    assert m_dx is None or m_dx > 1e-9, m_dx
