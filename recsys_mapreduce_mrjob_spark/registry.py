@@ -111,6 +111,7 @@ GRADING_ORDER: list[str] = [
     "q_stream_session_exec",
     "q_kmeans_exact",
     "q_topk_similar_dimsum_exact",
+    "q_stream_attribution_exec",
     "q_sample_stratified",
     "q_corpus_curation",
     "q_window_session",

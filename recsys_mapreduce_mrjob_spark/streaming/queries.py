@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from .twins import (
+    click_purchase_join_stream,
     run_to_memory,
     session_stream,
     stateful_counter_stream,
@@ -142,3 +143,35 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"q_stream_session_exec_{next(_SINK_SEQ)}", output_mode="complete"
     )
     return sink.select("user_id", "session_start", "n_events")
+
+
+@register(
+    "q_stream_attribution_exec",
+    oracle=f"""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       {_EPOCH.replace('ts', 'c.ts')} AS click_epoch,
+       {_EPOCH.replace('ts', 'p.ts')} AS purchase_epoch
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_attribution_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream attribution join executed through Structured
+    Streaming: clicks joined to the same user's purchases within the
+    following hour, BOTH sides watermarked with the time band in the
+    join condition (the only configuration in which an unbounded
+    stream–stream join can evict state), drained ``availableNow`` in
+    append mode.  Inner-join emissions are exact regardless of
+    micro-batch split, so the batch self-join SQL grades the streaming
+    execution; the full time-band comparison runs at µs precision on
+    both engines (epoch-second conversion happens only at output)."""
+    stream = click_purchase_join_stream(stream_events(spark, sf_dir))
+    return run_to_memory(
+        stream,
+        f"q_stream_attribution_exec_{next(_SINK_SEQ)}",
+        output_mode="append",
+    )
