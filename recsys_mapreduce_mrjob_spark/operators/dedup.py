@@ -346,7 +346,10 @@ _MH_SEED_VALUES = ", ".join(
 # banding → candidates → verified near-dup pairs.  Reused by the exact
 # near-dup oracle AND the recursive-CTE components oracle.
 _NEAR_EXACT_CTES = f"""{_SHINGLES_CTE},
-shh AS (
+shh AS MATERIALIZED (
+    -- MATERIALIZED: referenced by mh, sizes and BOTH sides of the
+    -- intersection join — inlined, the shingle derivation + md5 pass
+    -- would run four times (same hazard as the pagerank oracle OOM).
     SELECT DISTINCT doc_id,
            CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hs
     FROM sh
@@ -357,7 +360,7 @@ mh AS (
            min(CAST((CAST(a AS HUGEINT) * hs + b) % {_MH_P} AS BIGINT)) AS mh
     FROM shh CROSS JOIN seeds GROUP BY doc_id, i
 ),
-bands AS (
+bands AS MATERIALIZED (
     SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
            md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bsig
     FROM mh GROUP BY doc_id, i // {_ROWS_PER_BAND}
