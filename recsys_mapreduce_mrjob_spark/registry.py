@@ -52,15 +52,21 @@ GRADING_ORDER: list[str] = [
     "q_stateful_dedup_events",
     "q_events_funnel",
     "q_events_retention",
-    # -- slots 10-50: the 41 names whose latest green row is from the
-    #    round-2 data era (VERDICT r4 "Next round" #6) --
+    # -- slots 10-50: the r2-data-era re-grade cohort (VERDICT r4 "Next
+    #    round" #6 — its criterion covers EXACT queries).  The cohort's
+    #    two rows-only members (q_topk_similar_dimsum,
+    #    q_agg_approx_distinct) are swapped out for two never-graded
+    #    round-5 exact twins: a rows-only driver row is a bare row-count
+    #    recording, worth far less than a first hash-graded row for
+    #    q_topk_similar_dimsum_exact (which supersedes the displaced
+    #    dimsum slot) and q_dedup_near_exact (the fully-graded LSH). --
     "q_ratings_matrix",
     "q_user_stats",
     "q_item_rater_counts",
     "q_pairwise_stats",
     "q_item_similarity",
     "q_item_cooccurrence",
-    "q_topk_similar_dimsum",
+    "q_topk_similar_dimsum_exact",
     "q_recommend_topn",
     "q_scan_parquet",
     "q_project_expr",
@@ -79,7 +85,7 @@ GRADING_ORDER: list[str] = [
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_stats",
-    "q_agg_approx_distinct",
+    "q_dedup_near_exact",
     "q_agg_percentiles",
     "q_pivot_events",
     "q_agg_string_agg",
@@ -103,14 +109,14 @@ GRADING_ORDER: list[str] = [
     # ------------------------------------------------------------------
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
-    "q_dedup_near_exact",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
     "q_dedup_components_exact",
     "q_knn_cosine_lsh_exact",
     "q_dedup_simhash_exact",
     "q_pagerank_exact",
     "q_stream_session_exec",
     "q_kmeans_exact",
-    "q_topk_similar_dimsum_exact",
     "q_stream_attribution_exec",
     "q_sample_stratified",
     "q_corpus_curation",

@@ -45,7 +45,11 @@ R2_DATA_ERA = {
     "q_pairwise_stats",
     "q_item_similarity",
     "q_item_cooccurrence",
-    "q_topk_similar_dimsum",
+    # The cohort's two rows-only members are swapped for never-graded
+    # round-5 exact twins (see registry.py slots 10-50 comment): a
+    # rows-only driver row is a bare row-count recording, worth less
+    # than a first hash-graded row.
+    "q_topk_similar_dimsum_exact",
     "q_recommend_topn",
     "q_scan_parquet",
     "q_project_expr",
@@ -64,7 +68,7 @@ R2_DATA_ERA = {
     "q_agg_cube",
     "q_agg_grouping_sets",
     "q_agg_stats",
-    "q_agg_approx_distinct",
+    "q_dedup_near_exact",
     "q_agg_percentiles",
     "q_pivot_events",
     "q_agg_string_agg",
