@@ -39,15 +39,18 @@ ENTRIES = [
     ),
     (
         "q_topk_similar_items",
-        "Flagship R2→R14: ratings derivation (orders⋈lineitem) computed "
-        "once behind InMemoryTableScan (persisted fan-out), pair self-join "
-        "as a shuffled equi-join on user_id with the item_x<item_y residual, "
-        "then an explicit repartition on the PAIR key before the "
-        "sufficient-stats aggregation — the pair relation barely "
-        "deduplicates map-side (12.7M distinct of 13.1M events at sf0.1), "
-        "so shipping the narrow (ix, iy, rx, ry) rows once beats a "
-        "useless partial-agg pass shipping wide partial buffers; broadcast "
-        "joins for the rater counts, single window for top-K.",
+        "Flagship R2→R14, round-5 blocked sparse-Gram: the derivation "
+        "(lineitem scan + broadcast orders join) feeds a B-way tile "
+        "replicate (Generate ×B) and exactly ONE exchange, keyed on the "
+        "unordered tile pair (bi, bj) — the 13.1M-row co-rating pair "
+        "relation never exists in the plan; it lives only inside the "
+        "FlatMapGroupsInArrow kernel, which computes all five sufficient "
+        "stats, the per-item rater counts AND the (user, item) rating "
+        "aggregation (exact integer HALF_UP rounding) tile-locally, so "
+        "the shuffle ships |ratings|·B narrow rows (3M at sf0.1) instead "
+        "of the pair events.  Similarity is a pure projection on top; "
+        "top-K is the two-phase WindowGroupLimit (per-partition heads "
+        "before the item_x exchange).",
     ),
     (
         "q_agg_salted_twophase",
@@ -106,6 +109,24 @@ ENTRIES = [
         "cartesian product) with the length band and levenshtein threshold "
         "as join-time filters — the quadratic comparison is confined to "
         "blocks.",
+    ),
+    (
+        "q_dedup_simhash_exact",
+        "Portable-hash SimHash (round 5): the fingerprint derivation is "
+        "one token explode + one groupBy computing 60 weighted bit-sum "
+        "aggregates (all integer arithmetic — bit-identical to the DuckDB "
+        "oracle), and candidates come from a pigeonhole equi-join on the "
+        "4×15-bit (band, chunk) key — never an all-pairs scan; the exact "
+        "Hamming check (bit_count(xor)) runs on candidates only.",
+    ),
+    (
+        "q_topk_similar_dimsum_exact",
+        "DIMSUM sampled estimator, exact-graded (round 5): the "
+        "deterministic portable-hash keep-filter sits BETWEEN the user "
+        "self-join and the pair aggregation, so the pair shuffle the "
+        "aggregation pays shrinks by the sample rate — the γ knob trades "
+        "shuffle volume for estimate error at 100 TB while staying fully "
+        "reproducible (no rand(): retries and speculative tasks agree).",
     ),
 ]
 
