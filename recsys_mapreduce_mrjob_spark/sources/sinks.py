@@ -28,3 +28,23 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format LLM-pipeline tooling
+    expects; one JSON object per line, schema carried in the values."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC columnar sink — same pushdown/pruning story as parquet for
+    deployments standardized on the ORC ecosystem."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

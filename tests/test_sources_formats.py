@@ -71,3 +71,29 @@ def test_parquet_schema_evolution_merges(spark, tmp_path):
     assert merged.count() == 10
     assert merged.where(F.col("extra").isNull()).count() == 5
     assert merged.where(F.col("extra") == "new").count() == 5
+
+
+def test_same_relation_from_orc_and_jsonl_sinks(spark, sf_dir, tmp_path):
+    """The dedicated ORC and JSON-lines sinks round-trip the relation
+    byte-for-value; ORC scans push filters down like parquet (the plan
+    shows the ORC scan with PushedFilters)."""
+    from recsys_mapreduce_mrjob_spark.sources.sinks import write_jsonl, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    orc_dir = str(tmp_path / "nation_orc")
+    jsonl_dir = str(tmp_path / "nation_jsonl")
+    write_orc(nation, orc_dir)
+    write_jsonl(nation, jsonl_dir)
+
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    from_orc = spark.read.orc(orc_dir)
+    from_jsonl = spark.read.json(jsonl_dir, schema=schema)
+    expect = _multiset(nation)
+    assert _multiset(from_orc.select(*nation.columns)) == expect
+    assert _multiset(from_jsonl) == expect
+
+    plan = (
+        from_orc.where(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "n_regionkey" in plan
