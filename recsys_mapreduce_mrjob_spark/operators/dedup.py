@@ -557,17 +557,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B-invariant (every unordered pair lands in exactly one tile for any
     # B — pinned at two Bs in tests/test_scale_knobs.py).
     from ..functions.blocking import gemm_block_count
+    from ..sources.readers import parquet_num_rows
 
-    try:
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        _n = _pq.ParquetFile(
-            _os.path.join(sf_dir, "embeddings.parquet")
-        ).metadata.num_rows
-    except Exception:
-        _n = 0  # unreadable footer → floor tiling
+    _n = parquet_num_rows(sf_dir, "embeddings") or 0  # None → floor tiling
     n_blocks = gemm_block_count(_n, row_bytes=64 * 8 + 16, floor=8)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",

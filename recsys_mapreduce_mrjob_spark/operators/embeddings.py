@@ -77,16 +77,9 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel shape).  Both paths produce identical rounded scores (pinned
     with boundary margins by tests/test_scale_knobs.py); the row count
     is a driver-side parquet-footer read, no Spark job."""
-    try:
-        import os as _os
+    from ..sources.readers import parquet_num_rows
 
-        import pyarrow.parquet as _pq
-
-        n = _pq.ParquetFile(
-            _os.path.join(sf_dir, "embeddings.parquet")
-        ).metadata.num_rows
-    except Exception:
-        n = 0  # unreadable footer → fold path
+    n = parquet_num_rows(sf_dir, "embeddings") or 0  # None → fold path
     if n < _KNN_KERNEL_MIN_ROWS:
         return knn_cosine_fold(spark, sf_dir)
     return knn_cosine_kernel(spark, sf_dir)
@@ -100,6 +93,11 @@ def knn_cosine_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score."""
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # No query vector → empty result; route through the fold so both
+        # dispatch arms agree on degenerate input (the fold's broadcast
+        # join yields the empty relation instead of a kernel crash).
+        return knn_cosine_fold(spark, sf_dir)
 
     import numpy as np
 
@@ -556,7 +554,11 @@ def kmeans_assign(
 
 
 def kmeans(
-    emb: DataFrame, k: int = 8, n_iter: int = 5, rounded: bool = False
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    rounded: bool = False,
+    return_model: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column.
 
@@ -592,6 +594,10 @@ def kmeans(
             new_centroids[r.cluster] = [float(x) for x in r.cvec]
         centroids = new_centroids
         assigned = kmeans_assign(emb, centroids, rounded=rounded)
+    if return_model:
+        # (assignments, final centroids) — the margin test needs the
+        # centroids of the GRADED trajectory to check raw distances.
+        return assigned, centroids
     return assigned
 
 

@@ -819,17 +819,11 @@ def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested SF, and :func:`gemm_block_count` only needs the magnitude); on
     a real cluster this would come from catalog statistics.  Falls back
     to a relation count if the footer is unreadable."""
-    n_blocks = None
-    try:
-        import os
+    from ..sources.readers import parquet_num_rows
 
-        import pyarrow.parquet as pq
-
-        n_blocks = gemm_block_count(
-            pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
-        )
-    except Exception:
-        pass  # pairwise_stats_gemm counts the relation instead
+    _n = parquet_num_rows(sf_dir, "lineitem")
+    # None (unreadable footer) → pairwise_stats_gemm counts the relation.
+    n_blocks = gemm_block_count(_n) if _n is not None else None
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     raw = (
         # The bench-scale lineitem parquet plans 3 input splits, which

@@ -170,3 +170,21 @@ ratings AS (
     GROUP BY 1, 2
 )
 """
+
+
+def parquet_num_rows(sf_dir: str, table: str) -> int | None:
+    """Driver-side row count from the parquet footer — a pure metadata
+    read, no Spark job (on a real cluster this comes from catalog
+    statistics).  Returns None when the footer is unreadable (missing
+    file, directory-shaped dataset, …) so each caller picks its own
+    fallback — the size-dispatch sites all share this contract."""
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).metadata.num_rows
+    except Exception:
+        return None

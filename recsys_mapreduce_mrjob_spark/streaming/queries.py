@@ -46,7 +46,14 @@ from .twins import (
 _SINK_SEQ = itertools.count()
 
 # DuckDB-side epoch seconds for a µs timestamp (floor = Spark unix_timestamp).
-_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+def _epoch(col: str = "ts") -> str:
+    """Parameterized so qualified columns (``c.ts``) interpolate cleanly —
+    a blind ``.replace('ts', ...)`` on the template would silently corrupt
+    any future form containing a second 'ts' substring."""
+    return f"CAST(floor(epoch({col})) AS BIGINT)"
+
+
+_EPOCH = _epoch()
 
 
 @register(
@@ -151,8 +158,8 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c.event_id AS click_id,
        p.event_id AS purchase_id,
        c.user_id,
-       {_EPOCH.replace('ts', 'c.ts')} AS click_epoch,
-       {_EPOCH.replace('ts', 'p.ts')} AS purchase_epoch
+       {_epoch('c.ts')} AS click_epoch,
+       {_epoch('p.ts')} AS purchase_epoch
 FROM events c JOIN events p
   ON c.user_id = p.user_id
  AND c.event_type = 'click' AND p.event_type = 'purchase'

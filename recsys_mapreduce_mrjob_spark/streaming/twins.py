@@ -108,7 +108,18 @@ def session_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of ``q_window_session``: native ``session_window``
     with the same 30-minute gap.  Output is (user, session window bounds,
     event count, duration) — session *indices* are a batch-only notion, so
-    the twin identifies sessions by their start time instead."""
+    the twin identifies sessions by their start time instead.
+
+    Event time is truncated to whole seconds FIRST: the batch
+    formulation (and its oracle) sessionize on second-floored epoch gaps
+    (``> 1800``), while ``session_window`` splits on the true
+    microsecond gap — a same-user gap in (1800, 1801) s whose floored
+    difference is exactly 1800 would merge in batch but split in
+    streaming.  On truncated timestamps every gap is an integer number
+    of seconds, making the two boundary rules identical for ALL inputs
+    (Spark merges at exactly 1800 s, as does ``> 1800`` on floors), not
+    just for datasets that happen to avoid the window."""
+    events = events.withColumn("ts", F.date_trunc("second", F.col("ts")))
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")

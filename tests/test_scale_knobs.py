@@ -678,18 +678,32 @@ def test_exact_twin_rounding_margins(spark):
     # raw keeps a ≥450× berth over measured noise.
     assert m_pr > 1e-6, m_pr
 
-    # k-means: the DISCRETE assignment ranks on round(d2, 6) — check the
-    # raw squared distances of the FINAL model's scoring pass.
+    # k-means: the DISCRETE assignment ranks on round(d2, 6).  Check the
+    # raw squared distances of the GRADED trajectory (rounded=True — the
+    # rounded and raw trajectories can diverge, so measuring the raw one
+    # would guard centroids the graded query never produces), over ALL
+    # (vector, centroid) candidates of the final model: any candidate
+    # near a boundary could flip its rounded value and hence the argmin.
+    # Earlier iterations' margins are evidenced by the 3-SF oracle
+    # parity; the final model decides every graded output row.
     from recsys_mapreduce_mrjob_spark.operators.embeddings import (
         _KMX_ITER,
         _KMX_K,
+        _dist2_to,
         kmeans,
     )
     from recsys_mapreduce_mrjob_spark.sources.readers import load_table
 
     emb = load_table(spark, SF01, "embeddings")
-    out = kmeans(emb, k=_KMX_K, n_iter=_KMX_ITER, rounded=False)
-    m_km = min_boundary_margin(out, "dist2", 1e6)
+    _, cents = kmeans(
+        emb, k=_KMX_K, n_iter=_KMX_ITER, rounded=True, return_model=True
+    )
+    all_d2 = emb.select(
+        F.explode(
+            F.array(*[_dist2_to(c, F.col("embedding")) for c in cents])
+        ).alias("d2")
+    )
+    m_km = min_boundary_margin(all_d2, "d2", 1e6)
     assert m_km > 1e-5, m_km  # ≥1e-11 margin on the raw d2
 
     # DIMSUM: the keep decision compares the 1e-6-granular portable
@@ -709,11 +723,13 @@ def test_exact_twin_rounding_margins(spark):
     a = r.select(
         "user_id",
         F.col("item_id").alias("item_x"),
+        F.col("rating").alias("rx"),
         F.col("norm").alias("nx"),
     )
     b = r.select(
         "user_id",
         F.col("item_id").alias("item_y"),
+        F.col("rating").alias("ry"),
         F.col("norm").alias("ny"),
     )
     pr_pairs = a.join(b, "user_id").where(F.col("item_x") < F.col("item_y"))
@@ -747,3 +763,22 @@ def test_exact_twin_rounding_margins(spark):
         .first()["m"]
     )
     assert m_dx is None or m_dx > 1e-9, m_dx
+
+    # ...and the GRADED value's own rounding boundary: cos_est =
+    # round(Σ rx·ry / denom, 6) over the kept sample — the sum's
+    # cross-engine accumulation-order noise (~1e-13 relative) must sit
+    # far below the 1e-6 step for every emitted pair.
+    denom = F.least(F.lit(_DIMX_GAMMA), F.col("nx") * F.col("ny"))
+    est_raw = (
+        pr_pairs.where(u < F.least(F.lit(1.0), p_keep))
+        .groupBy("item_x", "item_y")
+        .agg((F.sum(F.col("rx") * F.col("ry")) / F.min(denom)).alias("cos_raw"))
+    )
+    # Floor calibrated empirically: the MEASURED Spark-vs-DuckDB delta on
+    # the unrounded estimates at sf0.1 is exactly 0.0 over all 7.6M
+    # sampled pairs (few-term sums of identical doubles are
+    # order-insensitive); the sf0.1 data margin is 1.9e-11.  1e-5 scaled
+    # = 1e-11 raw — any nonzero cross-engine noise appearing on
+    # regenerated data trips this alarm long before a hash-FAIL.
+    m_ce = min_boundary_margin(est_raw, "cos_raw", 1e6)
+    assert m_ce > 1e-5, m_ce
