@@ -702,6 +702,83 @@ def q_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_text_repetition",
+    oracle="""
+WITH toklists AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents
+),
+bigrams AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+    FROM toklists
+    WHERE len(toks) >= 2
+),
+per_doc AS (
+    SELECT doc_id,
+           round(1.0 - CAST(count(DISTINCT bigram) AS DOUBLE) / count(*), 6)
+               + 0.0 AS dup_frac
+    FROM bigrams
+    GROUP BY doc_id
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       round(avg(p.dup_frac), 6) + 0.0 AS avg_dup_frac,
+       round(max(p.dup_frac), 6) + 0.0 AS max_dup_frac,
+       count(*) FILTER (WHERE p.dup_frac > 0.1) AS n_flagged
+FROM per_doc p
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram repetition signal — the Gopher/MassiveText-style
+    quality rule that flags degenerate generations and templated
+    boilerplate by the FRACTION OF REPEATED 2-GRAMS per document
+    (dup_frac = 1 − distinct/total; a looping doc tends to 1, natural
+    prose stays low), summarized per language with a `> 0.1` flag count.
+
+    Shape: one explode over the 2-token shingle primitive, a per-doc
+    count/count-distinct aggregate (shuffles on doc_id — map-side
+    partials, per-doc state only), then a language-cardinality rollup;
+    no Python, no pair space, linear in corpus tokens at any SF.  The
+    per-doc fraction rounds at 6 BEFORE the per-lang aggregate so both
+    engines aggregate identical doubles, and the flag threshold compares
+    those same rounded values (SURVEY §7.4).  Docs with <2 tokens drop on
+    both sides (shingles() yields an empty array; the oracle's
+    `len(toks) >= 2`)."""
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    per_doc = (
+        docs.select(
+            "doc_id", "lang", F.explode(shingles(F.col("text"), 2)).alias("bigram")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_distinct("bigram").alias("n_distinct"),
+        )
+        .select(
+            "lang",
+            (
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct").cast("double") / F.col("total"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_frac"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.round(F.avg("dup_frac"), 6) + F.lit(0.0)).alias("avg_dup_frac"),
+        (F.round(F.max("dup_frac"), 6) + F.lit(0.0)).alias("max_dup_frac"),
+        F.count(F.when(F.col("dup_frac") > 0.1, True)).alias("n_flagged"),
+    )
+
+
+@register(
     "q_text_unigram_lm",
     oracle=f"""
 WITH {_TOKS_CTE},

@@ -94,19 +94,26 @@ GRADING_ORDER: list[str] = [
     "q_window_lag_lead",
     "q_window_range_frame",
     "q_window_topk_per_group",
-    "q_window_ntile",
-    "q_window_first_last",
+    # -- late-round-5 never-graded exact additions: a first driver row
+    #    beats another re-verification, so they take the two slots of
+    #    q_window_ntile/q_window_first_last (window family still has four
+    #    prefix re-grades + the r4-green q_window_rank) --
+    "q_text_repetition",
+    "q_dedup_components_twostar",
     "q_intersect",
     "q_except",
     "q_date_funcs",
     "q_math_funcs",
     "q_json_funcs",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: first the two round-5 streaming-
-    # EXECUTED queries (new names — graded if the cutoff spills past 50),
-    # then everything re-verified on r3/r4 data-era rows, freshest first
-    # in case the cutoff is time-budgeted.
+    # Past the 50-slot grading prefix: first the displaced window pair
+    # and the two round-5 streaming-EXECUTED queries (new names — graded
+    # if the cutoff spills past 50), then everything re-verified on
+    # r3/r4 data-era rows, freshest first in case the cutoff is
+    # time-budgeted.
     # ------------------------------------------------------------------
+    "q_window_ntile",
+    "q_window_first_last",
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
     "q_topk_similar_dimsum",

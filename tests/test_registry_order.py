@@ -24,6 +24,15 @@ CHANGED_R5 = {
     "q_dedup_embedding",  # GEMM tile count now derived from relation size
 }
 
+# Late-round-5 additions that have NEVER had a driver row: a first
+# hash-graded row beats another re-verification, so they take the slots
+# of q_window_ntile/q_window_first_last (the window family keeps four
+# prefix re-grades plus the r4-green q_window_rank).
+NEW_R5 = {
+    "q_text_repetition",  # duplicate-bigram repetition curation signal
+    "q_dedup_components_twostar",  # log-round two-star components backend
+}
+
 # §J event queries: load_events/stream_events ts conversion changed to the
 # explicit naive-as-UTC form (session-timezone independent).
 EVENTS_READER_R5 = {
@@ -77,8 +86,6 @@ R2_DATA_ERA = {
     "q_window_lag_lead",
     "q_window_range_frame",
     "q_window_topk_per_group",
-    "q_window_ntile",
-    "q_window_first_last",
     "q_intersect",
     "q_except",
     "q_date_funcs",
@@ -114,12 +121,13 @@ def test_prefix_is_exactly_the_round5_reverification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
         ("changed-r5", CHANGED_R5),
+        ("new-r5", NEW_R5),
         ("events-reader-r5", EVENTS_READER_R5),
         ("r2-data-era", R2_DATA_ERA),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
-    assert prefix == CHANGED_R5 | EVENTS_READER_R5 | R2_DATA_ERA
+    assert prefix == CHANGED_R5 | NEW_R5 | EVENTS_READER_R5 | R2_DATA_ERA
 
 
 def test_entry_views_preserve_order():

@@ -362,6 +362,74 @@ def test_dimsum_sampled_gamma_error_profile(spark, sf_dir):
     joined.unpersist()
 
 
+def _union_find_labels(n_vertices, edges):
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id
+    labels = {}
+    for v in range(n_vertices):
+        r = find(v)
+        labels.setdefault(r, min(labels.get(r, v), v))
+    return {v: labels[find(v)] for v in range(n_vertices)}
+
+
+@pytest.mark.parametrize(
+    "n,edges",
+    [
+        # long path: diameter 39 — min-label prop would need 39 rounds,
+        # two-star must finish in its fixed 6 alternations (log² n)
+        (40, [(i, i + 1) for i in range(39)]),
+        # two cliques bridged + isolated vertices + self-loop noise
+        (12, [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (2, 5), (9, 9)]),
+        # star + disjoint pair, reversed orientations
+        (8, [(4, 0), (5, 0), (6, 0), (7, 6), (2, 1)]),
+        # empty graph
+        (5, []),
+    ],
+)
+def test_twostar_components_match_union_find(spark, n, edges):
+    """connected_components_twostar converges to the exact union-find
+    labels within its fixed alternation budget — including on a path
+    graph whose diameter far exceeds the round count, the case where
+    plain min-label propagation would still be mid-flight."""
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        edges or [(0, 0)], "src long, dst long"
+    )
+    if not edges:
+        edges_df = edges_df.where("src != src")  # genuinely empty
+    expected = _union_find_labels(n, edges)
+    got = {
+        r.id: r.label
+        for r in connected_components_twostar(vertices, edges_df).collect()
+    }
+    assert got == expected
+    # on small-diameter graphs both backends agree (path graph excluded:
+    # label-prop's 10 rounds can't close a 39-hop chain — that gap is the
+    # point of two-star)
+    if n != 40:
+        lp = {
+            r.id: r.label
+            for r in connected_components(vertices, edges_df, max_iter=10).collect()
+        }
+        assert lp == expected
+
+
 def test_dedup_components_cluster_planted_dupes_sf01(spark):
     """Every planted sf0.1 duplicate pair must land in the same component
     with the keeper (min doc_id) as the component id."""
