@@ -943,7 +943,7 @@ def connected_components(
 
 
 def connected_components_twostar(
-    vertices: DataFrame, edges: DataFrame, max_rounds: int = 6
+    vertices: DataFrame, edges: DataFrame, max_rounds: int | None = None
 ) -> DataFrame:
     """Alternating large-star/small-star connected components.
 
@@ -970,6 +970,20 @@ def connected_components_twostar(
     the node id over the CURRENT edge set — which only ever shrinks
     toward one edge per non-root node — with ``localCheckpoint`` cutting
     the per-round lineage like the label-prop loop.
+
+    Termination (ADVICE r5): the loop runs TO THE FIXPOINT — it stops
+    when a round leaves the (distinct, max→min-oriented) edge set
+    unchanged, detected with a count + ``exceptAll`` emptiness check on
+    the already-``localCheckpoint``'d relation (two cheap jobs per round
+    next to the round's own shuffles).  A fixed round budget would
+    silently return wrong labels on inputs whose component structure
+    needs more rounds (a 2 000-node path graph mislabels ~97 % of its
+    vertices under a budget of 6); since the potential function strictly
+    decreases until the star fixpoint, an unchanged edge set IS
+    convergence, never a cycle.  ``max_rounds`` remains only as a safety
+    cap — ``None`` (default) derives a generous O(log² n) bound from the
+    edge count — and exhausting it RAISES rather than returning
+    non-converged labels.
     """
     e = (
         edges.select(
@@ -977,8 +991,18 @@ def connected_components_twostar(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    prev_count = e.count()
+    if max_rounds is None:
+        # Kiveris et al. prove O(log² n) rounds; 3·⌈log₂ m⌉ + 16 is far
+        # above every measured input (path-2000 converges in ~12) while
+        # still catching a genuine non-termination bug quickly.
+        max_rounds = 3 * max(prev_count, 2).bit_length() + 16
+    rounds = 0
+    while True:
+        prev = e
+        rounds += 1
         # -- large-star: symmetrize, group per node, point larger
         #    neighbors at min(N(u) ∪ {u}) --
         sym = e.select("a", "b").unionByName(
@@ -1013,6 +1037,20 @@ def connected_components_twostar(
             .distinct()
             .localCheckpoint(eager=True)  # cut the per-round lineage
         )
+        # -- fixpoint check: both relations are distinct sets, so equal
+        #    counts + empty difference ⇔ the round rewired nothing --
+        n_edges = e.count()
+        if n_edges == prev_count and e.exceptAll(prev).isEmpty():
+            break
+        prev_count = n_edges
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"connected_components_twostar: no fixpoint after "
+                f"{rounds} rounds ({n_edges} edges still changing) — "
+                f"raise max_rounds only if the input is a legitimate "
+                f"adversarial graph; an unchanged edge set is the only "
+                f"correct stopping condition"
+            )
     # At the fixpoint e is the star graph: one (node, component-min) edge
     # per non-root node; roots label themselves.
     roots = e.groupBy("a").agg(F.min("b").alias("label"))

@@ -387,7 +387,7 @@ def _union_find_labels(n_vertices, edges):
     "n,edges",
     [
         # long path: diameter 39 — min-label prop would need 39 rounds,
-        # two-star must finish in its fixed 6 alternations (log² n)
+        # two-star closes it in O(log² n) alternations to its fixpoint
         (40, [(i, i + 1) for i in range(39)]),
         # two cliques bridged + isolated vertices + self-loop noise
         (12, [(0, 1), (1, 2), (0, 2), (5, 6), (6, 7), (2, 5), (9, 9)]),
@@ -428,6 +428,44 @@ def test_twostar_components_match_union_find(spark, n, edges):
             for r in connected_components(vertices, edges_df, max_iter=10).collect()
         }
         assert lp == expected
+
+
+def test_twostar_runs_to_fixpoint_on_long_path(spark):
+    """ADVICE r5 regression: a fixed 6-round budget silently mislabeled
+    1935/2000 vertices of a 2000-node path graph.  The loop now iterates
+    until the edge set reaches its fixpoint (one round rewires nothing),
+    so every vertex of the single path component must carry label 0."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    n = 2000
+    vertices = spark.range(n).select(F.col("id"))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    labels = connected_components_twostar(vertices, edges).collect()
+    assert len(labels) == n
+    assert all(r.label == 0 for r in labels)
+
+
+def test_twostar_exhausted_cap_raises_not_silent(spark):
+    """The safety cap must RAISE when exhausted pre-fixpoint — never
+    return non-converged labels (the r5 silent-wrong failure mode)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        connected_components_twostar,
+    )
+
+    vertices = spark.range(64).select(F.col("id"))
+    edges = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_twostar(vertices, edges, max_rounds=1)
 
 
 def test_dedup_components_cluster_planted_dupes_sf01(spark):
