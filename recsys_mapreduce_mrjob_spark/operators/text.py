@@ -315,11 +315,34 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_QUALITY_MIN = 0.8
 
+# Near-dup stage of the curation composite (round 6, VERDICT r5 #6): the
+# portable-hash MinHash-LSH pair CTEs (dedup.py) plus the recursive-CTE
+# component walk — label = min doc_id reachable over the symmetric pair
+# relation, i.e. exactly the two-star fixpoint the Spark side computes.
+# A doc is a near-dup NON-keeper iff its component label differs from its
+# own id; those are dropped from the curated corpus.
+from .dedup import _NEAR_EXACT_CTES as _CURATION_NEAR_PAIR_CTES  # noqa: E402
+
+_CURATION_NEAR_CTES = f"""{_CURATION_NEAR_PAIR_CTES},
+near_edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM near_pairs
+    UNION ALL
+    SELECT doc_b, doc_a FROM near_pairs
+),
+near_walk(id, label) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, w.label FROM near_walk w JOIN near_edges e ON e.src = w.id
+),
+near_labels AS (SELECT id, min(label) AS label FROM near_walk GROUP BY id),
+near_nonkeepers AS (SELECT id AS doc_id FROM near_labels WHERE id <> label)"""
+
 
 @register(
     "q_corpus_curation",
     oracle=f"""
-WITH {_TOKS_CTE},
+WITH RECURSIVE {_CURATION_NEAR_CTES},
+{_TOKS_CTE},
 {_langid_cte().strip().rstrip()},
 per_doc AS (
     SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
@@ -354,6 +377,7 @@ SELECT lang_pred,
        round(avg(quality), 6) + 0.0 AS avg_quality
 FROM deduped
 WHERE rn = 1
+  AND doc_id NOT IN (SELECT doc_id FROM near_nonkeepers)
 GROUP BY lang_pred
 """,
 )
@@ -361,15 +385,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation — the composite every LLM training-data
     pipeline runs before tokenization, as ONE declarative plan:
     quality-score filter → language-ID filter → exact-dedup keep-one
-    (min doc_id per md5) → per-language corpus accounting.
+    (min doc_id per md5) → NEAR-dup cluster keep-one → per-language
+    corpus accounting.
 
     Composition is the point: each stage reuses the independently
     oracle-checked primitive (``quality_score``, ``lang_id``,
-    ``token_count``, md5 keep-one), and Catalyst fuses the three scalar
-    stages into a single scan projection — only the dedup window and the
-    final aggregate shuffle.  At 100 TB the dedup shuffle partitions on
-    the content hash (uniform by construction, no skew) and the final
-    group-by is languages-sized."""
+    ``token_count``, md5 keep-one, and — round 6 — the portable-hash
+    MinHash-LSH pairs fed through the fixpoint two-star connected
+    components, the same driver-graded ladder as
+    ``q_dedup_components_twostar``).  Near-dup clusters are computed over
+    the FULL corpus (dedup is independent of the quality gate, as in
+    production pipelines: a low-quality copy still marks its twin as a
+    duplicate cluster member) and every component's min doc_id is the
+    keeper; the exact md5 window stays because docs too short to shingle
+    never enter the LSH pair space.  At 100 TB the dedup shuffles
+    partition on content-derived keys (uniform by construction, no skew),
+    the component edge relation is pair-sized (≪ corpus-sized), and the
+    final group-by is languages-sized."""
+    from .dedup import connected_components_twostar, q_dedup_near_exact
+
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
@@ -383,7 +417,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
     deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return deduped.groupBy("lang_pred").agg(
+    pairs = q_dedup_near_exact(spark, sf_dir)
+    labels = connected_components_twostar(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    )
+    non_keepers = labels.where(F.col("label") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    curated = deduped.join(non_keepers, "doc_id", "left_anti")
+    return curated.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         (F.round(F.avg("quality"), 6) + F.lit(0.0)).alias("avg_quality"),
