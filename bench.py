@@ -143,7 +143,6 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "runs": all_runs,
         "sf": sf,
     }
     if sf == 0.1:
@@ -167,16 +166,40 @@ def main() -> None:
                 for name in to_run
             }
             out["overhead_sec"] = overhead
-            out["overhead_note"] = (
-                "overhead_sec = same-plan wall at sf0.001; includes residual "
-                "small-scale data work, so adjusted ratios are a lower bound"
-            )
             out["vs_baseline_adj"] = {
                 q: round(max(timings[q] - overhead[q], 0.0) / baseline_sf01[q], 2)
                 for q in timings
                 if q in baseline_sf01
             }
-    sys.stdout.write(json.dumps(out) + "\n")
+    # Output contract (VERDICT r5 #2): the driver keeps only the LAST
+    # ~2000 chars of stdout, and the r4/r5 JSON lines outgrew that window
+    # — the head was truncated and the driver recorded "parsed": null.
+    # So stdout carries exactly ONE compact JSON line, sized well inside
+    # the window: per-run samples, the baseline echo, and the overhead
+    # caveat (VERDICT r3 #7 wants the raw samples kept — they move to the
+    # sidecar + stderr, not away) are written to bench_details.json next
+    # to this script and mirrored on stderr.
+    details = dict(out)
+    details["runs"] = all_runs
+    if sf == 0.1:
+        details["baseline_sec"] = {
+            q: baseline_sf01[q] for q in timings if q in baseline_sf01
+        }
+        details["overhead_note"] = (
+            "overhead_sec = same-plan wall at sf0.001; includes residual "
+            "small-scale data work, so adjusted ratios are a lower bound"
+        )
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_details.json")
+    try:
+        with open(details_path, "w") as fh:
+            json.dump(details, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr mirror still has the details
+    sys.stderr.write(json.dumps(details) + "\n")
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) < 1900, f"stdout JSON too long for driver tail ({len(line)})"
+    sys.stdout.write(line + "\n")
     sys.stdout.flush()
     spark.stop()
 

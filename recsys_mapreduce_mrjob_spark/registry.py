@@ -24,180 +24,179 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–4: exactly the first 50), so registration order is the lever that decides
-# which operators get a driver correctness row.  Round-5 rotation (VERDICT r4
-# "Next round" #6): after r2 ∪ r3 ∪ r4, EVERY name has a driver row, so the
-# prefix now re-verifies staleness and this round's changes:
-#   flagship (re-registered as the blocked sparse-Gram pair stage)
-#   → q_array_funcs (the one red r4 row, head4 now projected to scalars)
-#   → q_dedup_embedding (GEMM tile count became data-dependent)
-#   → the 6 §J event queries (ts reader now converts naive-as-UTC
-#     explicitly) → the 41 names whose latest green row is from the
-#     round-2 data era.
-# tests/test_registry_order.py pins this contract.
+# 2–5: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-6 rotation (VERDICT r5
+# "Next round" #1/#3): flagship first, then the NINE round-5 names the driver
+# has never graded (4 streaming-executed + 5 exact twins), the new round-6
+# parquet-sink streaming query, the four r2-data-era rows, the two round-5
+# plan rewrites last graded on r4 plans, the two queries changed this round
+# (curation near-dup recompose, two-star fixpoint), the full r3-era cohort,
+# and a stalest-r4 fill.  tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
-    # -- slot 1: flagship (§2.2.I), re-registered round 5 as the blocked
-    #    sparse-Gram pair stage — needs a fresh driver row --
+    # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slot 2: the one red r4 row; head4 now projected to scalars --
-    "q_array_funcs",
-    # -- slot 3: GEMM tile count became data-dependent this round --
-    "q_dedup_embedding",
-    # -- slots 4-9: §J events — the ts reader changed to explicit
-    #    naive-as-UTC conversion; re-verify the family --
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_late_data_filter",
-    "q_stateful_dedup_events",
-    "q_events_funnel",
-    "q_events_retention",
-    # -- slots 10-50: the r2-data-era re-grade cohort (VERDICT r4 "Next
-    #    round" #6 — its criterion covers EXACT queries).  The cohort's
-    #    two rows-only members (q_topk_similar_dimsum,
-    #    q_agg_approx_distinct) are swapped out for two never-graded
-    #    round-5 exact twins: a rows-only driver row is a bare row-count
-    #    recording, worth far less than a first hash-graded row for
-    #    q_topk_similar_dimsum_exact (which supersedes the displaced
-    #    dimsum slot) and q_dedup_near_exact (the fully-graded LSH). --
-    "q_ratings_matrix",
-    "q_user_stats",
-    "q_item_rater_counts",
-    "q_pairwise_stats",
-    "q_item_similarity",
-    "q_item_cooccurrence",
-    "q_topk_similar_dimsum_exact",
-    "q_recommend_topn",
-    "q_scan_parquet",
-    "q_project_expr",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_join_selfpair",
-    "q_join_asof",
-    "q_join_salted_skew",
-    "q_join_fuzzy_names",
-    "q_audit_constraints",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_dedup_near_exact",
-    "q_agg_percentiles",
-    "q_pivot_events",
-    "q_agg_string_agg",
-    "q_agg_salted_twophase",
-    "q_window_running",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_topk_per_group",
-    # -- late-round-5 never-graded exact additions: a first driver row
-    #    beats another re-verification, so they take the two slots of
-    #    q_window_ntile/q_window_first_last (window family still has four
-    #    prefix re-grades + the r4-green q_window_rank) --
-    "q_text_repetition",
-    "q_dedup_components_twostar",
-    "q_intersect",
-    "q_except",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: first the displaced window pair
-    # and the two round-5 streaming-EXECUTED queries (new names — graded
-    # if the cutoff spills past 50), then everything re-verified on
-    # r3/r4 data-era rows, freshest first in case the cutoff is
-    # time-budgeted.
-    # ------------------------------------------------------------------
-    "q_window_ntile",
-    "q_window_first_last",
+    # -- slots 2-10: the nine round-5 queries the driver has NEVER
+    #    graded (VERDICT r5 #1 — highest-leverage fix: a first driver
+    #    row closes the only correctness gap): the four streaming-
+    #    EXECUTED queries, then the five exact twins --
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
-    "q_topk_similar_dimsum",
-    "q_agg_approx_distinct",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
     "q_dedup_components_exact",
     "q_knn_cosine_lsh_exact",
     "q_dedup_simhash_exact",
     "q_pagerank_exact",
-    "q_stream_session_exec",
     "q_kmeans_exact",
-    "q_stream_attribution_exec",
-    "q_sample_stratified",
-    "q_corpus_curation",
-    "q_window_session",
-    "q_agg_having_q11",
-    "q_map_funcs",
-    "q_cond_funcs",
-    "q_histogram",
-    "q_join_agg_q5",
-    "q_join_agg_q7",
-    "q_join_agg_q10",
-    "q_join_agg_q18",
-    "q_agg_q6_forecast",
-    "q_join_agg_q14",
-    "q_join_exists_q4",
-    "q_join_agg_q12",
-    "q_outer_agg_q13",
-    "q_join_or_q19",
-    "q_join_multi_exists_q21",
-    "q_anti_scalar_q22",
-    "q_text_unigram_lm",
-    "q_embedding_quantize",
-    "q_join_agg_q8",
-    "q_agg_max_q15",
-    "q_corr_scalar_q17",
-    "q_events_anomaly",
-    "q_graph_degree_stats",
-    "q_corr_min_q2",
-    "q_notin_distinct_q16",
-    "q_nested_exists_q20",
-    "q_join_agg_q9",
-    "q_text_contamination",
-    "q_multimodal_audio_windows",
-    "q_text_boilerplate",
-    "q_text_tfidf",
-    "q_dedup_jaccard_pairs",
+    # -- slot 11: new round-6 query — the attribution join drained
+    #    through a real parquet file sink (VERDICT r5 #7) --
+    "q_stream_sink_parquet_exec",
+    # -- slots 12-15: the four names whose latest driver row is from
+    #    the ROUND-2 data era (two displaced window queries + the two
+    #    rows-only sketches) --
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
+    # -- slots 16-17: rewritten in round 5 (size-dispatched GEMV knn,
+    #    single-exchange tfidf) but last graded on the r4 plans --
     "q_knn_cosine",
-    "q_multimodal_features",
-    "q_udf_reg_corr",
-    "q_join_agg_q3",
-    "q_scan_pruned",
-    "q_filter_compound",
-    "q_join_inner",
-    "q_agg_pricing_summary",
-    "q_window_rank",
-    "q_topn_orders",
-    "q_union_all",
-    "q_recommend_als",
-    "q_text_wordcount",
-    "q_text_doc_stats",
-    "q_text_token_stats",
-    "q_text_quality",
-    "q_text_langid",
-    "q_text_winnow_pairs",
-    "q_text_bpe_tokens",
-    "q_sketch_countmin",
-    "q_text_bigrams",
+    "q_text_tfidf",
+    # -- slots 18-19: changed THIS round — curation now drops near-dup
+    #    component non-keepers (two-star ladder), and two-star itself
+    #    now iterates to an edge-set fixpoint --
+    "q_corpus_curation",
+    "q_dedup_components_twostar",
+    # -- slots 20-45: the full round-3 data-era cohort — every name
+    #    whose latest driver row is r3 (VERDICT r5 #3: converge all
+    #    rows onto the current data era) --
+    "q_dedup_components",
     "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_simhash",
-    "q_dedup_components",
-    "q_knn_per_label",
     "q_embedding_label_stats",
-    "q_knn_cosine_lsh",
     "q_kmeans_embeddings",
     "q_knn_cosine_ivf",
-    "q_pagerank_items",
+    "q_knn_cosine_lsh",
+    "q_knn_per_label",
     "q_multimodal_framesample",
     "q_multimodal_resize",
+    "q_pagerank_items",
+    "q_sample_reservoir_per_lang",
     "q_sample_split",
     "q_sample_weighted",
-    "q_sample_reservoir_per_lang",
-    "q_udf_znorm_per_user",
+    "q_sketch_countmin",
     "q_string_funcs",
+    "q_text_bigrams",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+    # -- slots 46-50: stalest-r4 fill — dedup/session/sampling/scalar
+    #    names nearest this round's touched modules --
+    "q_dedup_jaccard_pairs",
+    "q_window_session",
+    "q_sample_stratified",
+    "q_map_funcs",
+    "q_cond_funcs",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix: the remaining r4-era rows
+    # (freshest-first if the cutoff is time-budgeted), then the round-5
+    # all-green cohort, which needs re-verification least.
+    # ------------------------------------------------------------------
+    "q_agg_having_q11",
+    "q_agg_max_q15",
+    "q_agg_pricing_summary",
+    "q_agg_q6_forecast",
+    "q_anti_scalar_q22",
+    "q_corr_min_q2",
+    "q_corr_scalar_q17",
+    "q_embedding_quantize",
+    "q_events_anomaly",
+    "q_filter_compound",
+    "q_graph_degree_stats",
+    "q_histogram",
+    "q_join_agg_q10",
+    "q_join_agg_q12",
+    "q_join_agg_q14",
+    "q_join_agg_q18",
+    "q_join_agg_q3",
+    "q_join_agg_q5",
+    "q_join_agg_q7",
+    "q_join_agg_q8",
+    "q_join_agg_q9",
+    "q_join_exists_q4",
+    "q_join_inner",
+    "q_join_multi_exists_q21",
+    "q_join_or_q19",
+    "q_multimodal_audio_windows",
+    "q_multimodal_features",
+    "q_nested_exists_q20",
+    "q_notin_distinct_q16",
+    "q_outer_agg_q13",
+    "q_recommend_als",
+    "q_scan_pruned",
+    "q_text_boilerplate",
+    "q_text_contamination",
+    "q_text_unigram_lm",
+    "q_topn_orders",
+    "q_udf_reg_corr",
+    "q_union_all",
+    "q_window_rank",
+    # -- round-5 green cohort --
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_agg_rollup",
+    "q_agg_salted_twophase",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_array_funcs",
+    "q_audit_constraints",
+    "q_date_funcs",
+    "q_dedup_embedding",
+    "q_dedup_near_exact",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_except",
+    "q_intersect",
+    "q_item_cooccurrence",
+    "q_item_rater_counts",
+    "q_item_similarity",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_fuzzy_names",
+    "q_join_left",
+    "q_join_salted_skew",
+    "q_join_selfpair",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_json_funcs",
+    "q_late_data_filter",
+    "q_math_funcs",
+    "q_pairwise_stats",
+    "q_pivot_events",
+    "q_project_expr",
+    "q_ratings_matrix",
+    "q_recommend_topn",
+    "q_scan_parquet",
+    "q_stateful_dedup_events",
+    "q_text_repetition",
+    "q_topk_similar_dimsum_exact",
+    "q_user_stats",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_running",
+    "q_window_sliding",
+    "q_window_topk_per_group",
+    "q_window_tumbling",
 ]
 
 

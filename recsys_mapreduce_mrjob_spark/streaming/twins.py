@@ -165,6 +165,37 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+def run_to_parquet(df: DataFrame, name: str) -> DataFrame:
+    """Drain an append-mode streaming DataFrame to end-of-input
+    (``availableNow``) into a fresh parquet sink directory — the REAL
+    file-sink path with its exactly-once ``_spark_metadata`` commit log
+    and mandatory checkpoint — and read the directory back as a batch
+    DataFrame.
+
+    This is the production sink shape (swap the directory for the lake
+    path and ``availableNow`` for a continuous trigger); ``run_to_memory``
+    remains the in-process harness.  Append mode only: a file sink cannot
+    retract, so aggregations must be watermark-finalized — callers here
+    use emission-exact shapes (stream–stream inner joins, stateless
+    transforms) where append output equals the batch answer for any
+    micro-batch split.  The read-back passes the stream's own schema so
+    an empty result (no committed files) still yields the right relation.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=f"spark_sink_{name}_")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.read.schema(df.schema).parquet(f"{out}/data")
+
+
 def stateful_counter_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, value sum) maintained in the state store and

@@ -1,14 +1,14 @@
 """Pin the grading-order invariants (registry.GRADING_ORDER).
 
 The grading driver checks a PREFIX of the registered query names (rounds
-2-4: exactly the first 50), so registration order decides which operators
-receive a driver correctness row.  Round-5 contract: after r2 ∪ r3 ∪ r4
-every name has at least one driver row, so the prefix re-verifies what is
-stale or changed — the flagship (re-registered as the blocked sparse-Gram
-pair stage), q_array_funcs (the single red r4 row, head4 now projected to
-scalars), q_dedup_embedding (data-dependent GEMM tile count), the six §J
-event queries (the ts reader now converts naive-as-UTC explicitly), and
-the 41 names whose latest green row is from the round-2 data era.
+2-5: exactly the first 50), so registration order decides which operators
+receive a driver correctness row.  Round-6 contract (VERDICT r5 "Next
+round" #1/#3): the prefix first-grades the nine round-5 names the driver
+has never seen (4 streaming-executed queries + 5 exact twins) plus the
+new parquet-sink streaming query, then re-grades the r2-data-era rows,
+the two round-5 plan rewrites whose latest row is on the r4 plan, the
+two queries changed this round, and the full r3-era cohort, topped up
+with a stalest-r4 fill.
 """
 
 from __future__ import annotations
@@ -17,80 +17,81 @@ from recsys_mapreduce_mrjob_spark import registry
 
 PREFIX = 50
 
-# Implementation or output shape changed in round 5 — need a fresh row.
-CHANGED_R5 = {
-    "q_topk_similar_items",  # flagship: blocked sparse-Gram pair stage
-    "q_array_funcs",  # head4 array projected to scalar columns
-    "q_dedup_embedding",  # GEMM tile count now derived from relation size
+# Never graded by the driver (added late round 5, past the r5 cutoff) —
+# a first hash-graded row beats any re-verification (VERDICT r5 #1).
+NEVER_GRADED_R5 = {
+    "q_stream_tumbling_exec",
+    "q_stream_user_counter_exec",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
+    "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
+    "q_kmeans_exact",
 }
 
-# Late-round-5 additions that have NEVER had a driver row: a first
-# hash-graded row beats another re-verification, so they take the slots
-# of q_window_ntile/q_window_first_last (the window family keeps four
-# prefix re-grades plus the r4-green q_window_rank).
-NEW_R5 = {
-    "q_text_repetition",  # duplicate-bigram repetition curation signal
-    "q_dedup_components_twostar",  # log-round two-star components backend
-}
+# New this round: the attribution join drained through a real parquet
+# file sink (VERDICT r5 #7 — the memory sink was the only graded path).
+NEW_R6 = {"q_stream_sink_parquet_exec"}
 
-# §J event queries: load_events/stream_events ts conversion changed to the
-# explicit naive-as-UTC form (session-timezone independent).
-EVENTS_READER_R5 = {
-    "q_window_tumbling",
-    "q_window_sliding",
-    "q_late_data_filter",
-    "q_stateful_dedup_events",
-    "q_events_funnel",
-    "q_events_retention",
-}
-
-# Names whose latest green driver row is from round 2 — before the
-# testdata regeneration — per the CORRECTNESS_r02–r04 history
-# (VERDICT r4 "Next round" #6).
+# Latest driver row is from the ROUND-2 data era.
 R2_DATA_ERA = {
-    "q_ratings_matrix",
-    "q_user_stats",
-    "q_item_rater_counts",
-    "q_pairwise_stats",
-    "q_item_similarity",
-    "q_item_cooccurrence",
-    # The cohort's two rows-only members are swapped for never-graded
-    # round-5 exact twins (see registry.py slots 10-50 comment): a
-    # rows-only driver row is a bare row-count recording, worth less
-    # than a first hash-graded row.
-    "q_topk_similar_dimsum_exact",
-    "q_recommend_topn",
-    "q_scan_parquet",
-    "q_project_expr",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_broadcast",
-    "q_join_theta_range",
-    "q_join_selfpair",
-    "q_join_asof",
-    "q_join_salted_skew",
-    "q_join_fuzzy_names",
-    "q_audit_constraints",
-    "q_agg_distinct",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_stats",
-    "q_dedup_near_exact",
-    "q_agg_percentiles",
-    "q_pivot_events",
-    "q_agg_string_agg",
-    "q_agg_salted_twophase",
-    "q_window_running",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_topk_per_group",
-    "q_intersect",
-    "q_except",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_json_funcs",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
+}
+
+# Plans rewritten in round 5 (size-dispatched GEMV knn; single-exchange
+# tfidf) but last graded on the r4 plans (VERDICT r5 #2 of "What's
+# missing").
+REWRITTEN_R5_STALE_ROW = {"q_knn_cosine", "q_text_tfidf"}
+
+# Changed THIS round: curation now drops near-dup component non-keepers
+# through the two-star ladder, and two-star itself now iterates to an
+# edge-set fixpoint instead of a fixed 6-round budget (ADVICE r5).
+CHANGED_R6 = {"q_corpus_curation", "q_dedup_components_twostar"}
+
+# The full round-3 data-era cohort (VERDICT r5 #3: converge every name's
+# latest row onto the current data era).
+R3_DATA_ERA = {
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_embedding_label_stats",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_ivf",
+    "q_knn_cosine_lsh",
+    "q_knn_per_label",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pagerank_items",
+    "q_sample_reservoir_per_lang",
+    "q_sample_split",
+    "q_sample_weighted",
+    "q_sketch_countmin",
+    "q_string_funcs",
+    "q_text_bigrams",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+}
+
+# Stalest-r4 fill for the remaining slots, nearest this round's touched
+# modules (dedup / streaming-session / sampling / scalars).
+R4_FILL = {
+    "q_dedup_jaccard_pairs",
+    "q_window_session",
+    "q_sample_stratified",
+    "q_map_funcs",
+    "q_cond_funcs",
 }
 
 
@@ -117,17 +118,37 @@ def test_flagship_is_first():
     assert _loaded_names()[0] == "q_topk_similar_items"
 
 
-def test_prefix_is_exactly_the_round5_reverification_set():
+def test_never_graded_names_lead_the_prefix():
+    """The nine never-graded names sit in slots 2-10 — graded even if the
+    driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1:10])
+    assert head == NEVER_GRADED_R5
+
+
+def test_prefix_is_exactly_the_round6_verification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
-        ("changed-r5", CHANGED_R5),
-        ("new-r5", NEW_R5),
-        ("events-reader-r5", EVENTS_READER_R5),
+        ("flagship", {"q_topk_similar_items"}),
+        ("never-graded-r5", NEVER_GRADED_R5),
+        ("new-r6", NEW_R6),
         ("r2-data-era", R2_DATA_ERA),
+        ("rewritten-r5", REWRITTEN_R5_STALE_ROW),
+        ("changed-r6", CHANGED_R6),
+        ("r3-data-era", R3_DATA_ERA),
+        ("r4-fill", R4_FILL),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
-    assert prefix == CHANGED_R5 | NEW_R5 | EVENTS_READER_R5 | R2_DATA_ERA
+    assert prefix == (
+        {"q_topk_similar_items"}
+        | NEVER_GRADED_R5
+        | NEW_R6
+        | R2_DATA_ERA
+        | REWRITTEN_R5_STALE_ROW
+        | CHANGED_R6
+        | R3_DATA_ERA
+        | R4_FILL
+    )
 
 
 def test_entry_views_preserve_order():
