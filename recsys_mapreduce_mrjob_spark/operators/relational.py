@@ -547,3 +547,136 @@ def q_audit_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             check("part_negative_price", part.where(F.col("p_retailprice") < 0))
         )
     )
+
+
+_BLOOM_BUCKETS = 1 << 16
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) + 0.0 AS revenue
+FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_orderkey = l_orderkey
+                AND o_orderpriority = '1-URGENT'
+                AND o_orderstatus = 'F')
+GROUP BY l_returnflag
+""",
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-prefiltered semi-join — the Bloom-filter join pattern for
+    a 100 TB fact table, expressed relationally so it stays exact.
+
+    A selective dimension predicate (urgent finished orders) keeps ~7%
+    of orders; the naive plan shuffles ALL of lineitem on l_orderkey to
+    discover that ~93% of it joins nothing.  The production fix is a
+    runtime row-level filter (what Spark's
+    ``spark.sql.optimizer.runtime.bloomFilter`` injects when enabled and
+    thresholds allow; ``bloom_filter_agg`` itself is not SQL-registered
+    in this build): build a compact digest of the dim keys, broadcast
+    it, and drop fact rows that cannot match BEFORE the join shuffle.
+    Here the digest is a single-hash Bloom realized as a relation — the
+    DISTINCT ``xxhash64(key) % 65536`` bucket set of the dim side
+    (≤ 64Ki rows ≈ KBs, broadcast) — semi-joined against the fact's
+    bucket column: one broadcast probe per fact row, false-positive rate
+    = occupied/65536, zero false negatives by construction.  The exact
+    broadcast semi-join then removes the false positives, so the result
+    is bit-identical to the plain EXISTS oracle while the pre-filter
+    keeps the Python-free, codegen'd fast path.  At 100 TB the payoff is
+    the shuffle the pre-filter avoids: only surviving fact rows enter
+    the join exchange; the digest is MBs regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    dim = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    ).select("o_orderkey")
+    buckets = F.broadcast(
+        dim.select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)).alias("bkt")
+        ).distinct()
+    )
+    prefiltered = (
+        li.withColumn(
+            "bkt", F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BUCKETS))
+        )
+        .join(buckets, "bkt", "left_semi")
+        .drop("bkt")
+    )
+    exact = prefiltered.join(
+        F.broadcast(dim), prefiltered.l_orderkey == dim.o_orderkey, "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            + F.lit(0.0)
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+WITH key_counts AS (
+    SELECT user_id AS key, count(*) AS n_rows
+    FROM events GROUP BY user_id
+),
+tot AS (SELECT count(*) AS n_total, count(DISTINCT user_id) AS n_keys
+        FROM events)
+SELECT k.key, k.n_rows,
+       round(k.n_rows / CAST(t.n_total AS DOUBLE), 6) + 0.0 AS share,
+       round(k.n_rows * t.n_keys / CAST(t.n_total AS DOUBLE), 4) + 0.0
+           AS skew_factor
+FROM key_counts k CROSS JOIN tot t
+ORDER BY k.n_rows DESC, k.key ASC
+LIMIT 20
+""",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew diagnostic — the measurement that decides
+    between a plain shuffle, AQE skew-join splitting, and explicit
+    salting at 100 TB, profiled on ``events.user_id``: the same hot-key
+    column ``q_join_salted_skew``/``q_agg_salted_twophase`` defend
+    against (~150 distinct users carry the whole stream).
+
+    Emits the top-20 heaviest keys with each key's row count, share of
+    the relation, and skew factor (count ÷ mean count — 1.0 = perfectly
+    uniform).  Scale shape: one partial+final count agg shuffled on the
+    key (map-side combine bounds the exchange by the distinct-key
+    count), a 1-row global-total agg joined in by broadcast (scalar,
+    never a cross product of data), and a top-20 TakeOrdered — no
+    window, no full sort.  Run it before committing a partition
+    strategy; feed the listed keys to the salting knob."""
+    ev = load_events(spark, sf_dir).select("user_id")
+    counts = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.join(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            (
+                F.round(F.col("n_rows") / F.col("n_total").cast("double"), 6)
+                + F.lit(0.0)
+            ).alias("share"),
+            (
+                F.round(
+                    F.col("n_rows")
+                    * F.col("n_keys")
+                    / F.col("n_total").cast("double"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(20)
+    )

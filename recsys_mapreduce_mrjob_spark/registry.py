@@ -97,18 +97,24 @@ GRADING_ORDER: list[str] = [
     "q_text_winnow_pairs",
     "q_text_wordcount",
     "q_udf_znorm_per_user",
-    # -- slots 46-50: stalest-r4 fill — dedup/session/sampling/scalar
-    #    names nearest this round's touched modules --
+    # -- slots 46-48: stalest-r4 fill — dedup/session/sampling names
+    #    nearest this round's touched modules --
     "q_dedup_jaccard_pairs",
     "q_window_session",
     "q_sample_stratified",
+    # -- slots 49-50: new round-6 operators (a first driver row beats an
+    #    r4-green scalar re-grade): Bloom-prefiltered semi-join and the
+    #    hot-key skew diagnostic --
+    "q_join_bloom",
+    "q_skew_profile",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix: the two displaced r4-green scalar
+    # re-grades, then the remaining r4-era rows (freshest-first if the
+    # cutoff is time-budgeted), then the round-5 all-green cohort, which
+    # needs re-verification least.
+    # ------------------------------------------------------------------
     "q_map_funcs",
     "q_cond_funcs",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: the remaining r4-era rows
-    # (freshest-first if the cutoff is time-budgeted), then the round-5
-    # all-green cohort, which needs re-verification least.
-    # ------------------------------------------------------------------
     "q_agg_having_q11",
     "q_agg_max_q15",
     "q_agg_pricing_summary",

@@ -32,8 +32,9 @@ NEVER_GRADED_R5 = {
 }
 
 # New this round: the attribution join drained through a real parquet
-# file sink (VERDICT r5 #7 — the memory sink was the only graded path).
-NEW_R6 = {"q_stream_sink_parquet_exec"}
+# file sink (VERDICT r5 #7 — the memory sink was the only graded path),
+# the Bloom-prefiltered semi-join, and the hot-key skew diagnostic.
+NEW_R6 = {"q_stream_sink_parquet_exec", "q_join_bloom", "q_skew_profile"}
 
 # Latest driver row is from the ROUND-2 data era.
 R2_DATA_ERA = {
@@ -85,13 +86,11 @@ R3_DATA_ERA = {
 }
 
 # Stalest-r4 fill for the remaining slots, nearest this round's touched
-# modules (dedup / streaming-session / sampling / scalars).
+# modules (dedup / streaming-session / sampling).
 R4_FILL = {
     "q_dedup_jaccard_pairs",
     "q_window_session",
     "q_sample_stratified",
-    "q_map_funcs",
-    "q_cond_funcs",
 }
 
 
