@@ -888,3 +888,57 @@ def test_exact_twin_rounding_margins(spark):
     # regenerated data trips this alarm long before a hash-FAIL.
     m_ce = min_boundary_margin(est_raw, "cos_raw", 1e6)
     assert m_ce > 1e-5, m_ce
+
+
+def test_bloom_prefilter_is_selective_and_lossless(spark, sf_dir):
+    """q_join_bloom's bucket-set digest must actually FILTER (the scale
+    payoff is fact rows kept out of the join shuffle) while never
+    dropping a true match (zero false negatives by construction: a
+    matching key hashes to an occupied bucket)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.relational import (
+        _BLOOM_BUCKETS,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+    )
+    buckets = F.broadcast(
+        dim.select(
+            F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BUCKETS)).alias("bkt")
+        ).distinct()
+    )
+    pre = (
+        li.withColumn(
+            "bkt", F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BUCKETS))
+        )
+        .join(buckets, "bkt", "left_semi")
+        .count()
+    )
+    true_semi = li.join(
+        dim, li.l_orderkey == dim.o_orderkey, "left_semi"
+    ).count()
+    total = li.count()
+    assert true_semi <= pre, "bloom prefilter dropped a true match"
+    # The digest must remove the bulk of the non-matching fact side —
+    # the dim predicate keeps ~7% of orders, so FP-rate ≈ occupied/65536
+    # stays small at test scale.
+    assert pre < 0.5 * total, (pre, total)
+
+
+def test_skew_profile_flags_the_hot_keys(spark, sf_dir):
+    """The diagnostic's top key must be genuinely skewed (factor > 1)
+    and shares must be consistent with the relation size."""
+    rows = registry.QUERIES["q_skew_profile"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert rows[0].skew_factor > 1.0
+    assert rows[0].n_rows >= rows[-1].n_rows
+    assert all(0.0 < r.share < 1.0 for r in rows)
