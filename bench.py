@@ -91,6 +91,15 @@ def main() -> None:
         # engine beats the single-node baseline outright (BLAS tiles vs
         # per-pair list folds over the 2M-pair space)
         "q_dedup_embedding",
+        # round 6: the two end-to-end LLM-pipeline composites (portable-
+        # hash LSH + fixpoint two-star components; curation chains them
+        # after the quality/lang/exact-dedup stages) — both beat the
+        # DuckDB twin outright at sf0.1 (0.5×/0.34× raw, measured when
+        # added), because the recursive-CTE reachability walk is the
+        # baseline's weak shape while the engine's per-round shuffles
+        # parallelize.
+        "q_corpus_curation",
+        "q_dedup_components_twostar",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -114,6 +123,9 @@ def main() -> None:
         "q_dedup_near": 0.505,
         "q_knn_cosine_ivf": 0.056,
         "q_dedup_embedding": 2.968,
+        # round-6 twins (same contract, idle box)
+        "q_corpus_curation": 12.338,
+        "q_dedup_components_twostar": 12.544,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
@@ -146,7 +158,9 @@ def main() -> None:
         "sf": sf,
     }
     if sf == 0.1:
-        out["baseline_sec"] = {q: baseline_sf01[q] for q in timings if q in baseline_sf01}
+        # baseline_sec itself ships only in the details sidecar — the
+        # stdout line must stay inside the driver's tail window and the
+        # ratios carry the comparison.
         out["vs_baseline"] = {
             q: round(timings[q] / baseline_sf01[q], 2)
             for q in timings

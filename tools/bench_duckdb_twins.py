@@ -117,6 +117,10 @@ def main() -> None:
             "q_text_tfidf",
             "q_knn_cosine_ivf",
             "q_dedup_embedding",
+            # round 6: the LLM-pipeline composites (LSH + fixpoint
+            # two-star components; curation chains the full ladder)
+            "q_corpus_curation",
+            "q_dedup_components_twostar",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
