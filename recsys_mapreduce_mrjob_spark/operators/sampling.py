@@ -201,3 +201,124 @@ def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= 20)
     )
+
+
+# Mixture reweighting (round 6): target language shares in basis points.
+# Integer weights keep every downstream rate computation in EXACT int64
+# arithmetic — no float ratio ever decides a row's fate (a 1-ulp libm
+# difference at a keep/drop boundary would silently diverge the kept set
+# across engines).
+_MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+_MIX_SALT = ":mix"
+
+_MIX_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8))"
+    " AS BIGINT) % 10000"
+)
+_MIX_W_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET_BP.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "q_mixture_resample",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+),
+per_doc AS (
+    SELECT d.doc_id, d.lang, count(*) AS n_tokens
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.lang
+),
+lang_stats AS (
+    -- zero-weight strata (languages outside the target mix) drop out
+    -- here: they keep nothing, and excluding them keeps every divisor
+    -- in the rate arithmetic nonzero.
+    SELECT lang, {_MIX_W_SQL} AS w_bp, sum(n_tokens) AS toks
+    FROM per_doc GROUP BY lang
+    HAVING {_MIX_W_SQL} > 0
+),
+rates AS (
+    SELECT l.lang,
+           CAST(min((10000 * m.toks * l.w_bp) // (m.w_bp * l.toks))
+                AS BIGINT) AS rate_bp
+    FROM lang_stats l CROSS JOIN lang_stats m
+    GROUP BY l.lang
+),
+kept AS (
+    SELECT p.doc_id, p.lang, p.n_tokens, r.rate_bp
+    FROM per_doc p JOIN rates r ON r.lang = p.lang
+    WHERE {_MIX_BUCKET_SQL} < r.rate_bp
+)
+SELECT lang,
+       max(rate_bp) AS rate_bp,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM kept
+GROUP BY lang
+""",
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting — downsample each language stratum so
+    the kept corpus hits the TARGET token shares (en 40%, de/es/fr/zh
+    15% each) while keeping the largest corpus those shares allow: the
+    bottleneck stratum (smallest actual/target ratio) is kept at 100%
+    and every other stratum's keep-rate scales down proportionally.
+
+    Cross-engine exactness is the design constraint: the keep-rate in
+    basis points is ``min_m floor(10000·toks_m·w_l / (w_m·toks_l))`` —
+    the min over strata of an INTEGER product/division (int64 throughout,
+    ≤ ~2^50 at sf0.1), which equals floor(10000·min_m(toks_m/w_m)·w_l/
+    toks_l) with no float in sight — and the per-doc keep decision is the
+    deterministic md5 bucket (mod 10000) against that integer rate.  The
+    same-keyed sampling survives retries and re-partitioning
+    (module-level note).  Scale shape: one token-count aggregation over
+    the corpus (the same exchange every curation audit pays), a
+    languages-sized stats relation crossed with itself (≤ |langs|² rows —
+    metadata, not data), broadcast back as the per-stratum rate, then a
+    scan-side filter and a languages-sized audit aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.textfns import token_count
+
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w_bp = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_TARGET_BP.items()
+        ],
+        F.lit(0),
+    )
+    lang_stats = (
+        per_doc.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .withColumn("w_bp", w_bp)
+        .where(F.col("w_bp") > 0)  # zero-weight strata keep nothing
+    )
+    l = lang_stats.alias("l")
+    m = lang_stats.alias("m")
+    pair_rate = F.expr("(10000 * m.toks * l.w_bp) div (m.w_bp * l.toks)")
+    rates = (
+        l.join(F.broadcast(m))
+        .select(F.col("l.lang").alias("lang"), pair_rate.alias("pr"))
+        .groupBy("lang")
+        .agg(F.min("pr").alias("rate_bp"))
+    )
+    bucket = hash_bucket(F.col("doc_id"), n_buckets=10000, salt=_MIX_SALT)
+    kept = (
+        per_doc.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("rate_bp"))
+    )
+    return kept.groupBy("lang").agg(
+        F.max("rate_bp").alias("rate_bp"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )

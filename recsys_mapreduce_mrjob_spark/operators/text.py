@@ -993,3 +993,103 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("phrase"))
         .limit(20)
     )
+
+
+# Sequence packing (round 6): GPT-style concatenate-then-chunk. The
+# corpus is laid out in doc_id order as one token stream and cut into
+# fixed blocks; each doc's placement is a pure function of the prefix
+# sum of token counts.
+_PACK_BLOCK_TOKENS = 2048
+_PACK_N_RANGES = 128
+
+
+@register(
+    "q_pack_blocks",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+),
+placed AS (
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_offset
+    FROM per_doc
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {_PACK_BLOCK_TOKENS} AS first_block,
+       (start_offset + n_tokens - 1) // {_PACK_BLOCK_TOKENS} AS last_block
+FROM placed
+""",
+)
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining — concatenate the corpus in
+    doc_id order and chunk it into {block}-token training blocks; emit
+    each document's global token offset and the [first_block, last_block]
+    span it occupies (the metadata a data loader needs to assemble
+    attention-masked packed batches).
+
+    The oracle is one global running sum, but a single unpartitioned
+    window is the canonical 100 TB anti-pattern (every row through one
+    reducer) — so the engine computes the SAME prefix sum in two
+    scalable phases: (1) range-bucket the corpus on doc_id (bucket
+    width from a 1-row max aggregate — metadata, broadcast); per-bucket
+    cumulative sums run in a window PARTITIONED by bucket, all buckets
+    in parallel; (2) per-bucket totals (a {ranges}-row relation) get an
+    exclusive prefix sum in a window over that METADATA-sized relation
+    only, broadcast-joined back as each bucket's global base offset.
+    Offset = bucket base + within-bucket running sum − own count;
+    block ids are exact int64 divisions.  This is the textbook
+    distributed scan (Blelloch two-phase prefix sum) expressed in plain
+    DataFrame ops — the corpus never passes through a single partition,
+    and the only single-partition window touches ≤ {ranges} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    bounds = per_doc.agg(
+        F.max("doc_id").alias("max_id"), F.min("doc_id").alias("min_id")
+    )
+    bucketed = per_doc.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(doc_id - min_id) div greatest((max_id - min_id) div {_PACK_N_RANGES} + 1, 1)"
+        ).alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_bkt = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "bkt_base", F.sum("bkt_tokens").over(w_bkt) - F.col("bkt_tokens")
+    ).select("bkt", "bkt_base")
+    placed = within.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bkt_base") + F.col("cum_in") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {_PACK_BLOCK_TOKENS}").alias("first_block"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {_PACK_BLOCK_TOKENS}"
+        ).alias("last_block"),
+    )
+
+
+q_pack_blocks.__doc__ = q_pack_blocks.__doc__.format(
+    block=_PACK_BLOCK_TOKENS, ranges=_PACK_N_RANGES
+)

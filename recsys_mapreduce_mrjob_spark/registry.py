@@ -97,22 +97,23 @@ GRADING_ORDER: list[str] = [
     "q_text_winnow_pairs",
     "q_text_wordcount",
     "q_udf_znorm_per_user",
-    # -- slots 46-48: stalest-r4 fill — dedup/session/sampling names
-    #    nearest this round's touched modules --
+    # -- slot 46: stalest-r4 fill nearest this round's touched modules --
     "q_dedup_jaccard_pairs",
-    "q_window_session",
-    "q_sample_stratified",
-    # -- slots 49-50: new round-6 operators (a first driver row beats an
-    #    r4-green scalar re-grade): Bloom-prefiltered semi-join and the
-    #    hot-key skew diagnostic --
+    # -- slots 47-50: new round-6 operators (a first driver row beats an
+    #    r4-green re-grade): Bloom-prefiltered semi-join, hot-key skew
+    #    diagnostic, mixture reweighting, sequence packing --
     "q_join_bloom",
     "q_skew_profile",
+    "q_mixture_resample",
+    "q_pack_blocks",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: the two displaced r4-green scalar
-    # re-grades, then the remaining r4-era rows (freshest-first if the
-    # cutoff is time-budgeted), then the round-5 all-green cohort, which
-    # needs re-verification least.
+    # Past the 50-slot grading prefix: the displaced r4-green re-grades,
+    # then the remaining r4-era rows (freshest-first if the cutoff is
+    # time-budgeted), then the round-5 all-green cohort, which needs
+    # re-verification least.
     # ------------------------------------------------------------------
+    "q_window_session",
+    "q_sample_stratified",
     "q_map_funcs",
     "q_cond_funcs",
     "q_agg_having_q11",

@@ -33,8 +33,15 @@ NEVER_GRADED_R5 = {
 
 # New this round: the attribution join drained through a real parquet
 # file sink (VERDICT r5 #7 — the memory sink was the only graded path),
-# the Bloom-prefiltered semi-join, and the hot-key skew diagnostic.
-NEW_R6 = {"q_stream_sink_parquet_exec", "q_join_bloom", "q_skew_profile"}
+# the Bloom-prefiltered semi-join, the hot-key skew diagnostic, the
+# training-mixture reweighting, and the sequence-packing prefix sum.
+NEW_R6 = {
+    "q_stream_sink_parquet_exec",
+    "q_join_bloom",
+    "q_skew_profile",
+    "q_mixture_resample",
+    "q_pack_blocks",
+}
 
 # Latest driver row is from the ROUND-2 data era.
 R2_DATA_ERA = {
@@ -85,13 +92,9 @@ R3_DATA_ERA = {
     "q_udf_znorm_per_user",
 }
 
-# Stalest-r4 fill for the remaining slots, nearest this round's touched
-# modules (dedup / streaming-session / sampling).
-R4_FILL = {
-    "q_dedup_jaccard_pairs",
-    "q_window_session",
-    "q_sample_stratified",
-}
+# Stalest-r4 fill for the remaining slot, nearest this round's touched
+# modules.
+R4_FILL = {"q_dedup_jaccard_pairs"}
 
 
 def _loaded_names() -> list[str]:
