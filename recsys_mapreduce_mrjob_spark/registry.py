@@ -97,21 +97,22 @@ GRADING_ORDER: list[str] = [
     "q_text_winnow_pairs",
     "q_text_wordcount",
     "q_udf_znorm_per_user",
-    # -- slot 46: stalest-r4 fill nearest this round's touched modules --
-    "q_dedup_jaccard_pairs",
-    # -- slots 47-50: new round-6 operators (a first driver row beats an
+    # -- slots 46-50: new round-6 operators (a first driver row beats an
     #    r4-green re-grade): Bloom-prefiltered semi-join, hot-key skew
-    #    diagnostic, mixture reweighting, sequence packing --
+    #    diagnostic, mixture reweighting, sequence packing, foreachBatch
+    #    incremental maintenance --
     "q_join_bloom",
     "q_skew_profile",
     "q_mixture_resample",
     "q_pack_blocks",
+    "q_stream_incremental_stats_exec",
     # ------------------------------------------------------------------
     # Past the 50-slot grading prefix: the displaced r4-green re-grades,
     # then the remaining r4-era rows (freshest-first if the cutoff is
     # time-budgeted), then the round-5 all-green cohort, which needs
     # re-verification least.
     # ------------------------------------------------------------------
+    "q_dedup_jaccard_pairs",
     "q_window_session",
     "q_sample_stratified",
     "q_map_funcs",

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .twins import (
     click_purchase_join_stream,
+    incremental_item_stats,
     run_to_memory,
     run_to_parquet,
     session_stream,
@@ -211,4 +212,61 @@ def q_stream_sink_parquet_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = click_purchase_join_stream(stream_events(spark, sf_dir))
     return run_to_parquet(
         stream, f"q_stream_sink_parquet_exec_{next(_SINK_SEQ)}"
+    )
+
+
+@register(
+    "q_stream_incremental_stats_exec",
+    oracle="""
+WITH ratings AS (
+    SELECT o_custkey AS user_id,
+           l_partkey AS item_id,
+           round(avg(l_quantity), 6) AS rating
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)
+SELECT item_id,
+       count(*) AS n,
+       CAST(sum(CAST(rating AS DECIMAL(20,6))) AS DOUBLE) + 0.0
+           AS rating_sum
+FROM ratings
+GROUP BY item_id
+""",
+)
+def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance via ``foreachBatch``, driver-graded — the
+    production pattern for keeping derived statistics current as data
+    lands: the ratings relation streams in file-per-micro-batch, and each
+    batch's partial (n, Σrating) per item merges into versioned parquet
+    state (old state ∪ batch partials → re-aggregate; valid because
+    sufficient statistics are ADDITIVE — the reference's R6 trick applied
+    incrementally).  The running sum is exact ``DECIMAL(38,6)`` (ratings
+    are multiples of 1e-6), so the merged end state is bit-identical to
+    the one-shot batch aggregate for ANY micro-batch split and the batch
+    SQL oracle grades the streaming execution exactly.  The remaining
+    streaming pattern this declares: ``foreachBatch`` + idempotent state
+    versioning, next to the memory-sink, file-sink, state-store, and
+    stream–stream-join queries."""
+    import tempfile
+
+    from ..sources.readers import derive_ratings
+
+    base = tempfile.mkdtemp(prefix="spark_incr_stats_")
+    src = f"{base}/ratings_src"
+    state = f"{base}/state"
+    derive_ratings(spark, sf_dir).repartition(3).write.parquet(src)
+    incremental_item_stats(spark, src, state)
+    import glob
+
+    versions = sorted(
+        int(p.rsplit("v", 1)[1])
+        for p in glob.glob(f"{state}/v*")
+        if p.rsplit("v", 1)[1].isdigit()
+    )
+    final = spark.read.parquet(f"{state}/v{versions[-1]}")
+    return final.select(
+        "item_id",
+        "n",
+        (F.col("rating_sum").cast("double") + F.lit(0.0)).alias("rating_sum"),
     )

@@ -246,6 +246,14 @@ def incremental_item_stats(
     lakehouse-format sink — replaces this at production scale).
     ``maxFilesPerTrigger=1`` makes each source file one micro-batch, so
     the test exercises a real multi-batch accumulation.
+
+    Round 6: the running sum is carried as ``DECIMAL(38,6)`` — ratings
+    are exact multiples of 1e-6 (``round(avg, 6)`` at derivation), so
+    decimal accumulation is EXACT and therefore associative: the merged
+    total is bit-identical to a one-shot aggregate regardless of how the
+    stream splits into micro-batches, which is what lets a batch SQL
+    oracle grade the incremental execution (double sums would drift by
+    addition order).
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -258,7 +266,10 @@ def incremental_item_stats(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         batch_agg = batch_df.groupBy("item_id").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("rating").alias("rating_sum")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rating").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .alias("rating_sum"),
         )
         prev = None
         for v in range(batch_id - 1, -1, -1):
@@ -270,7 +281,8 @@ def incremental_item_stats(
         merged = (
             prev.unionByName(batch_agg) if prev is not None else batch_agg
         ).groupBy("item_id").agg(
-            F.sum("n").alias("n"), F.sum("rating_sum").alias("rating_sum")
+            F.sum("n").alias("n"),
+            F.sum("rating_sum").cast("decimal(38,6)").alias("rating_sum"),
         )
         merged.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
 

@@ -41,6 +41,7 @@ NEW_R6 = {
     "q_skew_profile",
     "q_mixture_resample",
     "q_pack_blocks",
+    "q_stream_incremental_stats_exec",
 }
 
 # Latest driver row is from the ROUND-2 data era.
@@ -92,9 +93,10 @@ R3_DATA_ERA = {
     "q_udf_znorm_per_user",
 }
 
-# Stalest-r4 fill for the remaining slot, nearest this round's touched
-# modules.
-R4_FILL = {"q_dedup_jaccard_pairs"}
+# No r4-fill slots remain: every non-re-verification slot went to a
+# first-graded round-6 name (a first driver row beats an r4-green
+# re-grade under the grading contract).
+R4_FILL: set[str] = set()
 
 
 def _loaded_names() -> list[str]:
