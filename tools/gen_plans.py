@@ -128,6 +128,26 @@ ENTRIES = [
         "shuffle volume for estimate error at 100 TB while staying fully "
         "reproducible (no rand(): retries and speculative tasks agree).",
     ),
+    (
+        "q_join_bloom",
+        "Runtime-prefiltered semi-join (round 6): the selective dim "
+        "predicate pushes into the orders scan (PushedFilters), its "
+        "distinct hash-bucket digest broadcasts, and the plan is two "
+        "BroadcastHashJoin LeftSemi stages over one lineitem scan — the "
+        "fact side never shuffles, non-matching rows die at the digest "
+        "probe before any join exchange, and every operator sits inside "
+        "whole-stage codegen.",
+    ),
+    (
+        "q_pack_blocks",
+        "Two-phase distributed prefix sum (round 6): the corpus-sized "
+        "running sum executes as a window PARTITIONED by range bucket "
+        "(parallel, one exchange on the bucket key); the only "
+        "unpartitioned window in the plan runs over the bucket-totals "
+        "relation — ≤128 rows of metadata — whose exclusive prefix "
+        "broadcasts back as each bucket's base offset.  The corpus never "
+        "passes through a single partition.",
+    ),
 ]
 
 
