@@ -211,6 +211,24 @@ def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
 _MIX_SALT = ":mix"
 
+def mixture_rates(lang_stats: DataFrame) -> DataFrame:
+    """Per-stratum keep-rate in basis points over (lang, toks, w_bp):
+    ``rate_bp(l) = min_m floor(10000·toks_m·w_l / (w_m·toks_l))`` —
+    exact int64 arithmetic throughout (no float ratio ever decides a
+    row's fate).  The bottleneck stratum's rate is exactly 10000;
+    property-pinned against Fraction arithmetic in
+    tests/test_scale_knobs.py."""
+    l = lang_stats.alias("l")
+    m = lang_stats.alias("m")
+    pair_rate = F.expr("(10000 * m.toks * l.w_bp) div (m.w_bp * l.toks)")
+    return (
+        l.join(F.broadcast(m))
+        .select(F.col("l.lang").alias("lang"), pair_rate.alias("pr"))
+        .groupBy("lang")
+        .agg(F.min("pr").alias("rate_bp"))
+    )
+
+
 _MIX_BUCKET_SQL = (
     "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8))"
     " AS BIGINT) % 10000"
@@ -303,15 +321,7 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_bp", w_bp)
         .where(F.col("w_bp") > 0)  # zero-weight strata keep nothing
     )
-    l = lang_stats.alias("l")
-    m = lang_stats.alias("m")
-    pair_rate = F.expr("(10000 * m.toks * l.w_bp) div (m.w_bp * l.toks)")
-    rates = (
-        l.join(F.broadcast(m))
-        .select(F.col("l.lang").alias("lang"), pair_rate.alias("pr"))
-        .groupBy("lang")
-        .agg(F.min("pr").alias("rate_bp"))
-    )
+    rates = mixture_rates(lang_stats)
     bucket = hash_bucket(F.col("doc_id"), n_buckets=10000, salt=_MIX_SALT)
     kept = (
         per_doc.join(F.broadcast(rates), "lang")

@@ -1003,6 +1003,48 @@ _PACK_BLOCK_TOKENS = 2048
 _PACK_N_RANGES = 128
 
 
+def distributed_prefix_sum(
+    per_doc: DataFrame, n_ranges: int = _PACK_N_RANGES
+) -> DataFrame:
+    """Exclusive prefix sum of ``n_tokens`` in ``doc_id`` order — the
+    Blelloch two-phase scan over (doc_id, n_tokens): parallel per-range
+    cumulative windows + a metadata-sized range-offset window, joined
+    back as each range's base.  Returns (doc_id, n_tokens,
+    start_offset); property-pinned against a plain sequential scan in
+    tests/test_scale_knobs.py."""
+    bounds = per_doc.agg(
+        F.max("doc_id").alias("max_id"), F.min("doc_id").alias("min_id")
+    )
+    bucketed = per_doc.join(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(doc_id - min_id) div greatest((max_id - min_id) div {n_ranges} + 1, 1)"
+        ).alias("bkt"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    w_bkt = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "bkt_base", F.sum("bkt_tokens").over(w_bkt) - F.col("bkt_tokens")
+    ).select("bkt", "bkt_base")
+    return within.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bkt_base") + F.col("cum_in") - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+    )
+
+
 @register(
     "q_pack_blocks",
     oracle=f"""
@@ -1048,37 +1090,7 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
     ).where(F.col("n_tokens") > 0)
-    bounds = per_doc.agg(
-        F.max("doc_id").alias("max_id"), F.min("doc_id").alias("min_id")
-    )
-    bucketed = per_doc.join(F.broadcast(bounds)).select(
-        "doc_id",
-        "n_tokens",
-        F.expr(
-            f"(doc_id - min_id) div greatest((max_id - min_id) div {_PACK_N_RANGES} + 1, 1)"
-        ).alias("bkt"),
-    )
-    w_in = (
-        Window.partitionBy("bkt")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
-    w_bkt = (
-        Window.orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = totals.withColumn(
-        "bkt_base", F.sum("bkt_tokens").over(w_bkt) - F.col("bkt_tokens")
-    ).select("bkt", "bkt_base")
-    placed = within.join(F.broadcast(offsets), "bkt").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("bkt_base") + F.col("cum_in") - F.col("n_tokens")).alias(
-            "start_offset"
-        ),
-    )
+    placed = distributed_prefix_sum(per_doc)
     return placed.select(
         "doc_id",
         "n_tokens",

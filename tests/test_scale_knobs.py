@@ -942,3 +942,91 @@ def test_skew_profile_flags_the_hot_keys(spark, sf_dir):
     assert rows[0].skew_factor > 1.0
     assert rows[0].n_rows >= rows[-1].n_rows
     assert all(0.0 < r.share < 1.0 for r in rows)
+
+
+def test_prefix_sum_matches_sequential_scan_property(spark):
+    """Property: the two-phase distributed prefix sum equals a plain
+    sequential scan for arbitrary (sparse, duplicate-free, unordered)
+    doc_id spaces and token counts — including range buckets left empty
+    by id gaps and a bucket width forced to its minimum."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from recsys_mapreduce_mrjob_spark.operators.text import (
+        distributed_prefix_sum,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.dictionaries(
+            st.integers(min_value=0, max_value=10_000_000),
+            st.integers(min_value=1, max_value=5_000),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(min_value=1, max_value=16),
+    )
+    def check(doc_tokens, n_ranges):
+        rows = list(doc_tokens.items())
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: r.start_offset
+            for r in distributed_prefix_sum(df, n_ranges=n_ranges).collect()
+        }
+        expect, acc = {}, 0
+        for doc_id, n in sorted(rows):
+            expect[doc_id] = acc
+            acc += n
+        assert got == expect
+
+    check()
+
+
+def test_mixture_rates_match_fraction_arithmetic_property(spark):
+    """Property: the int64 basis-point rates equal
+    floor(10000 · min_m(toks_m/w_m) · w_l / toks_l) computed in exact
+    Fraction arithmetic, and the bottleneck stratum's rate is exactly
+    10000 (kept whole)."""
+    from fractions import Fraction
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from recsys_mapreduce_mrjob_spark.operators.sampling import mixture_rates
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=10_000_000_000),  # toks
+                st.integers(min_value=1, max_value=10_000),  # w_bp
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(strata):
+        rows = [(f"l{i}", t, w) for i, (t, w) in enumerate(strata)]
+        df = spark.createDataFrame(rows, "lang string, toks long, w_bp long")
+        got = {r.lang: r.rate_bp for r in mixture_rates(df).collect()}
+        t_over_w = {lang: Fraction(t, w) for lang, t, w in rows}
+        bottleneck = min(t_over_w.values())
+        expect = {
+            lang: int(10000 * bottleneck * w / t)  # int() == floor (positive)
+            for lang, t, w in rows
+        }
+        assert got == expect
+        assert max(got.values()) == 10000
+        for lang, t, w in rows:
+            if t_over_w[lang] == bottleneck:
+                assert got[lang] == 10000
+
+    check()
