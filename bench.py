@@ -211,8 +211,18 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout: stderr mirror still has the details
     sys.stderr.write(json.dumps(details) + "\n")
+    # Degrade gracefully instead of asserting (code-review r6: a
+    # post-run assert would discard the whole multi-minute run — and
+    # vanish under python -O — exactly when the line outgrows the
+    # window again): drop the least-essential maps until the line fits.
+    # Everything dropped here still ships in bench_details.json/stderr.
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 1900, f"stdout JSON too long for driver tail ({len(line)})"
+    for drop in ("overhead_sec", "vs_baseline_adj", "vs_baseline"):
+        if len(line) < 1900:
+            break
+        out.pop(drop, None)
+        out["truncated"] = out.get("truncated", []) + [drop]
+        line = json.dumps(out, separators=(",", ":"))
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
     spark.stop()

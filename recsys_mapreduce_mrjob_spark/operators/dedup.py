@@ -995,10 +995,14 @@ def connected_components_twostar(
     )
     prev_count = e.count()
     if max_rounds is None:
-        # Kiveris et al. prove O(log² n) rounds; 3·⌈log₂ m⌉ + 16 is far
-        # above every measured input (path-2000 converges in ~12) while
-        # still catching a genuine non-termination bug quickly.
-        max_rounds = 3 * max(prev_count, 2).bit_length() + 16
+        # Kiveris et al. prove O(log² n) rounds, so the safety cap is
+        # QUADRATIC in the bit length (code-review r6: a 3·log₂ m + 16
+        # cap sat asymptotically below the proven worst case and could
+        # raise mid-convergence on a legitimate adversarial graph).
+        # Far above every measured input (path-2000 converges in ~12)
+        # while still bounding a genuine non-termination bug.
+        bl = max(prev_count, 2).bit_length()
+        max_rounds = bl * bl + 16
     rounds = 0
     while True:
         prev = e
@@ -1104,19 +1108,33 @@ def _component_clusters(labels: DataFrame) -> DataFrame:
     )
 
 
-_COMPONENTS_EXACT_ORACLE = f"""
-WITH RECURSIVE {_NEAR_EXACT_CTES},
-edges AS (
+def component_walk_ctes(prefix: str = "") -> str:
+    """The recursive-CTE reachability walk over ``near_pairs`` —
+    ``{prefix}edges`` (symmetrized) → ``{prefix}walk`` (label = every id
+    reachable from each seed) → ``{prefix}labels`` (min reachable id per
+    doc, i.e. exactly the min-label-propagation / two-star fixpoint).
+    One builder shared by the components oracle AND the corpus-curation
+    oracle (code-review r6: the chain was duplicated verbatim under
+    renamed CTEs, so a future walk fix could silently diverge the two).
+    Callers embed it under ``WITH RECURSIVE`` alongside
+    :data:`_NEAR_EXACT_CTES`."""
+    e, w, lab = f"{prefix}edges", f"{prefix}walk", f"{prefix}labels"
+    return f"""{e} AS (
     SELECT doc_a AS src, doc_b AS dst FROM near_pairs
     UNION ALL
     SELECT doc_b, doc_a FROM near_pairs
 ),
-walk(id, label) AS (
+{w}(id, label) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
-    SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    SELECT e.dst, w.label FROM {w} w JOIN {e} e ON e.src = w.id
 ),
-labels AS (SELECT id, min(label) AS label FROM walk GROUP BY id),
+{lab} AS (SELECT id, min(label) AS label FROM {w} GROUP BY id)"""
+
+
+_COMPONENTS_EXACT_ORACLE = f"""
+WITH RECURSIVE {_NEAR_EXACT_CTES},
+{component_walk_ctes()},
 comp_sizes AS (SELECT label, count(*) AS component_size FROM labels GROUP BY label)
 SELECT l.id AS doc_id, l.label AS component_id, s.component_size
 FROM labels l JOIN comp_sizes s ON s.label = l.label

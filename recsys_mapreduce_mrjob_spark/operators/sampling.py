@@ -37,11 +37,18 @@ def hash_bucket(key, n_buckets: int = 100, salt: str = _SALT):
     return F.pmod(F.conv(hex8, 16, 10).cast("bigint"), F.lit(n_buckets))
 
 
-# DuckDB twin of hash_bucket (mod 100).
-_BUCKET_SQL = (
-    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 8))"
-    " AS BIGINT) % 100"
-)
+def bucket_sql(key: str = "doc_id", salt: str = _SALT, n_buckets: int = 100) -> str:
+    """DuckDB twin of :func:`hash_bucket` — ONE definition feeding every
+    oracle (code-review r6: the ':split' and ':mix' variants embedded the
+    arithmetic as separate literals, so changing a salt or the bucket
+    form on one engine but not the other would silently diverge)."""
+    return (
+        f"CAST(concat('0x', substr(md5(concat(CAST({key} AS VARCHAR), "
+        f"'{salt}')), 1, 8)) AS BIGINT) % {n_buckets}"
+    )
+
+
+_BUCKET_SQL = bucket_sql()
 
 
 @register(
@@ -214,13 +221,28 @@ _MIX_SALT = ":mix"
 def mixture_rates(lang_stats: DataFrame) -> DataFrame:
     """Per-stratum keep-rate in basis points over (lang, toks, w_bp):
     ``rate_bp(l) = min_m floor(10000·toks_m·w_l / (w_m·toks_l))`` —
-    exact int64 arithmetic throughout (no float ratio ever decides a
-    row's fate).  The bottleneck stratum's rate is exactly 10000;
-    property-pinned against Fraction arithmetic in
-    tests/test_scale_knobs.py."""
+    exact integer arithmetic throughout (no float ratio ever decides a
+    row's fate).  The products run in DECIMAL(38,0) (code-review r6: an
+    int64 product wraps negative past ~9.2e10 tokens per stratum — well
+    inside the 100 TB regime — silently dropping the stratum, while the
+    DuckDB oracle computes in HUGEINT); the quotient is ≤ 10000 so the
+    final cast back to BIGINT is always safe.  The bottleneck stratum's
+    rate is exactly 10000; property-pinned against Fraction arithmetic
+    in tests/test_scale_knobs.py including past-int64 magnitudes."""
     l = lang_stats.alias("l")
     m = lang_stats.alias("m")
-    pair_rate = F.expr("(10000 * m.toks * l.w_bp) div (m.w_bp * l.toks)")
+    # The per-PAIR quotient can itself exceed int64 (a huge stratum m
+    # against a tiny stratum l), and ``div`` narrows its result to long
+    # — so the cap must hit the NUMERATOR, in decimal, BEFORE the
+    # division: min(⌊num/den⌋, 10000) = ⌊least(num, 10000·den)/den⌋,
+    # and the m=l pair contributes exactly 10000, so the true min is
+    # always ≤ 10000 and the clamp never changes the result — it only
+    # keeps every intermediate quotient inside int64.
+    pair_rate = F.expr(
+        "least(10000 * CAST(m.toks AS DECIMAL(38,0)) * l.w_bp,"
+        " 10000 * CAST(m.w_bp AS DECIMAL(38,0)) * l.toks)"
+        " div (CAST(m.w_bp AS DECIMAL(38,0)) * l.toks)"
+    )
     return (
         l.join(F.broadcast(m))
         .select(F.col("l.lang").alias("lang"), pair_rate.alias("pr"))
@@ -229,10 +251,7 @@ def mixture_rates(lang_stats: DataFrame) -> DataFrame:
     )
 
 
-_MIX_BUCKET_SQL = (
-    "CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 8))"
-    " AS BIGINT) % 10000"
-)
+_MIX_BUCKET_SQL = bucket_sql(salt=_MIX_SALT, n_buckets=10000)
 _MIX_W_SQL = (
     "CASE lang "
     + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET_BP.items())

@@ -316,25 +316,17 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CURATION_QUALITY_MIN = 0.8
 
 # Near-dup stage of the curation composite (round 6, VERDICT r5 #6): the
-# portable-hash MinHash-LSH pair CTEs (dedup.py) plus the recursive-CTE
-# component walk — label = min doc_id reachable over the symmetric pair
-# relation, i.e. exactly the two-star fixpoint the Spark side computes.
-# A doc is a near-dup NON-keeper iff its component label differs from its
-# own id; those are dropped from the curated corpus.
+# portable-hash MinHash-LSH pair CTEs plus the SHARED recursive-CTE
+# component walk (dedup.component_walk_ctes — label = min doc_id
+# reachable over the symmetric pair relation, i.e. exactly the two-star
+# fixpoint the Spark side computes).  A doc is a near-dup NON-keeper iff
+# its component label differs from its own id; those are dropped from
+# the curated corpus.
 from .dedup import _NEAR_EXACT_CTES as _CURATION_NEAR_PAIR_CTES  # noqa: E402
+from .dedup import component_walk_ctes as _component_walk_ctes  # noqa: E402
 
 _CURATION_NEAR_CTES = f"""{_CURATION_NEAR_PAIR_CTES},
-near_edges AS (
-    SELECT doc_a AS src, doc_b AS dst FROM near_pairs
-    UNION ALL
-    SELECT doc_b, doc_a FROM near_pairs
-),
-near_walk(id, label) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT e.dst, w.label FROM near_walk w JOIN near_edges e ON e.src = w.id
-),
-near_labels AS (SELECT id, min(label) AS label FROM near_walk GROUP BY id),
+{_component_walk_ctes("near_")},
 near_nonkeepers AS (SELECT id AS doc_id FROM near_labels WHERE id <> label)"""
 
 
@@ -418,8 +410,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
     deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     pairs = q_dedup_near_exact(spark, sf_dir)
+    # Vertices = pair ENDPOINTS only (code-review r6): a doc in no pair
+    # is trivially its own component keeper, so labeling the full corpus
+    # paid a corpus-sized scan + join just to discard every label==id
+    # row.  The endpoint relation is pair-sized (≪ corpus-sized).
+    endpoints = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
     labels = connected_components_twostar(
-        docs.select(F.col("doc_id").alias("id")),
+        endpoints,
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     )
     non_keepers = labels.where(F.col("label") != F.col("id")).select(
@@ -1102,6 +1103,7 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-q_pack_blocks.__doc__ = q_pack_blocks.__doc__.format(
-    block=_PACK_BLOCK_TOKENS, ranges=_PACK_N_RANGES
-)
+if q_pack_blocks.__doc__:  # absent under python -OO (docstrings stripped)
+    q_pack_blocks.__doc__ = q_pack_blocks.__doc__.format(
+        block=_PACK_BLOCK_TOKENS, ranges=_PACK_N_RANGES
+    )

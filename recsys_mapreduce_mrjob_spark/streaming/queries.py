@@ -57,6 +57,23 @@ def _epoch(col: str = "ts") -> str:
 
 _EPOCH = _epoch()
 
+# One attribution-join oracle shared by BOTH its graded executions — the
+# memory-sink and parquet-sink queries compute the identical relation
+# (same stream, different sink), so a single SQL constant keeps them
+# from silently diverging (code-review r6).
+_ATTRIBUTION_ORACLE = f"""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       {_epoch('c.ts')} AS click_epoch,
+       {_epoch('p.ts')} AS purchase_epoch
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 
 @register(
     "q_stream_tumbling_exec",
@@ -156,17 +173,7 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_attribution_exec",
-    oracle=f"""
-SELECT c.event_id AS click_id,
-       p.event_id AS purchase_id,
-       c.user_id,
-       {_epoch('c.ts')} AS click_epoch,
-       {_epoch('p.ts')} AS purchase_epoch
-FROM events c JOIN events p
-  ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-""",
+    oracle=_ATTRIBUTION_ORACLE,
 )
 def q_stream_attribution_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–stream attribution join executed through Structured
@@ -188,17 +195,7 @@ def q_stream_attribution_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_sink_parquet_exec",
-    oracle=f"""
-SELECT c.event_id AS click_id,
-       p.event_id AS purchase_id,
-       c.user_id,
-       {_epoch('c.ts')} AS click_epoch,
-       {_epoch('p.ts')} AS purchase_epoch
-FROM events c JOIN events p
-  ON c.user_id = p.user_id
- AND c.event_type = 'click' AND p.event_type = 'purchase'
- AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-""",
+    oracle=_ATTRIBUTION_ORACLE,
 )
 def q_stream_sink_parquet_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The attribution stream–stream join drained through a real PARQUET
@@ -248,11 +245,16 @@ def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFra
     streaming pattern this declares: ``foreachBatch`` + idempotent state
     versioning, next to the memory-sink, file-sink, state-store, and
     stream–stream-join queries."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..sources.readers import derive_ratings
 
+    # Removed at interpreter exit: the final-state read below is lazy,
+    # so the tree must outlive this call (code-review r6 leak fix).
     base = tempfile.mkdtemp(prefix="spark_incr_stats_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = f"{base}/ratings_src"
     state = f"{base}/state"
     derive_ratings(spark, sf_dir).repartition(3).write.parquet(src)

@@ -180,10 +180,19 @@ def run_to_parquet(df: DataFrame, name: str) -> DataFrame:
     transforms) where append output equals the batch answer for any
     micro-batch split.  The read-back passes the stream's own schema so
     an empty result (no committed files) still yields the right relation.
+
+    The sink directory is removed at interpreter exit (``atexit``) — it
+    must outlive this call because the returned DataFrame reads it
+    lazily, but a best-of-N harness re-invoking the query would
+    otherwise accumulate a full query-output + checkpoint tree per run
+    (code-review r6).
     """
+    import atexit
+    import shutil
     import tempfile
 
     out = tempfile.mkdtemp(prefix=f"spark_sink_{name}_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     q = (
         df.writeStream.format("parquet")
         .option("path", f"{out}/data")

@@ -1006,7 +1006,9 @@ def test_mixture_rates_match_fraction_arithmetic_property(spark):
     @given(
         st.lists(
             st.tuples(
-                st.integers(min_value=1, max_value=10_000_000_000),  # toks
+                # past ~9.2e10 an int64 product of 10000·toks·w_bp wraps;
+                # the decimal(38,0) arithmetic must stay exact well beyond
+                st.integers(min_value=1, max_value=5_000_000_000_000_000),
                 st.integers(min_value=1, max_value=10_000),  # w_bp
             ),
             min_size=1,

@@ -233,13 +233,20 @@ def main() -> None:
             F.col("cid").isin(probe_cells(cents, q))
         ).count()
 
-        # Partition pruning must be real, not assumed.
+        # Partition pruning must be real, not assumed: the plan must
+        # contain a PartitionFilters section AND the cid predicate must
+        # sit INSIDE it (code-review r6: a fallback that greps the whole
+        # plan for 'cid#' reports pruned=true for a full scan whose cid
+        # filter is an ordinary post-scan Filter — vacuously passing in
+        # exactly the broken case this check exists to catch).
         plan = spark.read.parquet(index).where(
             F.col("cid").isin(probe_cells(cents, q))
         )._jdf.queryExecution().executedPlan().toString()
-        pruned = "PartitionFilters: [cid" in plan or "cid#" in plan.split(
-            "PartitionFilters"
-        )[-1][:200]
+        pruned = False
+        if "PartitionFilters" in plan:
+            section = plan.split("PartitionFilters", 1)[1]
+            section = section.split("]", 1)[0]  # just the filter list
+            pruned = "cid" in section
 
         results[n] = {
             "exact_gemv_sec": round(t_exact, 3),
