@@ -404,33 +404,42 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical cross-engine grading; q_dedup_near stays the
     performance registration.
     """
-    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-    ex = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
-    )
-    hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-    base = ex.select("doc_id", hs.alias("hs"))
-
-    def dec(c):
-        return c.cast("decimal(38,0)")
-
-    sig = (
-        base.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.pmod(
-                        dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
-                        dec(F.lit(_MH_P)),
-                    ).cast("long")
-                ).alias(f"mh{i}")
-                for i, (a, b) in enumerate(_MH_SEEDS)
-            ],
-            F.collect_set("hs").alias("sh_set"),
+    def build_sig() -> DataFrame:
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+        ex = docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
         )
-        .withColumn("n_sh", F.size("sh_set"))
-    )
+        hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+        base = ex.select("doc_id", hs.alias("hs"))
+
+        def dec(c):
+            return c.cast("decimal(38,0)")
+
+        return (
+            base.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(
+                        F.pmod(
+                            dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
+                            dec(F.lit(_MH_P)),
+                        ).cast("long")
+                    ).alias(f"mh{i}")
+                    for i, (a, b) in enumerate(_MH_SEEDS)
+                ],
+                F.collect_set("hs").alias("sh_set"),
+            )
+            .withColumn("n_sh", F.size("sh_set"))
+        )
+
+    # Memo-persisted like the xxhash64 sig (round 6): bands AND sets both
+    # consume this relation, and ReuseExchange does not fire across the
+    # shapes — unpersisted, the md5 + 32-member decimal-mod minhash
+    # derivation (the most expensive projection in the repo) ran TWICE in
+    # every consumer of the exact pairs (near_exact, components ×2,
+    # curation).
+    sig = memo_persist(spark, "minhash_sig_exact", sf_dir, build_sig)
     bands = sig.select(
         "doc_id",
         F.explode(
