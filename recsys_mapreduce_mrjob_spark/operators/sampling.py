@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import memo_persist
 from ..registry import register
 from ..sources.readers import load_table
 
@@ -319,14 +320,19 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages-sized stats relation crossed with itself (≤ |langs|² rows —
     metadata, not data), broadcast back as the per-stratum rate, then a
     scan-side filter and a languages-sized audit aggregate."""
-    docs = load_table(spark, sf_dir, "documents")
     from ..functions.textfns import token_count
 
-    per_doc = docs.select(
-        "doc_id",
-        "lang",
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-    ).where(F.col("n_tokens") > 0)
+    def build_per_doc() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ).where(F.col("n_tokens") > 0)
+
+    # Memoized: per_doc fans into the stratum-stats aggregate AND the
+    # keep-filter — unpersisted, the tokenize scan runs twice.
+    per_doc = memo_persist(spark, "mix_per_doc", sf_dir, build_per_doc)
     w_bp = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))

@@ -1087,10 +1087,16 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scan (Blelloch two-phase prefix sum) expressed in plain
     DataFrame ops — the corpus never passes through a single partition,
     and the only single-partition window touches ≤ {ranges} rows."""
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
-        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
-    ).where(F.col("n_tokens") > 0)
+    def build_per_doc() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+        ).where(F.col("n_tokens") > 0)
+
+    # Memoized: the prefix-sum helper fans this into the per-range window
+    # AND the range-totals aggregate — unpersisted, the tokenize scan
+    # runs twice (the module's standard fan-out treatment).
+    per_doc = memo_persist(spark, "pack_per_doc", sf_dir, build_per_doc)
     placed = distributed_prefix_sum(per_doc)
     return placed.select(
         "doc_id",

@@ -146,7 +146,9 @@ ENTRIES = [
         "unpartitioned window in the plan runs over the bucket-totals "
         "relation — ≤128 rows of metadata — whose exclusive prefix "
         "broadcasts back as each bucket's base offset.  The corpus never "
-        "passes through a single partition.",
+        "passes through a single partition, and the tokenize scan feeds "
+        "both phases from ONE memo-persisted relation (the "
+        "InMemoryTableScan below), not two scans.",
     ),
 ]
 
