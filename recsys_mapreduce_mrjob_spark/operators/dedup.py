@@ -433,12 +433,17 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_sh", F.size("sh_set"))
         )
 
-    # Memo-persisted like the xxhash64 sig (round 6): bands AND sets both
-    # consume this relation, and ReuseExchange does not fire across the
-    # shapes — unpersisted, the md5 + 32-member decimal-mod minhash
-    # derivation (the most expensive projection in the repo) ran TWICE in
-    # every consumer of the exact pairs (near_exact, components ×2,
-    # curation).
+    # Memo-persisted like the xxhash64 sig (round 6): this relation fans
+    # into FOUR lazy branches (both aliases of the band self-join plus the
+    # doc_a and doc_b set lookups), and ReuseExchange does not fire across
+    # the shapes — unpersisted, the md5 + 32-member decimal-mod minhash
+    # derivation (the most expensive projection in the repo) recomputed up
+    # to four times in every consumer of the exact pairs (near_exact,
+    # components ×2, curation).  Footprint note: together with minhash_sig
+    # and doc_shingles this is a third corpus-scale shingle relation held
+    # MEMORY_AND_DISK for the session — acceptable at the tested SFs
+    # (spill degrades gracefully); revisit the storage level before
+    # pointing a memory-constrained driver at a much larger corpus.
     sig = memo_persist(spark, "minhash_sig_exact", sf_dir, build_sig)
     bands = sig.select(
         "doc_id",

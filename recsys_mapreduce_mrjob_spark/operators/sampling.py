@@ -212,12 +212,32 @@ def q_sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Mixture reweighting (round 6): target language shares in basis points.
-# Integer weights keep every downstream rate computation in EXACT int64
-# arithmetic — no float ratio ever decides a row's fate (a 1-ulp libm
+# Integer weights keep every downstream rate computation in EXACT
+# integer arithmetic (DECIMAL(38,0) on the Spark side, HUGEINT in the
+# oracle) — no float ratio ever decides a row's fate (a 1-ulp libm
 # difference at a keep/drop boundary would silently diverge the kept set
 # across engines).
 _MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
 _MIX_SALT = ":mix"
+
+def tokenized_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, lang, n_tokens) over non-empty documents — ONE
+    cached tokenize scan shared by every consumer (q_mixture_resample's
+    stats/filter fan-out AND q_pack_blocks' two prefix-sum phases;
+    code-review r6: separate per-query memo entries cached the same
+    corpus-sized relation twice)."""
+    from ..functions.textfns import token_count
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        ).where(F.col("n_tokens") > 0)
+
+    return memo_persist(spark, "tokenized_per_doc", sf_dir, build)
+
 
 def mixture_rates(lang_stats: DataFrame) -> DataFrame:
     """Per-stratum keep-rate in basis points over (lang, toks, w_bp):
@@ -310,9 +330,10 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness is the design constraint: the keep-rate in
     basis points is ``min_m floor(10000·toks_m·w_l / (w_m·toks_l))`` —
-    the min over strata of an INTEGER product/division (int64 throughout,
-    ≤ ~2^50 at sf0.1), which equals floor(10000·min_m(toks_m/w_m)·w_l/
-    toks_l) with no float in sight — and the per-doc keep decision is the
+    the min over strata of an INTEGER product/division (DECIMAL(38,0)
+    products with the cap clamped into the numerator before the
+    long-narrowing ``div`` — see :func:`mixture_rates`), which equals
+    floor(10000·min_m(toks_m/w_m)·w_l/toks_l) with no float in sight — and the per-doc keep decision is the
     deterministic md5 bucket (mod 10000) against that integer rate.  The
     same-keyed sampling survives retries and re-partitioning
     (module-level note).  Scale shape: one token-count aggregation over
@@ -320,19 +341,10 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages-sized stats relation crossed with itself (≤ |langs|² rows —
     metadata, not data), broadcast back as the per-stratum rate, then a
     scan-side filter and a languages-sized audit aggregate."""
-    from ..functions.textfns import token_count
-
-    def build_per_doc() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        return docs.select(
-            "doc_id",
-            "lang",
-            token_count(F.col("text")).cast("long").alias("n_tokens"),
-        ).where(F.col("n_tokens") > 0)
-
-    # Memoized: per_doc fans into the stratum-stats aggregate AND the
-    # keep-filter — unpersisted, the tokenize scan runs twice.
-    per_doc = memo_persist(spark, "mix_per_doc", sf_dir, build_per_doc)
+    # Memoized and SHARED with q_pack_blocks: per_doc fans into the
+    # stratum-stats aggregate AND the keep-filter — unpersisted, the
+    # tokenize scan runs twice.
+    per_doc = tokenized_per_doc(spark, sf_dir)
     w_bp = F.coalesce(
         *[
             F.when(F.col("lang") == k, F.lit(v))

@@ -1087,16 +1087,13 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scan (Blelloch two-phase prefix sum) expressed in plain
     DataFrame ops — the corpus never passes through a single partition,
     and the only single-partition window touches ≤ {ranges} rows."""
-    def build_per_doc() -> DataFrame:
-        docs = load_table(spark, sf_dir, "documents")
-        return docs.select(
-            "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
-        ).where(F.col("n_tokens") > 0)
+    # Shared with q_mixture_resample (one memo entry, not two
+    # near-identical corpus-sized caches — code-review r6): the helper
+    # fans this into the per-range window AND the range-totals
+    # aggregate, so unmemoized the tokenize scan runs twice.
+    from .sampling import tokenized_per_doc
 
-    # Memoized: the prefix-sum helper fans this into the per-range window
-    # AND the range-totals aggregate — unpersisted, the tokenize scan
-    # runs twice (the module's standard fan-out treatment).
-    per_doc = memo_persist(spark, "pack_per_doc", sf_dir, build_per_doc)
+    per_doc = tokenized_per_doc(spark, sf_dir).select("doc_id", "n_tokens")
     placed = distributed_prefix_sum(per_doc)
     return placed.select(
         "doc_id",

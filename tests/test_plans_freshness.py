@@ -3,9 +3,13 @@
 The document pairs scale claims with live ``explain("formatted")`` output;
 if an operator's physical plan drifts (a new Exchange, a lost broadcast, a
 dropped pushdown) the committed evidence goes stale silently.  Regenerate
-in a SUBPROCESS with a fresh SparkSession — the pytest session's cache
-state (persisted ratings/shingles from earlier tests) would otherwise leak
-InMemoryTableScans into plans the generator builds cache-cold.
+in a SUBPROCESS with a fresh SparkSession — isolation from the PYTEST
+session's unrelated cached relations (persisted ratings/shingles from
+earlier tests), which would otherwise leak extra InMemoryTableScans into
+the plans.  Note the generator's own memo-persisted relations (e.g.
+q_pack_blocks' shared tokenize scan) DO legitimately appear as
+InMemoryTableScans in the committed plans — those are part of the plan
+under document, not cache leakage.
 """
 
 from __future__ import annotations
