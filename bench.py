@@ -217,12 +217,26 @@ def main() -> None:
     # window again): drop the least-essential maps until the line fits.
     # Everything dropped here still ships in bench_details.json/stderr.
     line = json.dumps(out, separators=(",", ":"))
-    for drop in ("overhead_sec", "vs_baseline_adj", "vs_baseline"):
+    for drop in ("overhead_sec", "vs_baseline_adj", "vs_baseline", "queries"):
         if len(line) < 1900:
             break
         out.pop(drop, None)
         out["truncated"] = out.get("truncated", []) + [drop]
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) >= 1900:
+        # Last-resort fallback (ADVICE r6): with every droppable map gone the
+        # line can only be oversized if the fixed fields themselves grew —
+        # emit the bare metric plus a pointer so the driver always parses.
+        line = json.dumps(
+            {
+                "metric": out["metric"],
+                "value": out["value"],
+                "unit": out["unit"],
+                "sf": out.get("sf"),
+                "truncated": ["see bench_details.json"],
+            },
+            separators=(",", ":"),
+        )
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
     spark.stop()

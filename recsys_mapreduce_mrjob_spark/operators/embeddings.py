@@ -713,10 +713,11 @@ def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 16
 _IVF_NPROBE = 4
 
-
-@register(
-    "q_knn_cosine_ivf",
-    oracle=f"""
+# Shared by the query-time (`q_knn_cosine_ivf`) and persisted-index
+# (`q_knn_cosine_ivf_indexed`) registrations: both produce the identical
+# deterministic candidate set (round-6 assignment argmax, round-6 probe
+# ranking), so one oracle grades both.
+_IVF_ORACLE = f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}),
 scored AS (
     SELECT e.vec_id, e.label, e.embedding, c.cid,
@@ -738,8 +739,99 @@ FROM assign a CROSS JOIN qv q
 WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id ASC
 LIMIT 10
-""",
-)
+"""
+
+
+def _ivf_probe(spark: SparkSession, sf_dir: str):
+    """Eager index-METADATA lookup shared by both IVF registrations: the
+    nprobe cells nearest the query plus the query vector itself.  Two
+    tiny jobs (K centroid scores + one query row), constant size by
+    construction; eager because the probe list must be a LITERAL for the
+    downstream filter to prune partitions in a persisted index.  Returns
+    ``(probe_cids, qvec_floats)`` or ``None`` when vec_id 0 is absent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = F.broadcast(
+        emb.where(F.col("vec_id") < _IVF_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    probe_rows = (
+        cents.join(qv)
+        .select(
+            "cid",
+            F.round(cosine_sim(F.col("cvec"), F.col("qvec")), 6).alias("score"),
+            "qvec",
+        )
+        .orderBy(F.desc("score"), F.asc("cid"))
+        .limit(_IVF_NPROBE)
+        .collect()
+    )
+    if not probe_rows:
+        return None
+    # float32 → Python float is exact double widening, so the literal array
+    # is bit-identical to casting the qvec column.
+    return [r["cid"] for r in probe_rows], [float(x) for x in probe_rows[0]["qvec"]]
+
+
+def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF coarse-quantizer assignment relation (vec_id → nearest of
+    the K=16 deterministic centroids, round-6 argmax): the plan
+    `q_knn_cosine_ivf` recomputes per query and `q_knn_cosine_ivf_indexed`
+    writes once as a cid-partitioned parquet index.
+
+    Repartition on vec_id BEFORE the × K broadcast join: the argmax agg
+    needs a vec_id exchange anyway, so moving it ahead of the join adds
+    no net shuffle — and it un-starves the single-row-group bench scan
+    so the K dot folds per row run on every core.  Norms hoisted: one
+    row-norm fold per row + one dot fold per (row, centroid), not three
+    folds per pair.  Argmax without a window: (score, -cid) struct max is
+    map-side combinable; label/embedding ride along (never compared —
+    (score, neg_cid) is already unique per group)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents_n = F.broadcast(
+        emb.where(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .withColumn("cnrm", l2_norm(F.col("cvec")))
+    )
+    scored = (
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", l2_norm(F.col("embedding")))
+        .join(cents_n)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "cid",
+            F.round(
+                cosine_sim_pre(
+                    dot(F.col("embedding"), F.col("cvec")),
+                    F.col("nrm"),
+                    F.col("cnrm"),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "score", (-F.col("cid")).alias("neg_cid"), "label", "embedding"
+                )
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.neg_cid")).alias("cid"),
+            F.col("b.label").alias("label"),
+            F.col("b.embedding").alias("embedding"),
+        )
+    )
+
+
+@register("q_knn_cosine_ivf", oracle=_IVF_ORACLE)
 def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN for the same query as ``q_knn_cosine`` — the inverted-
     file scale path next to the sign-LSH one: assign every vector to its
@@ -763,89 +855,102 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, so the cell assignment — and therefore the candidate
     set — is deterministic.  Recall vs the exact top-10 is pinned by a
     unit test.
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = F.broadcast(
-        emb.where(F.col("vec_id") < _IVF_K).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-        )
-    )
-    qv = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    # Index-metadata lookup: K scores, JVM arithmetic (bit-identical to the
-    # corpus-side expressions), deterministic (round-6, cid tie-break).
-    probe_rows = (
-        cents.join(qv)
-        .select(
-            "cid",
-            F.round(cosine_sim(F.col("cvec"), F.col("qvec")), 6).alias("score"),
-            "qvec",
-        )
-        .orderBy(F.desc("score"), F.asc("cid"))
-        .limit(_IVF_NPROBE)
-        .collect()
-    )
-    # NOTE: the probe lookup above is an EAGER collect() at build time (two
-    # tiny jobs — K centroid scores + the query vector) — plan-only
-    # consumers (explain/gen_plans) pay it too.  Constant-size by
-    # construction; kept eager because the probe list must be a literal
-    # for the filter to prune partitions in a persisted index.
-    if not probe_rows:  # query vector absent → empty result, stable schema
-        return spark.createDataFrame(
-            [], "vec_id long, label int, cos_sim double"
-        )
-    probe_cids = [r["cid"] for r in probe_rows]
-    # float32 → Python float is exact double widening, so the literal array
-    # is bit-identical to casting the qvec column.
-    lit_q = F.array(*[F.lit(float(x)) for x in probe_rows[0]["qvec"]])
 
-    # Repartition on vec_id BEFORE the × K broadcast join: the argmax agg
-    # needs a vec_id exchange anyway, so moving it ahead of the join adds
-    # no net shuffle — and it un-starves the single-row-group bench scan
-    # so the K dot folds per row run on every core.  Norms hoisted: one
-    # row-norm fold per row + one dot fold per (row, centroid), not three
-    # folds per pair.
-    cents_n = F.broadcast(
-        emb.where(F.col("vec_id") < _IVF_K)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-        .withColumn("cnrm", l2_norm(F.col("cvec")))
-    )
-    scored = (
-        emb.repartition(
-            spark.sparkContext.defaultParallelism, "vec_id"
-        )
-        .withColumn("nrm", l2_norm(F.col("embedding")))
-        .join(cents_n)
-        .select(
-            "vec_id",
-            "label",
-            "embedding",
-            "cid",
-            F.round(
-                cosine_sim_pre(
-                    dot(F.col("embedding"), F.col("cvec")),
-                    F.col("nrm"),
-                    F.col("cnrm"),
-                ),
-                6,
-            ).alias("score"),
-        )
-    )
-    # Argmax without a window: (score, -cid) struct max is map-side
-    # combinable; label/embedding ride along (never compared — (score,
-    # neg_cid) is already unique per group).
-    assign = scored.groupBy("vec_id").agg(
-        F.max(F.struct("score", (-F.col("cid")).alias("neg_cid"), "label", "embedding")).alias("b")
-    ).select(
-        "vec_id",
-        (-F.col("b.neg_cid")).alias("cid"),
-        F.col("b.label").alias("label"),
-        F.col("b.embedding").alias("embedding"),
-    )
+    NOTE: the probe lookup (:func:`_ivf_probe`) is an EAGER collect() at
+    build time (two tiny jobs — K centroid scores + the query vector) —
+    plan-only consumers (explain/gen_plans) pay it too.  Constant-size by
+    construction; kept eager because the probe list must be a literal
+    for the filter to prune partitions in a persisted index.
+    """
+    probe = _ivf_probe(spark, sf_dir)
+    if probe is None:  # query vector absent → empty result, stable schema
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
+    probe_cids, qvec = probe
+    lit_q = F.array(*[F.lit(x) for x in qvec])
+    assign = _ivf_assign(spark, sf_dir)
     return (
         assign.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             "label",
+            _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# Persisted-index directories, one per (SparkContext, sf_dir) — the index
+# build (a full assignment pass + partitioned write) runs ONCE per session
+# and every subsequent query is a pruned scan, which is the entire point
+# of an IVF index (VERDICT r6 #5: the winning shape from
+# tools/bench_ann_scale.py, registered as a declared query).
+_IVF_INDEX_DIRS: dict[tuple[str, str], str] = {}
+
+
+def ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per SparkContext × sf_dir) the persisted IVF index:
+    the :func:`_ivf_assign` relation written as parquet PARTITIONED BY
+    cell id under a session tempdir (cleaned at exit).  In production
+    this is a durable table written by the ingest pipeline; the tempdir
+    stands in because tests/grading must not write outside the repo."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _IVF_INDEX_DIRS.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        for stale in [k for k in _IVF_INDEX_DIRS if k[0] != app]:
+            del _IVF_INDEX_DIRS[stale]
+        path = tempfile.mkdtemp(prefix="spark_ivf_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _ivf_assign(spark, sf_dir).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(path)
+        _IVF_INDEX_DIRS[key] = path
+    return path
+
+
+@register("q_knn_cosine_ivf_indexed", oracle=_IVF_ORACLE)
+def q_knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a PERSISTED index — the production ANN query shape, and
+    the one that wins at scale (tools/bench_ann_scale.py, BASELINE.md
+    "ANN scale rung": flat ~0.6 s probe at 200k vectors while the exact
+    scan grows linearly; recall@10 = 1.00).
+
+    `q_knn_cosine_ivf` recomputes the coarse-quantizer assignment per
+    query — correct, but the assignment itself scans the corpus K-fold,
+    so query-time IVF can never beat brute force.  The index fix:
+    amortize the assignment by writing it ONCE as a parquet table
+    partitioned by cell id (:func:`ivf_index_dir`); a query is then
+      (1) a driver-side K-row probe ranking (index metadata),
+      (2) a partition-PRUNED scan of the nprobe nearest cells — the
+          literal cell-id filter lands in the scan's PartitionFilters,
+          so ~nprobe/K of the files are even opened, and
+      (3) an exact-cosine re-rank of just those candidates.
+    No join, no shuffle — one pruned scan feeding a TakeOrdered.  At
+    100 TB the index is bucketed/partitioned storage metadata and query
+    cost scales with nprobe/K, not corpus size.
+
+    Same deterministic candidate set as `q_knn_cosine_ivf` (identical
+    round-6 assignment argmax + probe ranking), so the same exact oracle
+    grades both.  First call per session pays the index build (one
+    assignment pass + partitioned write); subsequent calls reuse it —
+    mirroring a real pipeline where ingest writes the index and queries
+    only read."""
+    probe = _ivf_probe(spark, sf_dir)
+    if probe is None:
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
+    probe_cids, qvec = probe
+    lit_q = F.array(*[F.lit(x) for x in qvec])
+    index = spark.read.parquet(ivf_index_dir(spark, sf_dir))
+    return (
+        index.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
             _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))

@@ -621,12 +621,13 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_skew_profile",
     oracle="""
-WITH key_counts AS (
+WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+key_counts AS (
     SELECT user_id AS key, count(*) AS n_rows
-    FROM events GROUP BY user_id
+    FROM ev GROUP BY user_id
 ),
 tot AS (SELECT count(*) AS n_total, count(DISTINCT user_id) AS n_keys
-        FROM events)
+        FROM ev)
 SELECT k.key, k.n_rows,
        round(k.n_rows / CAST(t.n_total AS DOUBLE), 6) + 0.0 AS share,
        round(k.n_rows * t.n_keys / CAST(t.n_total AS DOUBLE), 4) + 0.0
@@ -650,8 +651,19 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     count), a 1-row global-total agg joined in by broadcast (scalar,
     never a cross product of data), and a top-20 TakeOrdered — no
     window, no full sort.  Run it before committing a partition
-    strategy; feed the listed keys to the salting knob."""
-    ev = load_events(spark, sf_dir).select("user_id")
+    strategy; feed the listed keys to the salting knob.
+
+    NULL keys are excluded on BOTH sides (ADVICE r6: the oracle's
+    ``count(DISTINCT user_id)`` is NULL-excluding while a groupBy counts
+    the NULL-key group, so a future events regen containing NULL user_id
+    would silently diverge skew_factor) — and a NULL equi-join key never
+    participates in the join shuffle anyway, so the diagnostic is about
+    non-NULL keys by definition."""
+    ev = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .where(F.col("user_id").isNotNull())
+    )
     counts = ev.groupBy(F.col("user_id").alias("key")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )

@@ -24,22 +24,129 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–5: exactly the first 50), so registration order is the lever that decides
-# which operators get a driver correctness row.  Round-6 rotation (VERDICT r5
-# "Next round" #1/#3): flagship first, then the NINE round-5 names the driver
-# has never graded (4 streaming-executed + 5 exact twins), the new round-6
-# parquet-sink streaming query, the four r2-data-era rows, the two round-5
-# plan rewrites last graded on r4 plans, the two queries changed this round
-# (curation near-dup recompose, two-star fixpoint), the full r3-era cohort,
-# and a stalest-r4 fill.  tests/test_registry_order.py pins this contract.
+# 2–6: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-7 rotation (VERDICT r6
+# "Next round" #2): flagship first, then the query NEW this round (persisted-
+# index IVF), the query CHANGED this round (skew profile now excludes NULL
+# keys on both sides), the full round-4 data-era cohort — after r6 the era
+# census was Counter{r6: 50, r5: 48, r4: 44}, so rotating all 44 r4 rows in
+# leaves no name's latest row older than r5 — and three stalest-r5 fills.
+# tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-10: the nine round-5 queries the driver has NEVER
-    #    graded (VERDICT r5 #1 — highest-leverage fix: a first driver
-    #    row closes the only correctness gap): the four streaming-
-    #    EXECUTED queries, then the five exact twins --
+    # -- slot 2: NEW round-7 query — the persisted cell-partitioned IVF
+    #    index (VERDICT r6 #5: the winning shape from
+    #    tools/bench_ann_scale.py, now a declared query) --
+    "q_knn_cosine_ivf_indexed",
+    # -- slot 3: CHANGED round 7 — NULL keys now excluded on both sides
+    #    (ADVICE r6: oracle count(DISTINCT) was NULL-excluding, Spark
+    #    groupBy was not) --
+    "q_skew_profile",
+    # -- slots 4-47: the full round-4 data-era cohort (VERDICT r6 #2) --
+    "q_agg_having_q11",
+    "q_agg_max_q15",
+    "q_agg_pricing_summary",
+    "q_agg_q6_forecast",
+    "q_anti_scalar_q22",
+    "q_cond_funcs",
+    "q_corr_min_q2",
+    "q_corr_scalar_q17",
+    "q_dedup_jaccard_pairs",
+    "q_embedding_quantize",
+    "q_events_anomaly",
+    "q_filter_compound",
+    "q_graph_degree_stats",
+    "q_histogram",
+    "q_join_agg_q10",
+    "q_join_agg_q12",
+    "q_join_agg_q14",
+    "q_join_agg_q18",
+    "q_join_agg_q3",
+    "q_join_agg_q5",
+    "q_join_agg_q7",
+    "q_join_agg_q8",
+    "q_join_agg_q9",
+    "q_join_exists_q4",
+    "q_join_inner",
+    "q_join_multi_exists_q21",
+    "q_join_or_q19",
+    "q_map_funcs",
+    "q_multimodal_audio_windows",
+    "q_multimodal_features",
+    "q_nested_exists_q20",
+    "q_notin_distinct_q16",
+    "q_outer_agg_q13",
+    "q_recommend_als",
+    "q_sample_stratified",
+    "q_scan_pruned",
+    "q_text_boilerplate",
+    "q_text_contamination",
+    "q_text_unigram_lm",
+    "q_topn_orders",
+    "q_udf_reg_corr",
+    "q_union_all",
+    "q_window_rank",
+    "q_window_session",
+    # -- slots 48-50: stalest-r5 fills — the salted-skew join (its salt
+    #    list is now integration-tested against q_skew_profile's output),
+    #    the LSH pair relation curation consumes, and the recsys
+    #    recommendation composite --
+    "q_join_salted_skew",
+    "q_dedup_near_exact",
+    "q_recommend_topn",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix: the remaining round-5 cohort
+    # (stalest era left), then the round-6-graded cohort, which needs
+    # re-verification least.
+    # ------------------------------------------------------------------
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_agg_rollup",
+    "q_agg_salted_twophase",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_array_funcs",
+    "q_audit_constraints",
+    "q_date_funcs",
+    "q_dedup_embedding",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_except",
+    "q_intersect",
+    "q_item_cooccurrence",
+    "q_item_rater_counts",
+    "q_item_similarity",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_fuzzy_names",
+    "q_join_left",
+    "q_join_selfpair",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_json_funcs",
+    "q_late_data_filter",
+    "q_math_funcs",
+    "q_pairwise_stats",
+    "q_pivot_events",
+    "q_project_expr",
+    "q_ratings_matrix",
+    "q_scan_parquet",
+    "q_stateful_dedup_events",
+    "q_text_repetition",
+    "q_topk_similar_dimsum_exact",
+    "q_user_stats",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_running",
+    "q_window_sliding",
+    "q_window_topk_per_group",
+    "q_window_tumbling",
+    # -- round-6-graded cohort --
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
     "q_stream_session_exec",
@@ -49,28 +156,15 @@ GRADING_ORDER: list[str] = [
     "q_dedup_simhash_exact",
     "q_pagerank_exact",
     "q_kmeans_exact",
-    # -- slot 11: new round-6 query — the attribution join drained
-    #    through a real parquet file sink (VERDICT r5 #7) --
     "q_stream_sink_parquet_exec",
-    # -- slots 12-15: the four names whose latest driver row is from
-    #    the ROUND-2 data era (two displaced window queries + the two
-    #    rows-only sketches) --
     "q_window_ntile",
     "q_window_first_last",
     "q_topk_similar_dimsum",
     "q_agg_approx_distinct",
-    # -- slots 16-17: rewritten in round 5 (size-dispatched GEMV knn,
-    #    single-exchange tfidf) but last graded on the r4 plans --
     "q_knn_cosine",
     "q_text_tfidf",
-    # -- slots 18-19: changed THIS round — curation now drops near-dup
-    #    component non-keepers (two-star ladder), and two-star itself
-    #    now iterates to an edge-set fixpoint --
     "q_corpus_curation",
     "q_dedup_components_twostar",
-    # -- slots 20-45: the full round-3 data-era cohort — every name
-    #    whose latest driver row is r3 (VERDICT r5 #3: converge all
-    #    rows onto the current data era) --
     "q_dedup_components",
     "q_dedup_exact",
     "q_dedup_near",
@@ -97,114 +191,10 @@ GRADING_ORDER: list[str] = [
     "q_text_winnow_pairs",
     "q_text_wordcount",
     "q_udf_znorm_per_user",
-    # -- slots 46-50: new round-6 operators (a first driver row beats an
-    #    r4-green re-grade): Bloom-prefiltered semi-join, hot-key skew
-    #    diagnostic, mixture reweighting, sequence packing, foreachBatch
-    #    incremental maintenance --
     "q_join_bloom",
-    "q_skew_profile",
     "q_mixture_resample",
     "q_pack_blocks",
     "q_stream_incremental_stats_exec",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: the displaced r4-green re-grades,
-    # then the remaining r4-era rows (freshest-first if the cutoff is
-    # time-budgeted), then the round-5 all-green cohort, which needs
-    # re-verification least.
-    # ------------------------------------------------------------------
-    "q_dedup_jaccard_pairs",
-    "q_window_session",
-    "q_sample_stratified",
-    "q_map_funcs",
-    "q_cond_funcs",
-    "q_agg_having_q11",
-    "q_agg_max_q15",
-    "q_agg_pricing_summary",
-    "q_agg_q6_forecast",
-    "q_anti_scalar_q22",
-    "q_corr_min_q2",
-    "q_corr_scalar_q17",
-    "q_embedding_quantize",
-    "q_events_anomaly",
-    "q_filter_compound",
-    "q_graph_degree_stats",
-    "q_histogram",
-    "q_join_agg_q10",
-    "q_join_agg_q12",
-    "q_join_agg_q14",
-    "q_join_agg_q18",
-    "q_join_agg_q3",
-    "q_join_agg_q5",
-    "q_join_agg_q7",
-    "q_join_agg_q8",
-    "q_join_agg_q9",
-    "q_join_exists_q4",
-    "q_join_inner",
-    "q_join_multi_exists_q21",
-    "q_join_or_q19",
-    "q_multimodal_audio_windows",
-    "q_multimodal_features",
-    "q_nested_exists_q20",
-    "q_notin_distinct_q16",
-    "q_outer_agg_q13",
-    "q_recommend_als",
-    "q_scan_pruned",
-    "q_text_boilerplate",
-    "q_text_contamination",
-    "q_text_unigram_lm",
-    "q_topn_orders",
-    "q_udf_reg_corr",
-    "q_union_all",
-    "q_window_rank",
-    # -- round-5 green cohort --
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_agg_rollup",
-    "q_agg_salted_twophase",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_array_funcs",
-    "q_audit_constraints",
-    "q_date_funcs",
-    "q_dedup_embedding",
-    "q_dedup_near_exact",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_except",
-    "q_intersect",
-    "q_item_cooccurrence",
-    "q_item_rater_counts",
-    "q_item_similarity",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_fuzzy_names",
-    "q_join_left",
-    "q_join_salted_skew",
-    "q_join_selfpair",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_json_funcs",
-    "q_late_data_filter",
-    "q_math_funcs",
-    "q_pairwise_stats",
-    "q_pivot_events",
-    "q_project_expr",
-    "q_ratings_matrix",
-    "q_recommend_topn",
-    "q_scan_parquet",
-    "q_stateful_dedup_events",
-    "q_text_repetition",
-    "q_topk_similar_dimsum_exact",
-    "q_user_stats",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_running",
-    "q_window_sliding",
-    "q_window_topk_per_group",
-    "q_window_tumbling",
 ]
 
 

@@ -145,6 +145,21 @@ def test_ivf_assignment_avoids_window_shuffle(spark, sf_dir):
     assert re.search(r"\(\d+\) (Sort|Hash)Aggregate", plan), plan
 
 
+def test_ivf_indexed_query_prunes_partitions(spark, sf_dir):
+    """The persisted-index IVF query (round 7) must be a single pruned
+    scan: the literal probe-cell predicate has to sit INSIDE the scan's
+    PartitionFilters (not a post-scan Filter — the vacuous-pass trap
+    code-review r6 flagged in the scale-rung check), and the plan must
+    contain no join and no shuffle: query cost scales with nprobe/K of
+    the index files, not corpus size."""
+    plan = _plan(spark, sf_dir, "q_knn_cosine_ivf_indexed")
+    assert "PartitionFilters" in plan, plan
+    section = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "cid" in section, plan
+    assert "Join" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_dedup_embedding_has_no_pairwise_join(spark, sf_dir):
     """The re-registered blocked-GEMM form (VERDICT r3 #6) must contain NO
     row-level join of any kind — the pair space exists only inside the

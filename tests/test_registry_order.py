@@ -1,14 +1,14 @@
 """Pin the grading-order invariants (registry.GRADING_ORDER).
 
 The grading driver checks a PREFIX of the registered query names (rounds
-2-5: exactly the first 50), so registration order decides which operators
-receive a driver correctness row.  Round-6 contract (VERDICT r5 "Next
-round" #1/#3): the prefix first-grades the nine round-5 names the driver
-has never seen (4 streaming-executed queries + 5 exact twins) plus the
-new parquet-sink streaming query, then re-grades the r2-data-era rows,
-the two round-5 plan rewrites whose latest row is on the r4 plan, the
-two queries changed this round, and the full r3-era cohort, topped up
-with a stalest-r4 fill.
+2-6: exactly the first 50), so registration order decides which operators
+receive a driver correctness row.  Round-7 contract (VERDICT r6 "Next
+round" #2): the prefix first-grades the query NEW this round (the
+persisted cell-partitioned IVF index) and the query CHANGED this round
+(skew profile now NULL-excludes on both sides), then re-grades the FULL
+round-4 data-era cohort — after r6 the era census was Counter{r6: 50,
+r5: 48, r4: 44}, so rotating all 44 r4 rows in leaves no name's latest
+row older than r5 — topped up with three stalest-r5 fills.
 """
 
 from __future__ import annotations
@@ -17,86 +17,69 @@ from recsys_mapreduce_mrjob_spark import registry
 
 PREFIX = 50
 
-# Never graded by the driver (added late round 5, past the r5 cutoff) —
-# a first hash-graded row beats any re-verification (VERDICT r5 #1).
-NEVER_GRADED_R5 = {
-    "q_stream_tumbling_exec",
-    "q_stream_user_counter_exec",
-    "q_stream_session_exec",
-    "q_stream_attribution_exec",
-    "q_dedup_components_exact",
-    "q_knn_cosine_lsh_exact",
-    "q_dedup_simhash_exact",
-    "q_pagerank_exact",
-    "q_kmeans_exact",
+# New this round: IVF with a PERSISTED cell-partitioned index — the
+# shape tools/bench_ann_scale.py measured winning at 200k vectors,
+# registered as a declared query (VERDICT r6 #5).
+NEW_R7 = {"q_knn_cosine_ivf_indexed"}
+
+# Changed this round: NULL keys excluded on both engine and oracle side
+# (ADVICE r6 — count(DISTINCT) vs groupBy NULL-group divergence).
+CHANGED_R7 = {"q_skew_profile"}
+
+# The full round-4 data-era cohort: every name whose latest driver row
+# is r4 after the r6 grading (VERDICT r6 #2).
+R4_DATA_ERA = {
+    "q_agg_having_q11",
+    "q_agg_max_q15",
+    "q_agg_pricing_summary",
+    "q_agg_q6_forecast",
+    "q_anti_scalar_q22",
+    "q_cond_funcs",
+    "q_corr_min_q2",
+    "q_corr_scalar_q17",
+    "q_dedup_jaccard_pairs",
+    "q_embedding_quantize",
+    "q_events_anomaly",
+    "q_filter_compound",
+    "q_graph_degree_stats",
+    "q_histogram",
+    "q_join_agg_q10",
+    "q_join_agg_q12",
+    "q_join_agg_q14",
+    "q_join_agg_q18",
+    "q_join_agg_q3",
+    "q_join_agg_q5",
+    "q_join_agg_q7",
+    "q_join_agg_q8",
+    "q_join_agg_q9",
+    "q_join_exists_q4",
+    "q_join_inner",
+    "q_join_multi_exists_q21",
+    "q_join_or_q19",
+    "q_map_funcs",
+    "q_multimodal_audio_windows",
+    "q_multimodal_features",
+    "q_nested_exists_q20",
+    "q_notin_distinct_q16",
+    "q_outer_agg_q13",
+    "q_recommend_als",
+    "q_sample_stratified",
+    "q_scan_pruned",
+    "q_text_boilerplate",
+    "q_text_contamination",
+    "q_text_unigram_lm",
+    "q_topn_orders",
+    "q_udf_reg_corr",
+    "q_union_all",
+    "q_window_rank",
+    "q_window_session",
 }
 
-# New this round: the attribution join drained through a real parquet
-# file sink (VERDICT r5 #7 — the memory sink was the only graded path),
-# the Bloom-prefiltered semi-join, the hot-key skew diagnostic, the
-# training-mixture reweighting, and the sequence-packing prefix sum.
-NEW_R6 = {
-    "q_stream_sink_parquet_exec",
-    "q_join_bloom",
-    "q_skew_profile",
-    "q_mixture_resample",
-    "q_pack_blocks",
-    "q_stream_incremental_stats_exec",
-}
-
-# Latest driver row is from the ROUND-2 data era.
-R2_DATA_ERA = {
-    "q_window_ntile",
-    "q_window_first_last",
-    "q_topk_similar_dimsum",
-    "q_agg_approx_distinct",
-}
-
-# Plans rewritten in round 5 (size-dispatched GEMV knn; single-exchange
-# tfidf) but last graded on the r4 plans (VERDICT r5 #2 of "What's
-# missing").
-REWRITTEN_R5_STALE_ROW = {"q_knn_cosine", "q_text_tfidf"}
-
-# Changed THIS round: curation now drops near-dup component non-keepers
-# through the two-star ladder, and two-star itself now iterates to an
-# edge-set fixpoint instead of a fixed 6-round budget (ADVICE r5).
-CHANGED_R6 = {"q_corpus_curation", "q_dedup_components_twostar"}
-
-# The full round-3 data-era cohort (VERDICT r5 #3: converge every name's
-# latest row onto the current data era).
-R3_DATA_ERA = {
-    "q_dedup_components",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_embedding_label_stats",
-    "q_kmeans_embeddings",
-    "q_knn_cosine_ivf",
-    "q_knn_cosine_lsh",
-    "q_knn_per_label",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pagerank_items",
-    "q_sample_reservoir_per_lang",
-    "q_sample_split",
-    "q_sample_weighted",
-    "q_sketch_countmin",
-    "q_string_funcs",
-    "q_text_bigrams",
-    "q_text_bpe_tokens",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_token_stats",
-    "q_text_winnow_pairs",
-    "q_text_wordcount",
-    "q_udf_znorm_per_user",
-}
-
-# No r4-fill slots remain: every non-re-verification slot went to a
-# first-graded round-6 name (a first driver row beats an r4-green
-# re-grade under the grading contract).
-R4_FILL: set[str] = set()
+# Stalest-r5 fills for the remaining slots: the salted-skew join (its
+# salt list is integration-tested against q_skew_profile this round),
+# the LSH pair relation curation consumes, and the recsys
+# recommendation composite.
+R5_FILL = {"q_join_salted_skew", "q_dedup_near_exact", "q_recommend_topn"}
 
 
 def _loaded_names() -> list[str]:
@@ -122,36 +105,26 @@ def test_flagship_is_first():
     assert _loaded_names()[0] == "q_topk_similar_items"
 
 
-def test_never_graded_names_lead_the_prefix():
-    """The nine never-graded names sit in slots 2-10 — graded even if the
-    driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1:10])
-    assert head == NEVER_GRADED_R5
+def test_new_and_changed_lead_the_prefix():
+    """The never-graded new query and the changed query sit in slots 2-3
+    — graded even if the driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1:3])
+    assert head == NEW_R7 | CHANGED_R7
 
 
-def test_prefix_is_exactly_the_round6_verification_set():
+def test_prefix_is_exactly_the_round7_verification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
         ("flagship", {"q_topk_similar_items"}),
-        ("never-graded-r5", NEVER_GRADED_R5),
-        ("new-r6", NEW_R6),
-        ("r2-data-era", R2_DATA_ERA),
-        ("rewritten-r5", REWRITTEN_R5_STALE_ROW),
-        ("changed-r6", CHANGED_R6),
-        ("r3-data-era", R3_DATA_ERA),
-        ("r4-fill", R4_FILL),
+        ("new-r7", NEW_R7),
+        ("changed-r7", CHANGED_R7),
+        ("r4-data-era", R4_DATA_ERA),
+        ("r5-fill", R5_FILL),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
     assert prefix == (
-        {"q_topk_similar_items"}
-        | NEVER_GRADED_R5
-        | NEW_R6
-        | R2_DATA_ERA
-        | REWRITTEN_R5_STALE_ROW
-        | CHANGED_R6
-        | R3_DATA_ERA
-        | R4_FILL
+        {"q_topk_similar_items"} | NEW_R7 | CHANGED_R7 | R4_DATA_ERA | R5_FILL
     )
 
 
