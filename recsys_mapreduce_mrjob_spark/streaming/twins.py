@@ -240,7 +240,10 @@ def stateful_counter_stream(events: DataFrame) -> DataFrame:
 
 
 def incremental_item_stats(
-    spark: SparkSession, ratings_dir: str, state_dir: str
+    spark: SparkSession,
+    ratings_dir: str,
+    state_dir: str,
+    on_batch=None,
 ) -> None:
     """Incremental maintenance via ``foreachBatch``: a ratings stream
     merges per-item (n, rating_sum) into parquet state, one version per
@@ -263,6 +266,12 @@ def incremental_item_stats(
     stream splits into micro-batches, which is what lets a batch SQL
     oracle grade the incremental execution (double sums would drift by
     addition order).
+
+    ``on_batch(batch_id)`` (round 7), called at the top of each
+    ``foreachBatch`` invocation, is the crash-injection/observation hook
+    for the checkpoint-resume test: raising from it kills the stream
+    BEFORE the batch's state version commits, exactly the mid-stream
+    failure a restart must recover from.
     """
     from pyspark.sql.utils import AnalysisException
 
@@ -273,6 +282,8 @@ def incremental_item_stats(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
         s = batch_df.sparkSession
         batch_agg = batch_df.groupBy("item_id").agg(
             F.count(F.lit(1)).alias("n"),
