@@ -432,6 +432,91 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_hot_keys(
+    df: DataFrame, key: str, threshold: float = 2.0, top: int = 20
+) -> list:
+    """The q_skew_profile → salting wire (VERDICT r6 #8): profile ``key``
+    on ``df`` and return the (≤ ``top``) keys whose skew factor
+    (count ÷ mean count) exceeds ``threshold`` — exactly the list
+    :func:`salted_join_hot_keys` takes.  Eager by design: the hot-key
+    list must be a plan literal so only flagged keys pay the salting
+    rewrite; it is constant-size (≤ top values) like the IVF probe list.
+    NULL keys are excluded — a NULL equi-join key matches nothing, so it
+    can never be a join hot spot."""
+    counts = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    rows = (
+        counts.join(F.broadcast(tot))
+        .withColumn(
+            "skew_factor",
+            F.col("n") * F.col("n_keys") / F.col("n_total").cast("double"),
+        )
+        .where(F.col("skew_factor") > threshold)
+        .orderBy(F.desc("n"), F.asc("k"))
+        .limit(top)
+        .select("k")
+        .collect()
+    )
+    return [r["k"] for r in rows]
+
+
+def salted_join_hot_keys(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    hot_keys: list,
+    n_salt: int = 8,
+) -> DataFrame:
+    """TARGETED salted equi-join: only the profiled hot keys pay the
+    salting rewrite.  ``q_join_salted_skew`` demonstrates the uniform
+    form (every build row replicated n_salt×); at 100 TB that multiplies
+    the whole build-side shuffle by n_salt to fix a handful of keys.
+    This form scopes the cost to the flagged keys:
+
+      - probe rows with a hot key get a deterministic row-hash salt in
+        [0, n_salt); all other rows get salt 0 (no CASE on the hot path
+        of the exchange — the salt column is just another join column);
+      - build rows with a hot key are exploded n_salt×; cold build rows
+        emit the single salt 0 — so the build-side inflation is
+        n_hot · (n_salt − 1) rows, not n_build · n_salt.
+
+    The join key becomes (key, salt); re-aggregating on the real key
+    downstream restores exact results (the salt never changes WHICH rows
+    pair, only which reducer they meet on).  ``hot_keys`` must be a
+    driver-side literal list (see :func:`profile_hot_keys`); empty list
+    → degenerates to the plain join with a constant salt.  Salt is a
+    deterministic hash of all probe columns, never rand() — speculative
+    re-execution of a rand() salt double-counts rows."""
+    salts = F.array(*[F.lit(s) for s in range(n_salt)])
+    if hot_keys:
+        probe_salt = F.when(
+            F.col(probe_key).isin(hot_keys),
+            F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(n_salt)),
+        ).otherwise(F.lit(0))
+        build_salts = F.when(F.col(build_key).isin(hot_keys), salts).otherwise(
+            F.array(F.lit(0))
+        )
+    else:
+        probe_salt = F.lit(0)
+        build_salts = F.array(F.lit(0))
+    salted_probe = probe.withColumn("salt", probe_salt.cast("int"))
+    # explode() cannot nest inside another expression (cast) — the array
+    # elements are already int literals, so no cast is needed.
+    salted_build = build.withColumn("salt", F.explode(build_salts))
+    return salted_probe.hint("merge").join(
+        salted_build,
+        (salted_probe[probe_key] == salted_build[build_key])
+        & (salted_probe["salt"] == salted_build["salt"]),
+    ).drop(salted_build["salt"])
+
+
 @register(
     "q_join_fuzzy_names",
     oracle="""
