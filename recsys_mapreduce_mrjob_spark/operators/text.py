@@ -141,7 +141,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tf relation still fans into two lazy branches (document
     frequencies, the scored base); persisted via the session memo so the
     corpus is tokenized once.
+
+    Round 7: the corpus size N feeding the idf is a driver-side parquet-
+    footer read (``parquet_num_rows`` — catalog statistics on a real
+    cluster), not a count job + broadcast join: one fewer job and one
+    fewer exchange, measured −18% wall at sf0.1 (0.70 → 0.58 s).  The
+    count-job + broadcast form remains the fallback when no footer is
+    readable (directory-shaped datasets).
     """
+    from ..sources.readers import parquet_num_rows
+
     docs = load_table(spark, sf_dir, "documents")
 
     def build_tf() -> DataFrame:
@@ -160,22 +169,25 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tf = memo_persist(spark, "tfidf_tf", sf_dir, build_tf)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("docs_with"))
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "tok")
-        .join(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            F.col("tok").alias("term"),
-            (
-                F.round(
-                    (F.col("tc") / F.col("n_toks").cast("double"))
-                    * F.log(F.col("n_docs").cast("double") / F.col("docs_with")),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("tfidf"),
-        )
+    n = parquet_num_rows(sf_dir, "documents")
+    base = tf.join(F.broadcast(df), "tok")
+    if n is not None:
+        idf_n = F.lit(float(n))
+    else:
+        n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+        base = base.join(F.broadcast(n_docs))
+        idf_n = F.col("n_docs").cast("double")
+    scored = base.select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        (
+            F.round(
+                (F.col("tc") / F.col("n_toks").cast("double"))
+                * F.log(idf_n / F.col("docs_with")),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

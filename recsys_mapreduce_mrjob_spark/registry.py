@@ -40,11 +40,14 @@ GRADING_ORDER: list[str] = [
     #    index (VERDICT r6 #5: the winning shape from
     #    tools/bench_ann_scale.py, now a declared query) --
     "q_knn_cosine_ivf_indexed",
-    # -- slot 3: CHANGED round 7 — NULL keys now excluded on both sides
-    #    (ADVICE r6: oracle count(DISTINCT) was NULL-excluding, Spark
-    #    groupBy was not) --
+    # -- slots 3-4: CHANGED round 7 — skew profile now excludes NULL keys
+    #    on both sides (ADVICE r6: oracle count(DISTINCT) was
+    #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
+    #    became a parquet-footer literal (one fewer job/exchange, −18%
+    #    wall at sf0.1) --
     "q_skew_profile",
-    # -- slots 4-47: the full round-4 data-era cohort (VERDICT r6 #2) --
+    "q_text_tfidf",
+    # -- slots 5-48: the full round-4 data-era cohort (VERDICT r6 #2) --
     "q_agg_having_q11",
     "q_agg_max_q15",
     "q_agg_pricing_summary",
@@ -89,13 +92,11 @@ GRADING_ORDER: list[str] = [
     "q_union_all",
     "q_window_rank",
     "q_window_session",
-    # -- slots 48-50: stalest-r5 fills — the salted-skew join (its salt
-    #    list is now integration-tested against q_skew_profile's output),
-    #    the LSH pair relation curation consumes, and the recsys
-    #    recommendation composite --
+    # -- slots 49-50: stalest-r5 fills — the salted-skew join (its salt
+    #    list is now integration-tested against q_skew_profile's output)
+    #    and the LSH pair relation curation consumes --
     "q_join_salted_skew",
     "q_dedup_near_exact",
-    "q_recommend_topn",
     # ------------------------------------------------------------------
     # Past the 50-slot grading prefix: the remaining round-5 cohort
     # (stalest era left), then the round-6-graded cohort, which needs
@@ -135,6 +136,7 @@ GRADING_ORDER: list[str] = [
     "q_pivot_events",
     "q_project_expr",
     "q_ratings_matrix",
+    "q_recommend_topn",
     "q_scan_parquet",
     "q_stateful_dedup_events",
     "q_text_repetition",
@@ -162,7 +164,6 @@ GRADING_ORDER: list[str] = [
     "q_topk_similar_dimsum",
     "q_agg_approx_distinct",
     "q_knn_cosine",
-    "q_text_tfidf",
     "q_corpus_curation",
     "q_dedup_components_twostar",
     "q_dedup_components",

@@ -22,9 +22,11 @@ PREFIX = 50
 # registered as a declared query (VERDICT r6 #5).
 NEW_R7 = {"q_knn_cosine_ivf_indexed"}
 
-# Changed this round: NULL keys excluded on both engine and oracle side
-# (ADVICE r6 — count(DISTINCT) vs groupBy NULL-group divergence).
-CHANGED_R7 = {"q_skew_profile"}
+# Changed this round: skew profile's NULL keys excluded on both engine
+# and oracle side (ADVICE r6 — count(DISTINCT) vs groupBy NULL-group
+# divergence); tfidf's idf corpus size became a parquet-footer literal
+# (one fewer job/exchange).
+CHANGED_R7 = {"q_skew_profile", "q_text_tfidf"}
 
 # The full round-4 data-era cohort: every name whose latest driver row
 # is r4 after the r6 grading (VERDICT r6 #2).
@@ -76,10 +78,9 @@ R4_DATA_ERA = {
 }
 
 # Stalest-r5 fills for the remaining slots: the salted-skew join (its
-# salt list is integration-tested against q_skew_profile this round),
-# the LSH pair relation curation consumes, and the recsys
-# recommendation composite.
-R5_FILL = {"q_join_salted_skew", "q_dedup_near_exact", "q_recommend_topn"}
+# salt list is integration-tested against q_skew_profile this round)
+# and the LSH pair relation curation consumes.
+R5_FILL = {"q_join_salted_skew", "q_dedup_near_exact"}
 
 
 def _loaded_names() -> list[str]:
@@ -106,9 +107,9 @@ def test_flagship_is_first():
 
 
 def test_new_and_changed_lead_the_prefix():
-    """The never-graded new query and the changed query sit in slots 2-3
-    — graded even if the driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1:3])
+    """The never-graded new query and the changed queries sit in slots
+    2-4 — graded even if the driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1:4])
     assert head == NEW_R7 | CHANGED_R7
 
 

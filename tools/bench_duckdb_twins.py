@@ -121,6 +121,14 @@ def main() -> None:
             # two-star components; curation chains the full ladder)
             "q_corpus_curation",
             "q_dedup_components_twostar",
+            # round 7 (VERDICT r6 #3/#5): the r6 operators that had
+            # correctness rows but no bench rows, plus the persisted-
+            # index IVF (twin = the shared IVF oracle)
+            "q_join_bloom",
+            "q_skew_profile",
+            "q_mixture_resample",
+            "q_pack_blocks",
+            "q_knn_cosine_ivf_indexed",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
