@@ -160,6 +160,12 @@ def pairwise_stats(
 
 _GEMM_ROW_BYTES = 32  # user_id + item_id + rating + blk, Arrow-encoded
 
+# Flagship pair-stage dispatch (round 7, tools/bench_flagship_scale.py):
+# measured crossover between the Arrow-boundary-bound GEMM form and the
+# whole-stage-codegen join form sits between 0.6 M and 1.8 M lineitem
+# rows on this box — see q_topk_similar_items' docstring for the numbers.
+_FLAGSHIP_JOIN_MIN_ROWS = 1_500_000
+
 
 def gemm_block_count(n_rows: int, row_bytes: int = _GEMM_ROW_BYTES) -> int:
     """Data-dependent tile count for the pair-stats GEMM: smallest B whose
@@ -331,7 +337,12 @@ def pairwise_stats_gemm(
                     uk & np.int64(0xFFFFFFFF),
                     k6.astype(np.float64) / 1e6,
                 )
-            order = np.argsort(u, kind="stable")
+            # Composite (user, item) sort — matching the pre_aggregate
+            # path's np.unique key order: within a user's run items are
+            # ascending, which is what lets the diagonal tile generate
+            # the strict upper triangle DIRECTLY (round 7) instead of
+            # expanding the full cross and masking half of it away.
+            order = np.argsort((u << np.int64(32)) | i, kind="stable")
             return (u[order], i[order], v[order])
 
         ux, ix, rx = side(left)
@@ -348,24 +359,43 @@ def pairwise_stats_gemm(
         startx = np.concatenate(([0], np.cumsum(kx_all)[:-1]))[cx]
         starty = np.concatenate(([0], np.cumsum(ky_all)[:-1]))[cy]
         kx, ky = kx_all[cx], ky_all[cy]
-        m = kx * ky  # co-rating events per common user
-        e_start = np.concatenate(([0], np.cumsum(m)[:-1]))
-        n_events = int(m.sum())
-        # Vectorized per-user index cross: event e of user u addresses
-        # x-row startx[u] + (e-e_start[u]) // ky[u] and
-        # y-row starty[u] + (e-e_start[u]) %  ky[u].
-        r = np.arange(n_events, dtype=np.int64) - np.repeat(e_start, m)
-        ky_ev = np.repeat(ky, m)
-        xi = np.repeat(startx, m) + r // ky_ev
-        yi = np.repeat(starty, m) + r % ky_ev
+
+        # Round-7 expansion rewrite: the previous form addressed event e
+        # as (e // ky, e % ky) — int64 division over every co-rating
+        # event was the kernel's single hottest instruction at the K=10
+        # scale rung (3.2 s of a 5 s tile), and the diagonal tile then
+        # MASKED away half of what it had just materialized.  Both sides
+        # are sorted by (user, item), so:
+        #   - per-x-row run lengths + one exclusive prefix sum address
+        #     the same cross with pure repeat/arange arithmetic (no
+        #     division), and
+        #   - the diagonal tile emits the strict upper triangle DIRECTLY
+        #     (x-row r pairs only with the kx−1−r rows after it in the
+        #     same user run — item order ⟺ row order), halving its event
+        #     count and deleting the filter pass.
+        def _x_rows(k):
+            # Row indices of every x row of common users + position-in-run.
+            cum = np.concatenate(([0], np.cumsum(k)[:-1]))
+            rr = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(cum, k)
+            return np.repeat(startx, k) + rr, rr
+
+        if bi == bj:
+            x_row, rr = _x_rows(kx)
+            per_row = np.repeat(kx, kx) - 1 - rr  # pairs after this row
+        else:
+            x_row, _ = _x_rows(kx)
+            per_row = np.repeat(ky, kx)  # full cross, x-major
+        run_start = np.concatenate(([0], np.cumsum(per_row)[:-1]))
+        n_events = int(per_row.sum())
+        off = np.arange(n_events, dtype=np.int64) - np.repeat(run_start, per_row)
+        xi = np.repeat(x_row, per_row)
+        if bi == bj:
+            yi = xi + 1 + off  # strict upper triangle, same user run
+        else:
+            yi = np.repeat(np.repeat(starty, kx), per_row) + off
         ida, idb = ix[xi], iy[yi]
         ra, rb = rx[xi], ry[yi]
-        if bi == bj:
-            # Diagonal tile generates both orders plus self-pairs; keep the
-            # strict upper triangle (orientation already item_x < item_y).
-            keep = ida < idb
-            ida, idb, ra, rb = ida[keep], idb[keep], ra[keep], rb[keep]
-        else:
+        if bi != bj:
             # Cross tile: blocks partition items so ida != idb, but global
             # id order is arbitrary — orient to item_x = min and swap the
             # x/y-asymmetric stats with it.
@@ -375,7 +405,16 @@ def pairwise_stats_gemm(
         if ida.size == 0:
             return empty()
         codes = (ida << np.int64(32)) | idb
-        pair_codes, inv = np.unique(codes, return_inverse=True)
+        # Hash-based pair-code dedup (round 7): pd.factorize is an O(n)
+        # hash table where np.unique pays an O(n log n) sort — measured
+        # 3× faster on a 17M-event tile (1.5 s vs 4.7 s), and the sort
+        # was 95% of the flagship kernel at the K=10 scale rung.  First-
+        # appearance order is deterministic (input order derives from the
+        # sorted sides), and the output is an unordered relation, so
+        # nothing downstream needs the codes sorted.
+        import pandas as pd
+
+        inv, pair_codes = pd.factorize(codes, sort=False)
         n = np.bincount(inv)
         support = n >= min_support
         if not support.any():
@@ -803,25 +842,39 @@ FROM ranked WHERE rank <= 10
 """,
 )
 def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: end-to-end R2→R14 (scan → ratings → blocked-GEMM pair
-    stats → similarity → window top-K).
+    """Flagship: end-to-end R2→R14 (scan → ratings → pair stats →
+    similarity → window top-K), with a size-dispatched pair stage.
 
-    The pair stage runs as blocked sparse-Gram tiles with the ratings
-    derivation AND the rater counts fused into the kernel
-    (:func:`pairwise_stats_gemm` ``pre_aggregate``/``with_rater_counts``,
-    VERDICT r4 #2): the whole plan is scan → broadcast orders join → one
-    tile exchange → Arrow kernel → similarity projection → top-K window.
-    The relational self-join form stays the registered diagnostic
-    (``q_pairwise_stats``) and the pinned-equivalent fallback
-    (tests/test_scale_knobs.py).  The tile count derives from the
-    lineitem parquet footer row count (a driver-side metadata read, no
-    Spark job — |ratings| ≤ |lineitem| and within ~0.2% of it at every
-    tested SF, and :func:`gemm_block_count` only needs the magnitude); on
-    a real cluster this would come from catalog statistics.  Falls back
-    to a relation count if the footer is unreadable."""
+    Below ``_FLAGSHIP_JOIN_MIN_ROWS`` the pair stage runs as blocked
+    sparse-Gram tiles with the ratings derivation AND the rater counts
+    fused into the kernel (:func:`pairwise_stats_gemm`
+    ``pre_aggregate``/``with_rater_counts``, VERDICT r4 #2): scan →
+    broadcast orders join → one tile exchange → Arrow kernel →
+    similarity projection → top-K window.  Above it, the all-JVM
+    relational self-join form (the same plan ``q_pairwise_stats``
+    registers, equivalence-pinned by tests/test_scale_knobs.py).
+
+    The dispatch is a round-7 scale-rung finding
+    (tools/bench_flagship_scale.py, BASELINE.md): the GEMM form's cost
+    center at scale is not compute or shuffle but the JVM→Python ARROW
+    BOUNDARY — per-tile kernel timing showed row→columnar conversion of
+    the |ratings|·B replicated rows taking ~2× the kernel's own time at
+    6 M input rows — and that cost grows linearly while whole-stage-
+    codegen'd join+agg throughput holds, so the forms cross between
+    0.6 M rows (GEMM 2.7 s vs join 3.6 s) and 1.8 M (GEMM 7.9 s vs join
+    7.3 s); at 6 M the join form wins 15.3 s vs 20.5 s.  Both thresholds
+    come from the lineitem parquet footer row count (a driver-side
+    metadata read, no Spark job — |ratings| ≤ |lineitem| and within
+    ~0.2% of it at every tested SF); on a real cluster this is catalog
+    statistics.  Unreadable footer → GEMM with a relation-count-derived
+    tile count (the conservative small-scale choice)."""
     from ..sources.readers import parquet_num_rows
 
     _n = parquet_num_rows(sf_dir, "lineitem")
+    if _n is not None and _n >= _FLAGSHIP_JOIN_MIN_ROWS:
+        return topk_similar_items(
+            _cached_ratings(spark, sf_dir), k=10, impl="join"
+        )
     # None (unreadable footer) → pairwise_stats_gemm counts the relation.
     n_blocks = gemm_block_count(_n) if _n is not None else None
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

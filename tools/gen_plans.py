@@ -178,11 +178,17 @@ def render(spark, sf_dir: str) -> str:
         "(`python tools/gen_plans.py`; `--check` verifies without writing).",
         "",
     ]
+    import re
+
     for name, note in ENTRIES:
         df = registry.QUERIES[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        # Session-scoped tempdir names (the persisted IVF index) change on
+        # every regeneration — normalize so the freshness check compares
+        # plan SHAPE, not the tempdir suffix.
+        plan = re.sub(r"spark_ivf_index_\w+", "spark_ivf_index_<session>", plan)
         out.append(f"## `{name}`")
         out.append("")
         out.append(note)
