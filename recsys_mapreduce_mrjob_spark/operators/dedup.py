@@ -1200,3 +1200,104 @@ def q_dedup_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id")
     )
     return _component_clusters(connected_components_twostar(docs, edges))
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.s IN (SELECT s FROM rare)
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) + 0.0
+           AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
+""",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — C(A,B) = |A∩B| / min(|A|,|B|) over
+    3-shingle sets, for the doc-inside-doc duplication Jaccard misses: a
+    short document wholly embedded in a long one has Jaccard ≈ |A|/|B|
+    (arbitrarily small) but containment = 1.  The standard second metric
+    in corpus-dedup sweeps (quote inclusion, boilerplate wrappers,
+    truncated re-crawls).
+
+    Same bucketed shape as :func:`q_dedup_jaccard_pairs`: candidates are
+    pairs sharing a rare (df = 2) shingle — never the corpus pair space
+    — then one pair-keyed intersection count and a broadcast-sized join
+    to the per-doc set sizes.  The ≥ 0.5 gate compares the raw double
+    quotient (one IEEE division on identical integers — bit-identical
+    across engines) before the display rounding.
+
+    Scale: identical to the Jaccard rung — the memo-shared shingle
+    relation, a df-filtered candidate join, pair-keyed aggregation.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
+    )
+    rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common") / F.least(
+        F.col("na"), F.col("nb")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+            ),
+            "doc_b",
+        )
+        .where(containment >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(containment, 6) + F.lit(0.0)).alias("containment"),
+        )
+    )

@@ -416,3 +416,105 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round4(z).alias("zscore"),
         )
     )
+
+
+@register(
+    "q_events_scd2",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WHERE user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_id
+    FROM ordered
+),
+compacted AS (
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, event_type AS status,
+           min(ts) AS from_ts, count(*) AS n_events
+    FROM runs
+    GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, run_id, status,
+       CAST(floor(epoch(from_ts)) AS BIGINT) AS valid_from_s,
+       CAST(floor(epoch(lead(from_ts) OVER w2)) AS BIGINT) AS valid_to_s,
+       lead(from_ts) OVER w2 IS NULL AS is_current,
+       n_events
+FROM compacted
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id ASC)
+""",
+)
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → SCD2 dimension compaction: treat the event stream as a change
+    log of each user's "status" (their event_type) and collapse
+    consecutive runs of the same status into validity intervals —
+    ``(user_id, status, valid_from, valid_to, is_current)`` — the
+    slowly-changing-dimension type-2 build every warehouse maintains
+    from a change stream.
+
+    The classic two-window formulation: ``lag`` marks change points, a
+    running sum over the marks numbers the runs (gaps-and-islands), a
+    run-keyed aggregate takes each run's first timestamp, and ``lead``
+    over the compacted runs closes each interval with the next run's
+    start (NULL ⇒ the current row).  Ordering is made total with the
+    (ts, event_id) tie-break, so every run boundary — and therefore
+    every output row — is deterministic on both engines.  Timestamps
+    surface as epoch SECONDS (module convention: integer hashing is
+    engine-portable where raw timestamp hashing is not); run boundaries
+    are computed on the FULL-precision timestamps before projection.
+    NULL user_id rows are excluded on both sides (an unkeyed change
+    belongs to no dimension row; same rule as q_skew_profile).
+
+    Scale shape (100 TB of events): both windows and the run aggregate
+    partition by user_id — ONE shuffle on the dimension key, then
+    linear in-partition scans; the compacted relation lead() reads is
+    runs-sized (≪ events).  This is the same partition-local gaps-and-
+    islands shape as q_window_session, and it streams: the stateful
+    twin would be applyInPandasWithState keyed on user_id.
+    """
+    e = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    runs = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    compacted = runs.groupBy("user_id", "run_id", F.col("event_type").alias("status")).agg(
+        F.min("ts").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("run_id"))
+    nxt = F.lead("from_ts").over(w2)
+    return compacted.select(
+        "user_id",
+        F.col("run_id").cast("long").alias("run_id"),
+        "status",
+        F.unix_timestamp("from_ts").alias("valid_from_s"),
+        F.unix_timestamp(nxt).alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
+        "n_events",
+    )

@@ -369,3 +369,103 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
+
+
+_TEMP_SALT = ":temp"
+_TEMP_BUCKET_SQL = bucket_sql(salt=_TEMP_SALT, n_buckets=10000)
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    WHERE tok <> ''
+),
+per_doc AS (
+    SELECT d.doc_id, d.lang, count(*) AS n_tokens
+    FROM documents d JOIN toks t ON t.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.lang
+),
+lang_stats AS (
+    -- CAST: DuckDB sum() widens to HUGEINT; orig_tokens must surface as
+    -- BIGINT to match Spark's LongType sum.
+    SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS toks
+    FROM per_doc GROUP BY lang
+),
+floor_stat AS (SELECT min(toks) AS min_toks FROM lang_stats),
+rates AS (
+    SELECT l.lang, l.toks,
+           CAST(floor(10000.0 * sqrt(CAST(f.min_toks AS DOUBLE)
+                                     / CAST(l.toks AS DOUBLE)))
+                AS BIGINT) AS rate_bp
+    FROM lang_stats l CROSS JOIN floor_stat f
+),
+kept AS (
+    SELECT p.doc_id, p.lang, p.n_tokens, r.toks, r.rate_bp
+    FROM per_doc p JOIN rates r ON r.lang = p.lang
+    WHERE {_TEMP_BUCKET_SQL} < r.rate_bp
+)
+SELECT lang,
+       max(toks) AS orig_tokens,
+       max(rate_bp) AS rate_bp,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM kept
+GROUP BY lang
+""",
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual rebalancing (the mC4/XLM-R α = 0.5
+    recipe): sample each language with probability ∝ p_lang^α so
+    high-resource languages are damped and low-resource ones relatively
+    boosted.  With no upsampling allowed, the keep-rate that realizes
+    kept_l ∝ n_l^α at the largest possible corpus is
+    ``rate_l = sqrt(min_m n_m / n_l)`` — the smallest stratum is kept at
+    100% (its rate is exactly 10000 bp) and every larger stratum is
+    damped by the square root of its size ratio.
+
+    Cross-engine exactness without integer-only arithmetic: unlike
+    :func:`q_mixture_resample` (whose rational rates fit DECIMAL), a
+    √-rate is irrational — but every operation in
+    ``floor(10000.0 * sqrt(min_toks / toks))`` is an IEEE-754
+    correctly-rounded double op (divide, sqrt, multiply) on identical
+    integer inputs, so Spark (Java) and DuckDB (C) produce bit-identical
+    doubles, the same floor, and the same BIGINT basis-point rate.  No
+    cross-row float AGGREGATION is ever compared — sums are over integer
+    token counts only — so engine-specific reduction order cannot bite.
+    The per-doc keep decision is the deterministic md5 bucket against
+    that rate (same engine-portable bucket as every sampler here).
+
+    Scale shape (100 TB): one token-count aggregation over the corpus
+    (the memo-shared ``tokenized_per_doc`` scan), a languages-sized
+    stats relation crossed with a 1-row global min, broadcast back as
+    the per-stratum rate, then a scan-side filter and a languages-sized
+    audit aggregate.  No shuffle keyed on anything wider than ``lang``.
+    """
+    per_doc = tokenized_per_doc(spark, sf_dir)
+    lang_stats = per_doc.groupBy("lang").agg(F.sum("n_tokens").alias("toks"))
+    floor_stat = lang_stats.agg(F.min("toks").alias("min_toks"))
+    rates = lang_stats.crossJoin(F.broadcast(floor_stat)).select(
+        "lang",
+        "toks",
+        F.floor(
+            F.lit(10000.0)
+            * F.sqrt(
+                F.col("min_toks").cast("double") / F.col("toks").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("rate_bp"),
+    )
+    bucket = hash_bucket(F.col("doc_id"), n_buckets=10000, salt=_TEMP_SALT)
+    kept = per_doc.join(F.broadcast(rates), "lang").where(
+        bucket < F.col("rate_bp")
+    )
+    return kept.groupBy("lang").agg(
+        F.max("toks").alias("orig_tokens"),
+        F.max("rate_bp").alias("rate_bp"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )

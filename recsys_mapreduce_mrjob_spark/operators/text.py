@@ -1137,3 +1137,67 @@ if q_pack_blocks.__doc__:  # absent under python -OO (docstrings stripped)
     q_pack_blocks.__doc__ = q_pack_blocks.__doc__.format(
         block=_PACK_BLOCK_TOKENS, ranges=_PACK_N_RANGES
     )
+
+
+@register(
+    "q_text_keywords",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (
+    SELECT doc_id, tok AS term, count(*) AS tf
+    FROM toks GROUP BY doc_id, tok
+),
+docfreq AS (
+    SELECT tok AS term, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok
+),
+ranked AS (
+    SELECT t.doc_id, t.term, t.tf, d.df,
+           row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.term ASC
+           ) AS rnk
+    FROM tf t JOIN docfreq d ON d.term = t.term
+)
+SELECT doc_id, term, tf, df, rnk
+FROM ranked
+WHERE rnk <= 3
+""",
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-3 terms by term frequency,
+    tie-broken toward globally RARER terms (ascending document
+    frequency) then lexically — a TF-IDF-flavored ranking expressed in
+    pure integer order so the rank is bit-reproducible across engines
+    (a float tf·idf score can flip ranks on a last-ulp ln() difference
+    between libm and java.lang.Math; tf and df cannot).
+
+    Shape: one explode → (doc, term) count, one term-keyed distinct-doc
+    count joined back on the term key, then a per-doc window for the
+    top-3.  At 100 TB the (doc, term) relation shuffles on doc_id for
+    the window — the same exchange every per-doc operator here pays —
+    and the df side is vocabulary-sized (Zipf: ≪ corpus), broadcast by
+    AQE when small enough.
+    """
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(docfreq, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )

@@ -40,7 +40,15 @@ GRADING_ORDER: list[str] = [
     #    index (VERDICT r6 #5: the winning shape from
     #    tools/bench_ann_scale.py, now a declared query) --
     "q_knn_cosine_ivf_indexed",
-    # -- slots 3-4: CHANGED round 7 — skew profile now excludes NULL keys
+    # -- slots 3-6: queries NEW this round-7 session — each needs its
+    #    first driver correctness row (an undeclared-vs-ungraded gap was
+    #    the r5 verdict's top freshness ding, so new names always enter
+    #    the prefix in their birth round) --
+    "q_sample_temperature",
+    "q_dedup_containment",
+    "q_text_keywords",
+    "q_events_scd2",
+    # -- slots 7-8: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
     #    became a parquet-footer literal (one fewer job/exchange, −18%
@@ -81,7 +89,6 @@ GRADING_ORDER: list[str] = [
     "q_nested_exists_q20",
     "q_notin_distinct_q16",
     "q_outer_agg_q13",
-    "q_recommend_als",
     "q_sample_stratified",
     "q_scan_pruned",
     "q_text_boilerplate",
@@ -89,19 +96,23 @@ GRADING_ORDER: list[str] = [
     "q_text_unigram_lm",
     "q_topn_orders",
     "q_udf_reg_corr",
-    "q_union_all",
     "q_window_rank",
     "q_window_session",
-    # -- slots 49-50: stalest-r5 fills — the salted-skew join (its salt
-    #    list is now integration-tested against q_skew_profile's output)
-    #    and the LSH pair relation curation consumes --
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix.  First the four names the new
+    # round-7 queries displaced — q_recommend_als (rows-only by design:
+    # a re-grade only re-proves it runs) and q_union_all (the cohort's
+    # most trivial operator, r4-green) from the r4 cohort, plus the two
+    # r5 fills (q_join_salted_skew's REGISTERED query is unchanged —
+    # this round only added the profile-wiring helpers beside it) — so
+    # they lead the stale queue next round.  Then the remaining
+    # round-5 cohort (stalest era left), then the round-6/7-graded
+    # cohort, which needs re-verification least.
+    # ------------------------------------------------------------------
+    "q_recommend_als",
+    "q_union_all",
     "q_join_salted_skew",
     "q_dedup_near_exact",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix: the remaining round-5 cohort
-    # (stalest era left), then the round-6-graded cohort, which needs
-    # re-verification least.
-    # ------------------------------------------------------------------
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",
