@@ -111,6 +111,13 @@ def main() -> None:
         "q_mixture_resample",
         "q_pack_blocks",
         "q_knn_cosine_ivf_indexed",
+        # round 7 (later session): the four new training-pipeline
+        # operators, benched from birth — temperature resample, shingle
+        # containment, per-doc keywords, CDC→SCD2 compaction.
+        "q_sample_temperature",
+        "q_dedup_containment",
+        "q_text_keywords",
+        "q_events_scd2",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -143,6 +150,11 @@ def main() -> None:
         "q_mixture_resample": 0.053,
         "q_pack_blocks": 0.034,
         "q_knn_cosine_ivf_indexed": 0.058,
+        # round-7 later-session twins (same contract; BASELINE.md)
+        "q_sample_temperature": 0.065,
+        "q_dedup_containment": 0.349,
+        "q_text_keywords": 0.091,
+        "q_events_scd2": 0.087,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

@@ -1237,18 +1237,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     in corpus-dedup sweeps (quote inclusion, boilerplate wrappers,
     truncated re-crawls).
 
-    Same bucketed shape as :func:`q_dedup_jaccard_pairs`: candidates are
-    pairs sharing a rare (df = 2) shingle — never the corpus pair space
-    — then one pair-keyed intersection count and a broadcast-sized join
-    to the per-doc set sizes.  The ≥ 0.5 gate compares the raw double
+    Candidate generation is the same bucketed rung as
+    :func:`q_dedup_jaccard_pairs` — pairs sharing a rare (df = 2)
+    shingle, never the corpus pair space — but verification uses the
+    set-intersect pattern :func:`q_dedup_near` documents: ONE aggregate
+    pass collects each doc's shingle set (per-doc O(doc length) state —
+    the same bytes the join form would shuffle as exploded rows), and
+    |A∩B| is ``size(array_intersect(...))`` on the two candidate-joined
+    sets — replacing two corpus-sized joins + a pair groupBy with two
+    candidate-sized lookups.  The ≥ 0.5 gate compares the raw double
     quotient (one IEEE division on identical integers — bit-identical
     across engines) before the display rounding.
 
-    Scale: identical to the Jaccard rung — the memo-shared shingle
-    relation, a df-filtered candidate join, pair-keyed aggregation.
+    Scale: the memo-shared shingle relation, one doc-keyed aggregation,
+    a df-filtered candidate join, candidate-keyed set lookups.
     """
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("s").alias("sh_set"), F.count(F.lit(1)).alias("n_sh")
+    )
     rare = (
         sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
     )
@@ -1266,35 +1273,25 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.s") == F.col("sa.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    paired = cand.join(
+        sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh_set").alias("set_a"),
+            F.col("n_sh").alias("na"),
+        ),
+        "doc_a",
+    ).join(
+        sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh_set").alias("set_b"),
+            F.col("n_sh").alias("nb"),
+        ),
+        "doc_b",
     )
-    containment = F.col("n_common") / F.least(
-        F.col("na"), F.col("nb")
-    ).cast("double")
+    n_common = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    containment = n_common / F.least(F.col("na"), F.col("nb")).cast("double")
     return (
-        inter.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-            ),
-            "doc_b",
-        )
-        .where(containment >= 0.5)
+        paired.where(containment >= 0.5)
         .select(
             "doc_a",
             "doc_b",

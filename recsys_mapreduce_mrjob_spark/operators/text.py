@@ -1172,21 +1172,27 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a float tf·idf score can flip ranks on a last-ulp ln() difference
     between libm and java.lang.Math; tf and df cannot).
 
-    Shape: one explode → (doc, term) count, one term-keyed distinct-doc
-    count joined back on the term key, then a per-doc window for the
-    top-3.  At 100 TB the (doc, term) relation shuffles on doc_id for
-    the window — the same exchange every per-doc operator here pays —
-    and the df side is vocabulary-sized (Zipf: ≪ corpus), broadcast by
-    AQE when small enough.
+    Shape: ONE explode → (doc, term) count, and the document frequency
+    falls out of that same relation for free — a term's df is its
+    (doc, term) ROW count, so the df aggregation is a plain count over
+    the already-deduplicated tf relation (no second explode of the
+    corpus, no COUNT DISTINCT expand; the tf relation is memo-persisted
+    because df and the final join both branch from it).  Then one
+    per-doc window for the top-3.  At 100 TB the (doc, term) relation
+    shuffles on doc_id for the window — the same exchange every per-doc
+    operator here pays — and the df side is vocabulary-sized (Zipf:
+    ≪ corpus), broadcast by AQE when small enough.
     """
-    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+
+    def build_tf() -> DataFrame:
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+        tok = docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        return tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+    tf = memo_persist(spark, "keywords_tf", sf_dir, build_tf)
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )

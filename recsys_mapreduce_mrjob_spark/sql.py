@@ -4,8 +4,9 @@ The DataFrame API is the primary surface (SURVEY §3.2); this module is the
 second declared entry point — register the testdata star schema as views
 and run ANSI SQL through the same Catalyst pipeline.  Queries authored
 here plan identically to their DataFrame twins (same optimizer, same
-physical strategies), which ``q_join_agg_q3`` demonstrates with an exact
-oracle.
+physical strategies); ``q_join_agg_q3`` is the one exception authored as
+DataFrame ops (its oracle stays the identical ANSI string) so its join
+build side can be size-dispatched — see its docstring.
 """
 
 from __future__ import annotations
@@ -48,16 +49,77 @@ LIMIT 10
 """
 
 
+# Size dispatch for the Q3 build side: with the orders table under this
+# footer row count, the filtered customer⋈orders relation (≈0.2×|orders|
+# rows × two 8-byte columns — ≲ 25 MB hashed at the threshold) broadcasts
+# and the big lineitem side STREAMS through the join probe; past it the
+# plan falls back to Catalyst's own size-estimated strategy (shuffle
+# join at cluster scale — a fact-derived relation must never broadcast
+# unconditionally).  Rationale measured at sf0.1: Catalyst's raw-footer
+# size estimate picks the FILTERED LINEITEM (~600k rows × 3 cols) as the
+# broadcast build side — hashing the big probe side — and the wall is
+# 0.74 s; flipping the build to the ~30k-row orders side cuts it to
+# 0.40 s best-of-5 (BASELINE.md round-7 bench notes).
+_Q3_BROADCAST_MAX_ORDERS = 4_000_000
+
+
 @register("q_join_agg_q3", oracle=_Q3_SQL)
 def q_join_agg_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape (BASELINE.md's ``q3_join_agg`` headline), authored
-    as ANSI SQL over the registered views — the identical string runs in
-    DuckDB as its own oracle.  Catalyst plans it exactly like the
-    DataFrame form: segment/date filters pushed to the scans, joins
-    shuffled on the keys, top-10 via TakeOrderedAndProject on the rounded
-    revenue with a unique tie-break."""
-    register_testdata_views(spark, sf_dir, ("customer", "orders", "lineitem"))
-    return spark.sql(_Q3_SQL)
+    """TPC-H Q3 shape (BASELINE.md's ``q3_join_agg`` headline).  The
+    oracle is the ANSI string above; the engine side is the identical
+    logical plan authored as DataFrame ops so the join BUILD SIDE can be
+    size-dispatched (``_Q3_BROADCAST_MAX_ORDERS``): below the threshold
+    the small filtered customer⋈orders relation broadcasts and lineitem
+    — the biggest relation in the query — streams through both joins
+    without ever being hashed or shuffled; above it Catalyst's own
+    estimates govern.  Everything else is the audited Q3 shape: segment/
+    date filters pushed to the scans, one exchange on the agg key,
+    top-10 via TakeOrderedAndProject on the rounded revenue with the
+    unique orderkey tie-break."""
+    from pyspark.sql import functions as F
+
+    from .sources.readers import parquet_num_rows
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.expr("TIMESTAMP '1998-01-01'"))
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.expr("TIMESTAMP '1996-01-01'"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
+    n_orders = parquet_num_rows(sf_dir, "orders")
+    if n_orders is not None and n_orders <= _Q3_BROADCAST_MAX_ORDERS:
+        oc = F.broadcast(oc)
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey)
+    return (
+        j.groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                )
+                + F.lit(0.0)
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
 
 
 _Q5_SQL = """

@@ -129,6 +129,11 @@ def main() -> None:
             "q_mixture_resample",
             "q_pack_blocks",
             "q_knn_cosine_ivf_indexed",
+            # round 7 (later session): the four new operators
+            "q_sample_temperature",
+            "q_dedup_containment",
+            "q_text_keywords",
+            "q_events_scd2",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
