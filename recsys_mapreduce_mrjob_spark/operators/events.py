@@ -418,9 +418,10 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_events_scd2",
-    oracle=f"""
+# Shared by the batch query below AND its streaming-executed twin
+# (streaming/queries.py q_stream_scd2_exec) — one definition so the two
+# graded executions cannot silently diverge (code-review r6 precedent).
+SCD2_ORACLE = f"""
 WITH ordered AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER w AS prev_type
@@ -450,8 +451,10 @@ SELECT user_id, run_id, status,
        n_events
 FROM compacted
 WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id ASC)
-""",
-)
+"""
+
+
+@register("q_events_scd2", oracle=SCD2_ORACLE)
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC → SCD2 dimension compaction: treat the event stream as a change
     log of each user's "status" (their event_type) and collapse

@@ -48,6 +48,7 @@ GRADING_ORDER: list[str] = [
     "q_dedup_containment",
     "q_text_keywords",
     "q_events_scd2",
+    "q_stream_scd2_exec",
     # -- slots 7-8: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
@@ -90,7 +91,6 @@ GRADING_ORDER: list[str] = [
     "q_notin_distinct_q16",
     "q_outer_agg_q13",
     "q_sample_stratified",
-    "q_scan_pruned",
     "q_text_boilerplate",
     "q_text_contamination",
     "q_text_unigram_lm",
@@ -113,6 +113,7 @@ GRADING_ORDER: list[str] = [
     "q_union_all",
     "q_join_salted_skew",
     "q_dedup_near_exact",
+    "q_scan_pruned",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",

@@ -161,3 +161,61 @@ def test_parquet_sink_kill_resume_is_exact(spark, sf_dir, tmp_path):
     batch = click_purchase_join_stream(ev)
     result = spark.read.schema(batch.schema).parquet(data)
     assert _multiset(result) == _multiset(batch)
+
+
+def test_scd2_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
+    """The incremental SCD2 fold under both exactly-once hazards: a crash
+    after batch 0 commits (restart must skip the committed batch and
+    still land on the batch-compaction answer), and micro-batch split
+    sensitivity (a 1-chunk drain — the whole log in one batch — must
+    produce the identical state as the crashed-and-resumed 6-chunk
+    drain; the fold claims associativity over any time-ordered split)."""
+    from recsys_mapreduce_mrjob_spark.operators.events import q_events_scd2
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_scd2,
+        write_ordered_event_chunks,
+    )
+
+    src6 = str(tmp_path / "cdc6")
+    st6 = str(tmp_path / "state6")
+    write_ordered_event_chunks(spark, smoke_dir, src6, n_chunks=6)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_scd2(spark, src6, st6, on_batch=crash_on_second)
+    assert os.path.isdir(f"{st6}/v0"), "batch 0 state version missing"
+
+    replayed: list[int] = []
+    incremental_scd2(spark, src6, st6, on_batch=replayed.append)
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    def final_state(state_dir: str):
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(state_dir)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        df = spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+        return df.select(
+            "user_id",
+            "run_id",
+            "status",
+            F.unix_timestamp("from_ts").alias("valid_from_s"),
+            F.unix_timestamp("valid_to_ts").alias("valid_to_s"),
+            F.col("valid_to_ts").isNull().alias("is_current"),
+            "n_events",
+        )
+
+    resumed = _multiset(final_state(st6))
+    assert resumed == _multiset(q_events_scd2(spark, smoke_dir))
+
+    # Split invariance: the degenerate 1-chunk drain (no incremental
+    # merging at all) reaches the same state.
+    src1 = str(tmp_path / "cdc1")
+    st1 = str(tmp_path / "state1")
+    write_ordered_event_chunks(spark, smoke_dir, src1, n_chunks=1)
+    incremental_scd2(spark, src1, st1)
+    assert _multiset(final_state(st1)) == resumed

@@ -63,6 +63,11 @@ HEADLINE = [
     "q_skew_profile",
     "q_mixture_resample",
     "q_pack_blocks",
+    # round 7 (later session): the four new headline rows
+    "q_sample_temperature",
+    "q_dedup_containment",
+    "q_text_keywords",
+    "q_events_scd2",
 ]
 
 
