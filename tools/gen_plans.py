@@ -151,6 +151,24 @@ ENTRIES = [
         "whole-stage codegen.",
     ),
     (
+        "q_events_scd2",
+        "CDC→SCD2 compaction (round 7): both gaps-and-islands windows "
+        "and the run aggregate share ONE exchange on user_id — the "
+        "dimension key — and the lead() that closes each interval reads "
+        "the runs-sized compacted relation, not the event stream.  The "
+        "same partition-local shape as sessionization; the streaming "
+        "twin (q_stream_scd2_exec) folds the identical algebra "
+        "incrementally per micro-batch.",
+    ),
+    (
+        "q_sample_temperature",
+        "Temperature-scaled rebalance (round 7): the corpus pays one "
+        "token-count aggregation (the memo-shared tokenize scan); the "
+        "rate derivation is a languages-sized relation crossed with a "
+        "1-row global min and BROADCAST back, so the keep decision is a "
+        "scan-side filter — no shuffle keyed wider than lang anywhere.",
+    ),
+    (
         "q_pack_blocks",
         "Two-phase distributed prefix sum (round 6): the corpus-sized "
         "running sum executes as a window PARTITIONED by range bucket "
