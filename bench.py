@@ -248,8 +248,12 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     # Drop order keeps the GRADED bar (vs_baseline_adj) on stdout longest:
     # overhead_sec is reconstructable from details, raw vs_baseline is
-    # derivable from queries ÷ the BASELINE.md table.
-    for drop in ("overhead_sec", "vs_baseline", "vs_baseline_adj", "queries"):
+    # derivable from queries ÷ the BASELINE.md table, and queries itself
+    # (the largest map) drops BEFORE the adjusted ratios — the one map
+    # that cannot be rebuilt from the others (code-review r7: the old
+    # order dropped vs_baseline_adj before queries, contradicting this
+    # comment).
+    for drop in ("overhead_sec", "vs_baseline", "queries", "vs_baseline_adj"):
         if len(line) < 1900:
             break
         out.pop(drop, None)

@@ -76,6 +76,32 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(spark, "doc_shingles", sf_dir, build)
 
 
+def _rare_shingle_candidates(sh: DataFrame):
+    """(sizes, cand) for the rare-shingle candidate rung — pairs sharing
+    a df = 2 shingle, ``doc_a < doc_b`` — shared by the Jaccard and
+    containment queries (code-review r7: one definition for the rung on
+    BOTH the engine and oracle side; see ``_RARE_CAND_CTE``)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = (
+        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
+    )
+    rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
+    a = rare_sh.alias("a")
+    b = rare_sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return sizes, cand
+
+
 def _jaccard_verify(
     cand: DataFrame,
     sh: DataFrame,
@@ -133,11 +159,11 @@ sh AS (
 )
 """
 
-
-@register(
-    "q_dedup_jaccard_pairs",
-    oracle=f"""
-WITH {_SHINGLES_CTE},
+# Rare-shingle candidate rung shared by the Jaccard and containment
+# oracles (code-review r7: the block lived verbatim in both SQL strings;
+# one definition keeps the two metrics' candidate sets from silently
+# diverging when the rung is tuned).
+_RARE_CAND_CTE = """
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
 cand AS (
@@ -152,6 +178,15 @@ inter AS (
     JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
     GROUP BY c.doc_a, c.doc_b
 )
+"""
+
+
+
+@register(
+    "q_dedup_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+{_RARE_CAND_CTE}
 SELECT i.doc_a, i.doc_b,
        round(i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE), 6) + 0.0
            AS jaccard
@@ -164,22 +199,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs sharing a rare
     (df = 2) 3-shingle — the oracle-checkable companion to MinHash-LSH."""
     sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
-    rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
-    a = rare_sh.alias("a")
-    b = rare_sh.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    sizes, cand = _rare_shingle_candidates(sh)
     return _jaccard_verify(cand, sh, sizes)
 
 
@@ -1206,20 +1226,7 @@ def q_dedup_components_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_containment",
     oracle=f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
-cand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    WHERE a.s IN (SELECT s FROM rare)
-),
-inter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-    GROUP BY c.doc_a, c.doc_b
-)
+{_RARE_CAND_CTE}
 SELECT i.doc_a, i.doc_b,
        round(i.n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6) + 0.0
            AS containment
@@ -1256,23 +1263,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = sh.groupBy("doc_id").agg(
         F.collect_set("s").alias("sh_set"), F.count(F.lit(1)).alias("n_sh")
     )
-    rare = (
-        sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") == 2)
-    )
-    rare_sh = sh.join(F.broadcast(rare.select("s")), "s")
-    a = rare_sh.alias("a")
-    b = rare_sh.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    _, cand = _rare_shingle_candidates(sh)
     paired = cand.join(
         sets.select(
             F.col("doc_id").alias("doc_a"),

@@ -402,6 +402,17 @@ def pairwise_stats_gemm(
             swap = ida > idb
             ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
             ra, rb = np.where(swap, rb, ra), np.where(swap, ra, rb)
+        else:
+            # Diagonal guard (code-review r7): with UNIQUE (user, item)
+            # input the sorted run gives ida < idb by construction, but a
+            # duplicate rating row pairs an item with itself — the pre-
+            # rewrite kernel dropped those via its `ida < idb` filter, so
+            # keep that robustness for non-pre_aggregate callers (one
+            # vectorized compare; no-op on clean input).
+            keep = ida != idb
+            if not keep.all():
+                ida, idb = ida[keep], idb[keep]
+                ra, rb = ra[keep], rb[keep]
         if ida.size == 0:
             return empty()
         codes = (ida << np.int64(32)) | idb

@@ -454,8 +454,14 @@ def profile_hot_keys(
     rows = (
         counts.join(F.broadcast(tot))
         .withColumn(
+            # n cast to double BEFORE the multiply: the int64 product
+            # n·n_keys wraps past 2^63 at 100 TB scale (code-review r7 —
+            # the same overflow class mixture_rates fixed with DECIMAL),
+            # silently dropping the hottest key from the salt list.
             "skew_factor",
-            F.col("n") * F.col("n_keys") / F.col("n_total").cast("double"),
+            F.col("n").cast("double")
+            * F.col("n_keys")
+            / F.col("n_total").cast("double"),
         )
         .where(F.col("skew_factor") > threshold)
         .orderBy(F.desc("n"), F.asc("k"))

@@ -84,6 +84,31 @@ def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tf_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized per-(doc, term) count relation ``(doc_id, n_toks, tok,
+    tc)`` — ONE tokenize scan + one doc_id-clustered aggregate shared by
+    every consumer (q_text_tfidf's df/score fan-out AND
+    q_text_keywords; code-review r7: keywords initially built a second
+    corpus-scale memo that was a strict subset of this one)."""
+
+    def build_tf() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = (
+            docs.repartition("doc_id")
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .select(
+                "doc_id",
+                F.size("toks").alias("n_toks"),
+                F.explode("toks").alias("tok"),
+            )
+        )
+        return toks.groupBy("doc_id", "n_toks", "tok").agg(
+            F.count(F.lit(1)).alias("tc")
+        )
+
+    return memo_persist(spark, "tfidf_tf", sf_dir, build_tf)
+
+
 @register(
     "q_text_tfidf",
     oracle=f"""
@@ -152,22 +177,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.readers import parquet_num_rows
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def build_tf() -> DataFrame:
-        toks = (
-            docs.repartition("doc_id")
-            .select("doc_id", tokens(F.col("text")).alias("toks"))
-            .select(
-                "doc_id",
-                F.size("toks").alias("n_toks"),
-                F.explode("toks").alias("tok"),
-            )
-        )
-        return toks.groupBy("doc_id", "n_toks", "tok").agg(
-            F.count(F.lit(1)).alias("tc")
-        )
-
-    tf = memo_persist(spark, "tfidf_tf", sf_dir, build_tf)
+    tf = _tf_relation(spark, sf_dir)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("docs_with"))
     n = parquet_num_rows(sf_dir, "documents")
     base = tf.join(F.broadcast(df), "tok")
@@ -1176,22 +1186,18 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     falls out of that same relation for free — a term's df is its
     (doc, term) ROW count, so the df aggregation is a plain count over
     the already-deduplicated tf relation (no second explode of the
-    corpus, no COUNT DISTINCT expand; the tf relation is memo-persisted
-    because df and the final join both branch from it).  Then one
+    corpus, no COUNT DISTINCT expand; the tf relation is the SAME
+    memo-persisted relation q_text_tfidf builds — one tokenize scan and
+    one persisted copy serve both queries).  Then one
     per-doc window for the top-3.  At 100 TB the (doc, term) relation
     shuffles on doc_id for the window — the same exchange every per-doc
     operator here pays — and the df side is vocabulary-sized (Zipf:
     ≪ corpus), broadcast by AQE when small enough.
     """
 
-    def build_tf() -> DataFrame:
-        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-        tok = docs.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        return tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-
-    tf = memo_persist(spark, "keywords_tf", sf_dir, build_tf)
+    tf = _tf_relation(spark, sf_dir).select(
+        "doc_id", F.col("tok").alias("term"), F.col("tc").alias("tf")
+    )
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")

@@ -392,8 +392,13 @@ def write_ordered_event_chunks(
     becomes one micro-batch, in order).  Harness-only: the global ntile
     that does the chunking runs a single-partition window over the
     bench-scale table; in production the ordered feed is the change log
-    itself (Kafka/CDC), no such prep exists.  The short sleep between
-    writes keeps mtimes distinct on coarse-granularity filesystems."""
+    itself (Kafka/CDC), no such prep exists.  Chunk order is made
+    DETERMINISTIC by stamping each chunk's files with explicit,
+    strictly-increasing mtimes after the write (code-review r7: relying
+    on write-time mtimes breaks on filesystems with 1 s granularity —
+    two chunks tie and the FileStreamSource's tie-break is unspecified,
+    which would feed the SCD2 fold out of order)."""
+    import os as _os
     import time as _time
 
     from pyspark.sql import Window
@@ -405,6 +410,8 @@ def write_ordered_event_chunks(
         "_chunk",
         F.ntile(n_chunks).over(Window.orderBy("ts", "event_id")),
     )
+    base_t = _time.time()
+    seen: set[str] = set()
     for k in range(1, n_chunks + 1):
         (
             chunked.where(F.col("_chunk") == k)
@@ -413,7 +420,11 @@ def write_ordered_event_chunks(
             .write.mode("append")
             .parquet(src_dir)
         )
-        _time.sleep(0.1)
+        for name in _os.listdir(src_dir):
+            if name.startswith("part-") and name not in seen:
+                seen.add(name)
+                t = base_t + k  # chunk k strictly after chunk k-1
+                _os.utime(_os.path.join(src_dir, name), (t, t))
 
 
 def incremental_scd2(

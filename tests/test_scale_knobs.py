@@ -1032,3 +1032,59 @@ def test_mixture_rates_match_fraction_arithmetic_property(spark):
                 assert got[lang] == 10000
 
     check()
+
+
+def test_memo_unpersist_releases_storage(spark, smoke_dir):
+    """The memo release path (ADVICE r6 knob): persist a relation through
+    the memo, unpersist it by name, and the handle's storage level must
+    drop to NONE (a later memo_persist call re-registers it)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from recsys_mapreduce_mrjob_spark.caching import memo_persist, memo_unpersist
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    df = memo_persist(
+        spark,
+        "unpersist_probe",
+        smoke_dir,
+        lambda: load_table(spark, smoke_dir, "region"),
+    )
+    df.count()
+    assert df.storageLevel != StorageLevel.NONE
+    n = memo_unpersist("unpersist_probe")
+    assert n >= 1
+    assert df.storageLevel == StorageLevel.NONE
+    # Re-memoizing after release re-persists cleanly.
+    df2 = memo_persist(
+        spark,
+        "unpersist_probe",
+        smoke_dir,
+        lambda: load_table(spark, smoke_dir, "region"),
+    )
+    df2.count()
+    assert df2.storageLevel != StorageLevel.NONE
+    memo_unpersist("unpersist_probe")
+
+
+def test_pairwise_gemm_drops_self_pairs_on_duplicate_input(spark):
+    """Diagonal guard (code-review r7): a duplicate (user, item) rating
+    row must NOT surface as an item_x == item_y self-pair — the pre-
+    rewrite kernel filtered those via its `ida < idb` pass, and the
+    direct-triangle rewrite has to keep that robustness for callers that
+    skip the pre-aggregation step."""
+    from recsys_mapreduce_mrjob_spark.operators.recsys import pairwise_stats_gemm
+
+    r = spark.createDataFrame(
+        [
+            (1, 10, 3.0),
+            (1, 10, 4.0),  # duplicate (user, item)
+            (1, 20, 5.0),
+            (2, 10, 2.0),
+            (2, 20, 1.0),
+        ],
+        "user_id long, item_id long, rating double",
+    )
+    got = pairwise_stats_gemm(r, min_support=1, n_blocks=2).collect()
+    assert got, "expected cross-item pairs"
+    assert all(g.item_x != g.item_y for g in got), got
+    assert all(g.item_x < g.item_y for g in got), got
