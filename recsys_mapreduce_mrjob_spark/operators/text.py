@@ -1213,3 +1213,98 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+WITH {_TOKS_CTE},
+tf AS (
+    SELECT doc_id, tok, count(*) AS tc
+    FROM toks GROUP BY doc_id, tok
+),
+doclen AS (
+    SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+df AS (
+    SELECT tok, count(*) AS docs_with FROM tf GROUP BY tok
+),
+totals AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS BIGINT) AS total_toks
+    FROM doclen
+),
+scored AS (
+    SELECT tf.doc_id, tf.tok,
+           round(
+               ln((CAST(t.n_docs AS DOUBLE) - df.docs_with + 0.5)
+                  / (df.docs_with + 0.5) + 1.0)
+               * (tf.tc * (1.2 + 1.0))
+               / (tf.tc + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (CAST(t.total_toks AS DOUBLE) / t.n_docs))),
+               6) + 0.0 AS bm25
+    FROM tf
+    JOIN doclen dl USING (doc_id)
+    JOIN df ON df.tok = tf.tok
+    CROSS JOIN totals t
+)
+SELECT doc_id, tok AS term, bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY bm25 DESC, tok ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 term weighting (k1 = 1.2, b = 0.75, Lucene's smoothed
+    idf ``ln((N − df + 0.5)/(df + 0.5) + 1)``): the retrieval-scoring
+    sibling of :func:`q_text_tfidf` — doc-length-normalized term
+    saturation, the weighting an actual search/retrieval pipeline
+    indexes.  Top-5 terms per doc on the ROUNDED score with the term
+    tie-break (the same cross-engine float discipline tfidf's green
+    grading already proves out: every scalar double op runs on identical
+    integer inputs, and the only cross-row float reduction — none —
+    never happens; avgdl is derived as exact-integer Σdl / N inside the
+    score expression).
+
+    Shape: the SAME memoized tf relation tfidf and keywords share (one
+    tokenize scan per session), a vocabulary-sized df aggregate, a
+    1-row totals aggregate broadcast into the score projection, one
+    per-doc window.  At 100 TB: one corpus exchange on doc_id (memo),
+    vocabulary-and-scalar broadcasts, the same window exchange every
+    per-doc ranker pays.
+    """
+    tf = _tf_relation(spark, sf_dir)
+    doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("docs_with"))
+    totals = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_toks")
+    )
+    k1, b = 1.2, 0.75
+    avgdl = F.col("total_toks").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("docs_with") + 0.5)
+        / (F.col("docs_with") + 0.5)
+        + 1.0
+    )
+    score = (
+        idf
+        * (F.col("tc") * (k1 + 1.0))
+        / (F.col("tc") + k1 * ((1.0 - b) + b * F.col("dl") / avgdl))
+    )
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            (F.round(score, 6) + F.lit(0.0)).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "term", "bm25")
+    )

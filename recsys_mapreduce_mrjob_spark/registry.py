@@ -49,6 +49,7 @@ GRADING_ORDER: list[str] = [
     "q_text_keywords",
     "q_events_scd2",
     "q_stream_scd2_exec",
+    "q_text_bm25",
     # -- slots 7-8: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
@@ -62,7 +63,6 @@ GRADING_ORDER: list[str] = [
     "q_agg_pricing_summary",
     "q_agg_q6_forecast",
     "q_anti_scalar_q22",
-    "q_cond_funcs",
     "q_corr_min_q2",
     "q_corr_scalar_q17",
     "q_dedup_jaccard_pairs",
@@ -111,6 +111,7 @@ GRADING_ORDER: list[str] = [
     # ------------------------------------------------------------------
     "q_recommend_als",
     "q_union_all",
+    "q_cond_funcs",
     "q_join_salted_skew",
     "q_dedup_near_exact",
     "q_scan_pruned",

@@ -32,6 +32,7 @@ NEW_R7 = {
     "q_text_keywords",
     "q_events_scd2",
     "q_stream_scd2_exec",
+    "q_text_bm25",
 }
 
 # Changed this round: skew profile's NULL keys excluded on both engine
@@ -48,7 +49,6 @@ R4_DATA_ERA = {
     "q_agg_pricing_summary",
     "q_agg_q6_forecast",
     "q_anti_scalar_q22",
-    "q_cond_funcs",
     "q_corr_min_q2",
     "q_corr_scalar_q17",
     "q_dedup_jaccard_pairs",
@@ -96,6 +96,8 @@ R4_DATA_ERA = {
 DISPLACED = {
     "q_recommend_als",
     "q_union_all",
+    # q_cond_funcs: trivial scalar pack, unchanged since its r4 green.
+    "q_cond_funcs",
     "q_join_salted_skew",
     "q_dedup_near_exact",
     # q_scan_pruned's contract (pushdown + pruning) is plan-audited in
@@ -129,13 +131,13 @@ def test_flagship_is_first():
 
 def test_new_and_changed_lead_the_prefix():
     """The never-graded new queries and the changed queries sit in slots
-    2-9 — graded even if the driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1:9])
+    2-10 — graded even if the driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1:10])
     assert head == NEW_R7 | CHANGED_R7
 
 
 def test_displaced_lead_the_stale_queue():
-    assert set(_loaded_names()[PREFIX : PREFIX + 5]) == DISPLACED
+    assert set(_loaded_names()[PREFIX : PREFIX + 6]) == DISPLACED
 
 
 def test_prefix_is_exactly_the_round7_verification_set():
