@@ -26,12 +26,13 @@ ORACLES: dict[str, str] = {}
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
 # 2–6: exactly the first 50), so registration order is the lever that decides
 # which operators get a driver correctness row.  Round-7 rotation (VERDICT r6
-# "Next round" #2): flagship first, then the query NEW this round (persisted-
-# index IVF), the query CHANGED this round (skew profile now excludes NULL
-# keys on both sides), the full round-4 data-era cohort — after r6 the era
-# census was Counter{r6: 50, r5: 48, r4: 44}, so rotating all 44 r4 rows in
-# leaves no name's latest row older than r5 — and three stalest-r5 fills.
-# tests/test_registry_order.py pins this contract.
+# "Next round" #2, amended as the round added queries): flagship first, then
+# every query NEW this round (persisted-index IVF + the six later-session
+# operators — each needs its FIRST row), the two CHANGED queries, then the
+# round-4 data-era cohort (the stalest) minus the four least-informative
+# rows the new queries displaced (the two r5 fills went too) — all six
+# displaced names lead the post-prefix stale queue so they rotate in first
+# next round.  tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
