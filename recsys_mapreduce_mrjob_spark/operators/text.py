@@ -1203,7 +1203,11 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
     return (
-        tf.join(docfreq, "term")
+        # Broadcast: docfreq is vocabulary-sized (Zipf: ≪ corpus), and
+        # without the hint Catalyst has no stats for the memo-derived
+        # aggregate and falls back to a shuffle join of the corpus-sized
+        # tf side on the term key.
+        tf.join(F.broadcast(docfreq), "term")
         .select(
             "doc_id",
             "term",
