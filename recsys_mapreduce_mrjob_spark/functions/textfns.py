@@ -95,3 +95,46 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# PII detection/redaction rules — ONE definition feeding both the Spark
+# columns and the DuckDB oracle SQL (the same single-source discipline as
+# sampling.bucket_sql).  Patterns stay inside the syntax intersection of
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# and \b / \d, which both engines implement identically.  Redaction order
+# is pinned (emails → IPs → phones) so a phone-shaped fragment inside an
+# already-redacted IP can't double-fire; counts are always taken on the
+# RAW text, per pattern, so they are order-independent.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Non-overlapping match count of one PII pattern on the raw text."""
+    return F.regexp_count(text, F.lit(pattern)).cast("long")
+
+
+def pii_redact(text: Column) -> Column:
+    """Text with every PII_RULES match replaced by its tag, applied in
+    rule order."""
+    out = text
+    for _, pattern, tag in PII_RULES:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_redact_sql(col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_redact` (global-flag regexp_replace,
+    same rule order)."""
+    out = col
+    for _, pattern, tag in PII_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '{tag}', 'g')"
+    return out
+
+
+def pii_count_sql(pattern: str, col: str = "text") -> str:
+    """DuckDB twin of :func:`pii_count`."""
+    return f"CAST(len(regexp_extract_all({col}, '{pattern}')) AS BIGINT)"

@@ -469,3 +469,114 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
     )
+
+
+def two_phase_rank(
+    df: DataFrame,
+    partition_cols: list[str],
+    bucket_col: str,
+    order_cols: list,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Row-number over a (possibly global) total order WITHOUT a
+    single-reducer sort — the rank-shaped sibling of
+    :func:`..operators.text.distributed_prefix_sum` (same Blelloch
+    two-phase scan, counting rows instead of summing tokens):
+
+    1. within-(partition, bucket) ``row_number`` windows run in parallel
+       across all buckets;
+    2. per-(partition, bucket) COUNTS — a metadata-sized relation, one
+       row per bucket — get an exclusive prefix sum in a window over
+       that relation only, broadcast-joined back as each bucket's base.
+
+    ``rank = base + within`` equals the single-window ``row_number()``
+    exactly, PROVIDED ``bucket_col`` is coarser than ``order_cols``
+    (every row of a lower bucket orders before every row of a higher
+    one within a partition — e.g. the bucket is a prefix of the first
+    order key).  The data relation never crosses one partition; the
+    only unpartitioned window touches one row per bucket.
+    """
+    w_in = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_cols)
+    within = df.withColumn("__r_in", F.row_number().over(w_in).cast("long"))
+    counts = df.groupBy(*partition_cols, bucket_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_b = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = counts.select(
+        *partition_cols,
+        bucket_col,
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0).cast("long")).alias("__base"),
+    )
+    return (
+        within.join(F.broadcast(base), [*partition_cols, bucket_col])
+        .withColumn(rank_col, F.col("__base") + F.col("__r_in"))
+        .drop("__r_in", "__base")
+    )
+
+
+_SHUFFLE_SEED = "42"
+_SHARD_DOCS = 1000
+
+
+@register(
+    "q_global_shuffle",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS h
+    FROM documents
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY h, doc_id) AS shuffle_rank,
+       (row_number() OVER (ORDER BY h, doc_id) - 1) // {_SHARD_DOCS} AS shard
+FROM h
+""",
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the step that turns a curated corpus into a reproducibly-shuffled
+    training sequence (every epoch-0 data order question, every resume-
+    from-step audit, needs the permutation to be a pure function of
+    (seed, doc_id), not of cluster layout; ``rand()`` and
+    ``repartition``-luck both fail that bar).
+
+    Order key: ``md5(seed || ':' || doc_id)`` — a seeded pseudo-random
+    permutation both engines compute identically.  The oracle is one
+    global ``row_number`` (the canonical single-reducer anti-pattern);
+    the engine computes the SAME rank with :func:`two_phase_rank`,
+    bucketing on the hash's first hex byte — 256 buckets whose string
+    order IS the hash order ('0'<'9'<'a'<'f' in both engines' lowercase
+    hex), so the coarser-bucket precondition holds by construction.
+    ``shard = (rank-1) div {shard}`` then names the output file each
+    doc belongs to (the writer-side contract of a sharded training-set
+    export).  At 100 TB: one corpus-wide exchange on the bucket for the
+    parallel windows, a 256-row metadata window, a broadcast join —
+    no corpus-sized sort through one reducer anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    ranked = two_phase_rank(
+        hashed,
+        partition_cols=[],
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_rank",
+        F.expr(f"(shuffle_rank - 1) div {_SHARD_DOCS}").alias("shard"),
+    )
+
+
+if q_global_shuffle.__doc__:  # absent under python -OO
+    q_global_shuffle.__doc__ = q_global_shuffle.__doc__.format(shard=_SHARD_DOCS)

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import (
     _LANG_MARKERS,
+    PII_RULES,
     lang_id,
+    pii_count,
+    pii_count_sql,
+    pii_redact,
+    pii_redact_sql,
     quality_score,
     shingles,
     token_count,
@@ -1311,4 +1316,204 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("doc_id", "term", "bm25")
+    )
+
+
+@register(
+    "q_text_ccnet_buckets",
+    oracle=f"""
+WITH {_TOKS_CTE},
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+doc_ppl AS (
+    SELECT k.doc_id,
+           round(exp(-avg(ln(v.c / total.t))), 6) + 0.0 AS ppl
+    FROM toks k
+    JOIN vocab v ON v.tok = k.tok
+    CROSS JOIN total
+    GROUP BY k.doc_id
+),
+bucketed AS (
+    SELECT d.lang, p.ppl,
+           ntile(3) OVER (PARTITION BY d.lang
+                          ORDER BY p.ppl ASC, p.doc_id ASC) AS tertile
+    FROM doc_ppl p
+    JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       round(avg(ppl), 6) + 0.0 AS avg_ppl,
+       round(max(ppl), 6) + 0.0 AS max_ppl
+FROM bucketed
+GROUP BY lang, bucket
+""",
+)
+def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document's perplexity under the corpus's own unigram LM, then split
+    each language into head / middle / tail TERTILES by ascending
+    perplexity — the standard curation step that keeps the fluent third,
+    samples the middle, and drops the tail.  Per-doc perplexity
+    ``exp(−avg log p)`` rounds at 6 before any ranking or re-aggregation
+    so both engines order and average identical doubles (SURVEY §7.4,
+    the same discipline q_text_unigram_lm grades green under).
+
+    The oracle's per-lang ``ntile(3)`` window is exact but sorts a whole
+    language through one reducer — at 100 TB a single lang holds
+    billions of docs, so the engine computes the identical tertile
+    WITHOUT it: :func:`..operators.sampling.two_phase_rank` buckets each
+    lang by 256 ppl value ranges (per-lang min/max from a metadata
+    aggregate, broadcast), ranks within buckets in parallel, and offsets
+    by the prefix sum of a 256-row-per-lang count relation; the tertile
+    then falls out arithmetically — SQL ``ntile(k)`` of row i among n is
+    exactly ``(i−1)·k div n + 1`` (uneven remainders go to the leading
+    groups in both engines), integer math on the distributed rank and
+    the per-lang count.  No corpus-sized relation ever crosses one
+    partition.
+    """
+    from .sampling import two_phase_rank
+
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.select(F.sum("c").cast("double").alias("t"))
+    doc_ppl = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            (F.round(F.exp(-F.avg(F.log(F.col("c") / F.col("t")))), 6) + F.lit(0.0))
+            .alias("ppl")
+        )
+    )
+    scored = doc_ppl.join(docs.select("doc_id", "lang"), "doc_id")
+    rng = scored.groupBy("lang").agg(
+        F.min("ppl").alias("__lo"), F.max("ppl").alias("__hi")
+    )
+    bucketed = (
+        scored.join(F.broadcast(rng), "lang")
+        .withColumn(
+            "bkt",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.lit(255),
+                    F.floor(
+                        (F.col("ppl") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * 256
+                    ),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__lo", "__hi")
+    )
+    ranked = two_phase_rank(
+        bucketed,
+        partition_cols=["lang"],
+        bucket_col="bkt",
+        order_cols=[F.asc("ppl"), F.asc("doc_id")],
+        rank_col="r",
+    )
+    n_per_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tertiled = ranked.join(F.broadcast(n_per_lang), "lang").withColumn(
+        "tertile", F.expr("(r - 1) * 3 div n + 1")
+    )
+    return (
+        tertiled.withColumn(
+            "bucket",
+            F.when(F.col("tertile") == 1, "head")
+            .when(F.col("tertile") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.avg("ppl"), 6) + F.lit(0.0)).alias("avg_ppl"),
+            (F.round(F.max("ppl"), 6) + F.lit(0.0)).alias("max_ppl"),
+        )
+    )
+
+
+def _pii_oracle() -> str:
+    """Assemble the PII oracle from the shared PII_RULES table (plain
+    concatenation, not an f-string — the patterns contain ``{2,}``-style
+    braces that f-strings would eat)."""
+    counts = ", ".join(
+        pii_count_sql(pattern) + f" AS {name}"
+        for name, pattern, _ in PII_RULES
+    )
+    hit_sum = " + ".join(name for name, _, _ in PII_RULES)
+    sums = ", ".join(
+        f"CAST(sum({name}) AS BIGINT) AS {name}" for name, _, _ in PII_RULES
+    )
+    return (
+        "WITH scanned AS (\n"
+        f"    SELECT source, text, {counts},\n"
+        f"           {pii_redact_sql('text')} AS redacted\n"
+        "    FROM documents\n"
+        ")\n"
+        "SELECT source, count(*) AS n_docs,\n"
+        f"       CAST(sum(CASE WHEN {hit_sum} > 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS docs_with_pii,\n"
+        f"       {sums},\n"
+        "       CAST(sum(CASE WHEN redacted <> text THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS docs_redacted\n"
+        "FROM scanned\n"
+        "GROUP BY source"
+    )
+
+
+@register("q_text_pii", oracle=_pii_oracle())
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the privacy gate every training
+    corpus passes before release: count email / IPv4 / phone matches per
+    document, apply the tag-redaction chain, and report a per-source
+    audit (docs scanned, docs with any hit, hits per category, docs the
+    redaction actually changed).
+
+    One shared rule table (``functions.textfns.PII_RULES``) feeds the
+    Spark columns AND the oracle SQL, with patterns confined to the
+    Java-regex ∩ RE2 syntax intersection so both engines match
+    identically; counts are taken on the raw text per pattern, the
+    redaction chain applies in pinned rule order.  The driver-graded run
+    proves the full expression chain agrees cross-engine on the real
+    corpus (which is PII-clean — every count 0 — by construction of the
+    synthetic testdata); the POSITIVE path is pinned by
+    tests/test_round7_ops.py on crafted rows containing live PII run
+    through the identical expressions in both engines.
+
+    Scale shape: a single scan-side projection (regexp JVM-side in
+    whole-stage codegen, no Python, no joins) into a sources-sized
+    aggregate — the cheapest possible 100 TB pass; redacted text is a
+    projected column, so the WRITE path (curated-corpus export) reuses
+    the same expression without a second scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scanned = docs.select(
+        "source",
+        "text",
+        *[
+            pii_count(F.col("text"), pattern).alias(name)
+            for name, pattern, _ in PII_RULES
+        ],
+        pii_redact(F.col("text")).alias("redacted"),
+    )
+    any_hit = None
+    for name, _, _ in PII_RULES:
+        c = F.col(name)
+        any_hit = c if any_hit is None else any_hit + c
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(any_hit > 0, 1).otherwise(0)).cast("long").alias(
+            "docs_with_pii"
+        ),
+        *[F.sum(name).cast("long").alias(name) for name, _, _ in PII_RULES],
+        F.sum(F.when(F.col("redacted") != F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_redacted"),
     )

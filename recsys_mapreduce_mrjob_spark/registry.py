@@ -27,10 +27,10 @@ ORACLES: dict[str, str] = {}
 # 2–6: exactly the first 50), so registration order is the lever that decides
 # which operators get a driver correctness row.  Round-7 rotation (VERDICT r6
 # "Next round" #2, amended as the round added queries): flagship first, then
-# every query NEW this round (persisted-index IVF + the six later-session
+# every query NEW this round (persisted-index IVF + the nine later-session
 # operators — each needs its FIRST row), the two CHANGED queries, then the
-# round-4 data-era cohort (the stalest) minus the four least-informative
-# rows the new queries displaced (the two r5 fills went too) — all six
+# round-4 data-era cohort (the stalest) minus the seven least-informative
+# rows the new queries displaced (the two r5 fills went too) — all nine
 # displaced names lead the post-prefix stale queue so they rotate in first
 # next round.  tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
@@ -51,6 +51,12 @@ GRADING_ORDER: list[str] = [
     "q_events_scd2",
     "q_stream_scd2_exec",
     "q_text_bm25",
+    # -- late-round-7 additions, same first-row rule: deterministic
+    #    global training-order shuffle (two-phase rank), CCNet-style
+    #    perplexity tertile bucketing, PII detection/redaction audit --
+    "q_global_shuffle",
+    "q_text_ccnet_buckets",
+    "q_text_pii",
     # -- slots 7-8: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
@@ -69,7 +75,6 @@ GRADING_ORDER: list[str] = [
     "q_dedup_jaccard_pairs",
     "q_embedding_quantize",
     "q_events_anomaly",
-    "q_filter_compound",
     "q_graph_degree_stats",
     "q_histogram",
     "q_join_agg_q10",
@@ -85,7 +90,6 @@ GRADING_ORDER: list[str] = [
     "q_join_inner",
     "q_join_multi_exists_q21",
     "q_join_or_q19",
-    "q_map_funcs",
     "q_multimodal_audio_windows",
     "q_multimodal_features",
     "q_nested_exists_q20",
@@ -95,7 +99,6 @@ GRADING_ORDER: list[str] = [
     "q_text_boilerplate",
     "q_text_contamination",
     "q_text_unigram_lm",
-    "q_topn_orders",
     "q_udf_reg_corr",
     "q_window_rank",
     "q_window_session",
@@ -116,6 +119,15 @@ GRADING_ORDER: list[str] = [
     "q_join_salted_skew",
     "q_dedup_near_exact",
     "q_scan_pruned",
+    # Displaced by the three late-round-7 queries (shuffle/ccnet/pii):
+    # the three most trivial remaining r4 rows, each from a family with
+    # fresher-graded siblings — q_map_funcs and q_filter_compound
+    # (scalar/filter packs; q_string_funcs r6, q_project_expr r5 cover
+    # the shapes) and q_topn_orders (sort/limit; q_window_topk_per_group
+    # r4→prefix covers ranking).
+    "q_map_funcs",
+    "q_filter_compound",
+    "q_topn_orders",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",

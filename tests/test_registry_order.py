@@ -22,9 +22,11 @@ PREFIX = 50
 
 # New this round: IVF with a PERSISTED cell-partitioned index (the
 # shape tools/bench_ann_scale.py measured winning at 200k vectors,
-# VERDICT r6 #5) plus the four operators added later in round 7 —
-# temperature resampling, containment dedup, keyword extraction, and
-# the CDC→SCD2 compaction.  All need their FIRST driver row.
+# VERDICT r6 #5) plus the operators added later in round 7 —
+# temperature resampling, containment dedup, keyword extraction, the
+# CDC→SCD2 compaction, BM25, and the last batch (deterministic global
+# training-order shuffle, CCNet perplexity tertiles, PII audit).  All
+# need their FIRST driver row.
 NEW_R7 = {
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
@@ -33,6 +35,9 @@ NEW_R7 = {
     "q_events_scd2",
     "q_stream_scd2_exec",
     "q_text_bm25",
+    "q_global_shuffle",
+    "q_text_ccnet_buckets",
+    "q_text_pii",
 }
 
 # Changed this round: skew profile's NULL keys excluded on both engine
@@ -54,7 +59,6 @@ R4_DATA_ERA = {
     "q_dedup_jaccard_pairs",
     "q_embedding_quantize",
     "q_events_anomaly",
-    "q_filter_compound",
     "q_graph_degree_stats",
     "q_histogram",
     "q_join_agg_q10",
@@ -70,7 +74,6 @@ R4_DATA_ERA = {
     "q_join_inner",
     "q_join_multi_exists_q21",
     "q_join_or_q19",
-    "q_map_funcs",
     "q_multimodal_audio_windows",
     "q_multimodal_features",
     "q_nested_exists_q20",
@@ -80,7 +83,6 @@ R4_DATA_ERA = {
     "q_text_boilerplate",
     "q_text_contamination",
     "q_text_unigram_lm",
-    "q_topn_orders",
     "q_udf_reg_corr",
     "q_window_rank",
     "q_window_session",
@@ -103,6 +105,12 @@ DISPLACED = {
     # q_scan_pruned's contract (pushdown + pruning) is plan-audited in
     # CI every run, so a driver re-grade adds the least of the cohort.
     "q_scan_pruned",
+    # Displaced by the last round-7 batch (shuffle/ccnet/pii): the three
+    # most trivial remaining r4 rows, each from a family with fresher-
+    # graded siblings covering the same shapes.
+    "q_map_funcs",
+    "q_filter_compound",
+    "q_topn_orders",
 }
 
 
@@ -131,13 +139,13 @@ def test_flagship_is_first():
 
 def test_new_and_changed_lead_the_prefix():
     """The never-graded new queries and the changed queries sit in slots
-    2-10 — graded even if the driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1:10])
+    2-13 — graded even if the driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1 : 1 + len(NEW_R7) + len(CHANGED_R7)])
     assert head == NEW_R7 | CHANGED_R7
 
 
 def test_displaced_lead_the_stale_queue():
-    assert set(_loaded_names()[PREFIX : PREFIX + 6]) == DISPLACED
+    assert set(_loaded_names()[PREFIX : PREFIX + len(DISPLACED)]) == DISPLACED
 
 
 def test_prefix_is_exactly_the_round7_verification_set():

@@ -112,3 +112,165 @@ def test_keywords_topk_shape(spark, smoke_dir):
         .count()
     )
     assert per_doc.count() == n_docs
+
+
+# --- last round-7 batch: global shuffle / CCNet tertiles / PII ----------
+
+
+def test_two_phase_rank_equals_single_window(spark, smoke_dir):
+    """two_phase_rank must reproduce the plain row_number() exactly —
+    globally (no partition cols) and per-lang — on a relation small
+    enough to run both forms."""
+    from recsys_mapreduce_mrjob_spark.operators.sampling import two_phase_rank
+
+    docs = load_table(spark, smoke_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).withColumn("bkt", F.substring("h", 1, 2))
+
+    # Global rank: bucket = first hex byte of the order key.
+    got = two_phase_rank(
+        docs, [], "bkt", [F.col("h"), F.col("doc_id")], rank_col="r"
+    )
+    want = docs.withColumn(
+        "r_ref",
+        F.row_number().over(Window.orderBy("h", "doc_id")).cast("long"),
+    )
+    diff = got.join(want.select("doc_id", "r_ref"), "doc_id").where(
+        F.col("r") != F.col("r_ref")
+    )
+    assert diff.count() == 0
+
+    # Partitioned rank (per lang).
+    got_p = two_phase_rank(
+        docs, ["lang"], "bkt", [F.col("h"), F.col("doc_id")], rank_col="r"
+    )
+    want_p = docs.withColumn(
+        "r_ref",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("h", "doc_id"))
+        .cast("long"),
+    )
+    diff_p = got_p.join(want_p.select("doc_id", "r_ref"), "doc_id").where(
+        F.col("r") != F.col("r_ref")
+    )
+    assert diff_p.count() == 0
+
+
+def test_global_shuffle_is_a_permutation(spark, smoke_dir):
+    from recsys_mapreduce_mrjob_spark.operators.sampling import (
+        _SHARD_DOCS,
+        q_global_shuffle,
+    )
+
+    out = q_global_shuffle(spark, smoke_dir)
+    n = load_table(spark, smoke_dir, "documents").count()
+    stats = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("doc_id").alias("docs"),
+        F.countDistinct("shuffle_rank").alias("ranks"),
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+    ).first()
+    assert stats.rows == stats.docs == stats.ranks == n
+    assert (stats.lo, stats.hi) == (1, n)
+    # Shards are contiguous rank blocks of _SHARD_DOCS (last one ragged).
+    bad_shard = out.where(
+        F.col("shard") != F.expr(f"(shuffle_rank - 1) div {_SHARD_DOCS}")
+    ).count()
+    assert bad_shard == 0
+
+
+def test_ccnet_tertile_arithmetic_matches_ntile(spark):
+    """ntile(k) of row i among n == (i-1)*k div n + 1 — the identity the
+    engine's window-free tertile rests on — checked against Spark's own
+    ntile across ragged group sizes."""
+    sizes = [1, 2, 3, 4, 5, 7, 100]
+    rows = [(g, i) for g, n in enumerate(sizes) for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    w = Window.partitionBy("g").orderBy("i")
+    checked = df.withColumn("nt", F.ntile(3).over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    bad = checked.where(
+        F.col("nt") != F.expr("(i - 1) * 3 div n + 1")
+    ).count()
+    assert bad == 0
+
+
+def test_ccnet_buckets_cover_corpus(spark, smoke_dir):
+    from recsys_mapreduce_mrjob_spark.operators.text import q_text_ccnet_buckets
+
+    out = q_text_ccnet_buckets(spark, smoke_dir)
+    docs = load_table(spark, smoke_dir, "documents")
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # Within a lang, head ppl bound ≤ middle ≤ tail (ascending tertiles).
+    by_lang = {
+        (r.lang, r.bucket): r.max_ppl for r in out.collect()
+    }
+    for lang in {k[0] for k in by_lang}:
+        seq = [
+            by_lang[(lang, b)]
+            for b in ("head", "middle", "tail")
+            if (lang, b) in by_lang
+        ]
+        assert seq == sorted(seq), (lang, seq)
+
+
+def test_pii_positive_path_cross_engine(spark):
+    """The corpus is PII-clean, so the graded run only proves the
+    all-zero path; this pins the POSITIVE path — crafted rows with live
+    emails/IPs/phones run through the IDENTICAL Spark expressions and
+    DuckDB oracle fragments must agree on counts AND redacted text."""
+    import duckdb
+    import pandas as pd
+
+    from recsys_mapreduce_mrjob_spark.functions.textfns import (
+        PII_RULES,
+        pii_count,
+        pii_count_sql,
+        pii_redact,
+        pii_redact_sql,
+    )
+
+    crafted = pd.DataFrame(
+        {
+            "text": [
+                "contact alice.smith+spam@mail-host.co.uk or bob@x.io now",
+                "server 192.168.0.1 and 10.0.255.254 rebooted",
+                "call 555-123-4567 or 555.1234.5678 today",
+                "mixed bob@x.io at 10.0.0.1 phone 555-123-4567",
+                "clean text with no pii at all",
+                "edge 999.999.999.999 and a@b.cd and 123-456-7890",
+                "adjacent1.2.3.4words and not@adomain (no tld match)",
+            ]
+        }
+    )
+    sdf = spark.createDataFrame(crafted)
+    got = (
+        sdf.select(
+            "text",
+            *[pii_count(F.col("text"), p).alias(n) for n, p, _ in PII_RULES],
+            pii_redact(F.col("text")).alias("red"),
+        )
+        .toPandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("crafted", crafted)
+    counts = ", ".join(pii_count_sql(p) + f" AS {n}" for n, p, _ in PII_RULES)
+    want = (
+        con.execute(
+            f"SELECT text, {counts}, {pii_redact_sql('text')} AS red "
+            "FROM crafted ORDER BY text"
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # And the positive rows really are positive: redaction changed them.
+    hot = want[want.red != want.text]
+    assert len(hot) == 5
+    assert want[want.text.str.startswith("clean")].red.iloc[0].startswith(
+        "clean text"
+    )

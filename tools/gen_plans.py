@@ -169,6 +169,28 @@ ENTRIES = [
         "scan-side filter — no shuffle keyed wider than lang anywhere.",
     ),
     (
+        "q_global_shuffle",
+        "Deterministic global training-order shuffle (round 7): the "
+        "oracle's single global row_number would sort the corpus through "
+        "one reducer; this plan ranks inside 256 hash-prefix buckets in "
+        "parallel (one exchange on the bucket key), runs the only "
+        "unpartitioned window over the 256-row bucket-counts relation, "
+        "and BROADCASTS the base offsets back — rank = base + within, "
+        "bit-equal to the single window (pinned in "
+        "tests/test_round7_ops.py).",
+    ),
+    (
+        "q_text_ccnet_buckets",
+        "CCNet perplexity tertiles (round 7): per-doc ppl comes from one "
+        "token aggregation + vocabulary/scalar broadcasts (the unigram-LM "
+        "shape); the per-lang tertile does NOT use the oracle's "
+        "ntile-over-a-whole-lang window — the docs-sized relation ranks "
+        "inside per-lang ppl-range buckets in parallel, the bucket-count "
+        "prefix window touches ≤256 rows per lang, and the tertile is "
+        "integer arithmetic on (rank, lang count): ntile(k) of row i "
+        "among n = (i-1)*k div n + 1.",
+    ),
+    (
         "q_pack_blocks",
         "Two-phase distributed prefix sum (round 6): the corpus-sized "
         "running sum executes as a window PARTITIONED by range bucket "
