@@ -118,6 +118,11 @@ def main() -> None:
         "q_dedup_containment",
         "q_text_keywords",
         "q_events_scd2",
+        # round 7 (last batch), benched from birth: deterministic global
+        # training-order shuffle, CCNet perplexity tertiles, PII audit.
+        "q_global_shuffle",
+        "q_text_ccnet_buckets",
+        "q_text_pii",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -155,6 +160,10 @@ def main() -> None:
         "q_dedup_containment": 0.349,
         "q_text_keywords": 0.091,
         "q_events_scd2": 0.087,
+        # round-7 last-batch twins (same contract; BASELINE.md)
+        "q_global_shuffle": 0.007,
+        "q_text_ccnet_buckets": 0.123,
+        "q_text_pii": 0.043,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

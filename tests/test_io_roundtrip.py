@@ -134,3 +134,38 @@ def test_load_events_is_session_timezone_independent(spark, sf_dir):
     finally:
         spark.conf.set(tz_key, original)
     assert utc_first == ny_first
+
+
+def test_sharded_training_export_roundtrip(spark, smoke_dir, tmp_path):
+    """The write path q_global_shuffle exists for: partition the corpus
+    by its shard assignment, write shard-partitioned parquet, and read
+    it back — every shard directory holds exactly its contiguous rank
+    block, and the reassembled corpus (ordered by shuffle_rank) is the
+    same permutation the query declared."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.sampling import (
+        _SHARD_DOCS,
+        q_global_shuffle,
+    )
+
+    out = str(tmp_path / "shards")
+    shuffled = q_global_shuffle(spark, smoke_dir)
+    shuffled.write.partitionBy("shard").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == shuffled.count()
+    # Partition pruning reaches the shard directories.
+    pruned = back.where(F.col("shard") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    assert pruned.count() == min(_SHARD_DOCS, back.count())
+    # Each shard holds exactly its contiguous rank block.
+    bad = back.where(
+        F.expr(f"(shuffle_rank - 1) div {_SHARD_DOCS}") != F.col("shard")
+    ).count()
+    assert bad == 0
+    # Round-trip preserves the declared permutation exactly.
+    src = {(r.doc_id, r.shuffle_rank) for r in shuffled.collect()}
+    got = {(r.doc_id, r.shuffle_rank) for r in back.collect()}
+    assert src == got

@@ -134,6 +134,10 @@ def main() -> None:
             "q_dedup_containment",
             "q_text_keywords",
             "q_events_scd2",
+            # round 7 (last batch): shuffle / ccnet tertiles / pii
+            "q_global_shuffle",
+            "q_text_ccnet_buckets",
+            "q_text_pii",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

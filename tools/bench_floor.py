@@ -68,6 +68,10 @@ HEADLINE = [
     "q_dedup_containment",
     "q_text_keywords",
     "q_events_scd2",
+    # round 7 (last batch): shuffle / ccnet tertiles / pii
+    "q_global_shuffle",
+    "q_text_ccnet_buckets",
+    "q_text_pii",
 ]
 
 
