@@ -494,7 +494,11 @@ def two_phase_rank(
     (every row of a lower bucket orders before every row of a higher
     one within a partition — e.g. the bucket is a prefix of the first
     order key).  The data relation never crosses one partition; the
-    only unpartitioned window touches one row per bucket.
+    only unpartitioned window touches one row per bucket.  The base
+    relation broadcast assumes |partitions| × |buckets| stays
+    metadata-sized (both callers keep buckets ≤ 256 and partitions at
+    none / languages); a caller with a high-cardinality partition key
+    should drop the F.broadcast hint and let the join shuffle.
     """
     w_in = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_cols)
     within = df.withColumn("__r_in", F.row_number().over(w_in).cast("long"))

@@ -1088,3 +1088,55 @@ def test_pairwise_gemm_drops_self_pairs_on_duplicate_input(spark):
     assert got, "expected cross-item pairs"
     assert all(g.item_x != g.item_y for g in got), got
     assert all(g.item_x < g.item_y for g in got), got
+
+
+def test_two_phase_rank_matches_sequential_rank_property(spark):
+    """Property: two_phase_rank equals the plain sequential row_number
+    for arbitrary (partition, bucket, order-key) data — ragged partition
+    sizes, empty buckets, duplicate order keys broken by id — provided
+    the bucket is coarser than the order (enforced here by making the
+    bucket the integer prefix of the order key, exactly how
+    q_global_shuffle and q_text_ccnet_buckets derive theirs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.sampling import two_phase_rank
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),      # partition key
+                st.integers(min_value=0, max_value=1000),   # order key
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    def check(rows):
+        data = [(i, p, k, k // 100) for i, (p, k) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "id long, part long, k long, bkt long"
+        )
+        got = {
+            (r.part, r.id): r.rnk
+            for r in two_phase_rank(
+                df, ["part"], "bkt", [F.col("k"), F.col("id")], rank_col="rnk"
+            ).collect()
+        }
+        expect = {}
+        for p in {p for _, p, _, _ in data}:
+            members = sorted(
+                ((k, i) for i, pp, k, _ in data if pp == p)
+            )
+            for rank, (_, i) in enumerate(members, start=1):
+                expect[(p, i)] = rank
+        assert got == expect
+
+    check()
