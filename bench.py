@@ -123,6 +123,7 @@ def main() -> None:
         "q_global_shuffle",
         "q_text_ccnet_buckets",
         "q_text_pii",
+        "q_pack_shuffled",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -164,6 +165,7 @@ def main() -> None:
         "q_global_shuffle": 0.007,
         "q_text_ccnet_buckets": 0.123,
         "q_text_pii": 0.043,
+        "q_pack_shuffled": 0.049,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

@@ -1047,44 +1047,54 @@ _PACK_N_RANGES = 128
 
 
 def distributed_prefix_sum(
-    per_doc: DataFrame, n_ranges: int = _PACK_N_RANGES
+    per_doc: DataFrame, n_ranges: int = _PACK_N_RANGES, key: str = "doc_id"
 ) -> DataFrame:
-    """Exclusive prefix sum of ``n_tokens`` in ``doc_id`` order — the
-    Blelloch two-phase scan over (doc_id, n_tokens): parallel per-range
+    """Exclusive prefix sum of ``n_tokens`` in ``key`` order — the
+    Blelloch two-phase scan over (key, n_tokens): parallel per-range
     cumulative windows + a metadata-sized range-offset window, joined
-    back as each range's base.  Returns (doc_id, n_tokens,
-    start_offset); property-pinned against a plain sequential scan in
+    back as each range's base.  Returns the input columns +
+    ``start_offset``; ``key`` must be a unique integer column (doc_id
+    for corpus-order packing, shuffle_rank for shuffled-order packing).
+    Property-pinned against a plain sequential scan in
     tests/test_scale_knobs.py."""
     bounds = per_doc.agg(
-        F.max("doc_id").alias("max_id"), F.min("doc_id").alias("min_id")
+        F.max(key).alias("__max_k"), F.min(key).alias("__min_k")
     )
-    bucketed = per_doc.join(F.broadcast(bounds)).select(
-        "doc_id",
-        "n_tokens",
-        F.expr(
-            f"(doc_id - min_id) div greatest((max_id - min_id) div {n_ranges} + 1, 1)"
-        ).alias("bkt"),
+    bucketed = (
+        per_doc.join(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.expr(
+                f"({key} - __min_k) div "
+                f"greatest((__max_k - __min_k) div {n_ranges} + 1, 1)"
+            ),
+        )
+        .drop("__max_k", "__min_k")
     )
     w_in = (
-        Window.partitionBy("bkt")
-        .orderBy("doc_id")
+        Window.partitionBy("__bkt")
+        .orderBy(key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    totals = bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens"))
+    within = bucketed.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+    totals = bucketed.groupBy("__bkt").agg(
+        F.sum("n_tokens").alias("__bkt_tokens")
+    )
     w_bkt = (
-        Window.orderBy("bkt")
+        Window.orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = totals.withColumn(
-        "bkt_base", F.sum("bkt_tokens").over(w_bkt) - F.col("bkt_tokens")
-    ).select("bkt", "bkt_base")
-    return within.join(F.broadcast(offsets), "bkt").select(
-        "doc_id",
-        "n_tokens",
-        (F.col("bkt_base") + F.col("cum_in") - F.col("n_tokens")).alias(
-            "start_offset"
-        ),
+        "__bkt_base",
+        F.sum("__bkt_tokens").over(w_bkt) - F.col("__bkt_tokens"),
+    ).select("__bkt", "__bkt_base")
+    return (
+        within.join(F.broadcast(offsets), "__bkt")
+        .withColumn(
+            "start_offset",
+            F.col("__bkt_base") + F.col("__cum_in") - F.col("n_tokens"),
+        )
+        .drop("__bkt", "__cum_in", "__bkt_base")
     )
 
 
@@ -1151,6 +1161,98 @@ def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 if q_pack_blocks.__doc__:  # absent under python -OO (docstrings stripped)
     q_pack_blocks.__doc__ = q_pack_blocks.__doc__.format(
         block=_PACK_BLOCK_TOKENS, ranges=_PACK_N_RANGES
+    )
+
+
+# One seed definition across the shuffle family (sampling defines it;
+# the oracle below must embed the same literal).
+from .sampling import _SHUFFLE_SEED as _PACK_SHUFFLE_SEED  # noqa: E402
+
+
+@register(
+    "q_pack_shuffled",
+    oracle=f"""
+WITH {_TOKS_CTE},
+per_doc AS (
+    SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, n_tokens,
+           CAST(row_number() OVER (
+               ORDER BY md5(concat('{_PACK_SHUFFLE_SEED}:',
+                                   CAST(doc_id AS VARCHAR))), doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM per_doc
+),
+placed AS (
+    SELECT doc_id, shuffle_rank, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY shuffle_rank
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens
+                AS BIGINT) AS start_offset
+    FROM ranked
+)
+SELECT doc_id, shuffle_rank, n_tokens, start_offset,
+       start_offset // {_PACK_BLOCK_TOKENS} AS first_block,
+       (start_offset + n_tokens - 1) // {_PACK_BLOCK_TOKENS} AS last_block
+FROM placed
+""",
+)
+def q_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in SHUFFLED training order — the composition a
+    real export runs: the corpus is first permuted by the seeded
+    deterministic shuffle (q_global_shuffle's order, restricted to
+    tokenizable docs), THEN concatenated and chunked into {block}-token
+    blocks, so block boundaries fall in training order, not ingest
+    order (packing before shuffling would let shards memorize corpus
+    locality).
+
+    The oracle chains two global single-reducer windows (row_number,
+    then a running sum over it); the engine chains the two scalable
+    primitives built for exactly these shapes — :func:`..operators.
+    sampling.two_phase_rank` over 256 hash-prefix buckets for the
+    permutation, then :func:`distributed_prefix_sum` keyed on the dense
+    rank (ranks 1..n are uniform, so the range buckets are perfectly
+    balanced — better than doc_id's, which tolerate gaps).  Both
+    helpers are independently bit-pinned against their single-window
+    references; at 100 TB the corpus crosses two bucket exchanges and
+    two ≤256-row metadata windows, never one partition.  One tokenize
+    scan (the memo-shared ``tokenized_per_doc``) feeds rank, offsets,
+    and totals alike.
+    """
+    from .sampling import tokenized_per_doc, two_phase_rank
+
+    per_doc = tokenized_per_doc(spark, sf_dir).select("doc_id", "n_tokens")
+    hashed = per_doc.withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit(_PACK_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")
+            )
+        ),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    ranked = two_phase_rank(
+        hashed,
+        partition_cols=[],
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
+    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    return placed.select(
+        "doc_id",
+        "shuffle_rank",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {_PACK_BLOCK_TOKENS}").alias("first_block"),
+        F.expr(
+            f"(start_offset + n_tokens - 1) div {_PACK_BLOCK_TOKENS}"
+        ).alias("last_block"),
+    )
+
+
+if q_pack_shuffled.__doc__:  # absent under python -OO
+    q_pack_shuffled.__doc__ = q_pack_shuffled.__doc__.format(
+        block=_PACK_BLOCK_TOKENS
     )
 
 

@@ -57,6 +57,7 @@ GRADING_ORDER: list[str] = [
     "q_global_shuffle",
     "q_text_ccnet_buckets",
     "q_text_pii",
+    "q_pack_shuffled",
     # -- slots 7-8: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
@@ -100,7 +101,6 @@ GRADING_ORDER: list[str] = [
     "q_text_contamination",
     "q_text_unigram_lm",
     "q_udf_reg_corr",
-    "q_window_rank",
     "q_window_session",
     # ------------------------------------------------------------------
     # Past the 50-slot grading prefix.  First the four names the new
@@ -128,6 +128,9 @@ GRADING_ORDER: list[str] = [
     "q_map_funcs",
     "q_filter_compound",
     "q_topn_orders",
+    # Displaced by q_pack_shuffled: the windows family's most basic row
+    # (q_window_ntile / q_window_first_last are r6-green siblings).
+    "q_window_rank",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",

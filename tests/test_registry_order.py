@@ -38,6 +38,7 @@ NEW_R7 = {
     "q_global_shuffle",
     "q_text_ccnet_buckets",
     "q_text_pii",
+    "q_pack_shuffled",
 }
 
 # Changed this round: skew profile's NULL keys excluded on both engine
@@ -84,7 +85,6 @@ R4_DATA_ERA = {
     "q_text_contamination",
     "q_text_unigram_lm",
     "q_udf_reg_corr",
-    "q_window_rank",
     "q_window_session",
 }
 
@@ -111,6 +111,9 @@ DISPLACED = {
     "q_map_funcs",
     "q_filter_compound",
     "q_topn_orders",
+    # Displaced by q_pack_shuffled: the windows family's most basic row
+    # (ntile / first_last are r6-green siblings).
+    "q_window_rank",
 }
 
 

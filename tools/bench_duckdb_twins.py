@@ -138,6 +138,7 @@ def main() -> None:
             "q_global_shuffle",
             "q_text_ccnet_buckets",
             "q_text_pii",
+            "q_pack_shuffled",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

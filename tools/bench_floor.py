@@ -72,6 +72,7 @@ HEADLINE = [
     "q_global_shuffle",
     "q_text_ccnet_buckets",
     "q_text_pii",
+    "q_pack_shuffled",
 ]
 
 
