@@ -191,6 +191,18 @@ ENTRIES = [
         "among n = (i-1)*k div n + 1.",
     ),
     (
+        "q_pack_shuffled",
+        "Shuffled-order packing (round 7): the export composition — "
+        "two_phase_rank's bucket-parallel permutation feeds "
+        "distributed_prefix_sum keyed on the dense rank (uniform range "
+        "buckets).  The oracle's two chained global windows never "
+        "appear: every corpus-sized window in this plan is PARTITIONED "
+        "(hash-prefix buckets, then rank-range buckets) and the only "
+        "unpartitioned windows run over ≤256-row metadata relations, "
+        "broadcast back.  One tokenize scan (the shared memo) feeds "
+        "rank, offsets, and totals.",
+    ),
+    (
         "q_pack_blocks",
         "Two-phase distributed prefix sum (round 6): the corpus-sized "
         "running sum executes as a window PARTITIONED by range bucket "
