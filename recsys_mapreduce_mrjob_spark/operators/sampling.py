@@ -526,6 +526,20 @@ _SHUFFLE_SEED = "42"
 _SHARD_DOCS = 1000
 
 
+def seeded_shuffle_key(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Append the seeded shuffle order key ``h = md5(seed ':' key)`` and
+    its 256-way bucket ``bkt`` (first hex byte — a PREFIX of h, so the
+    two_phase_rank coarser-bucket precondition holds by construction).
+    ONE definition shared by q_global_shuffle and q_pack_shuffled —
+    their cross-query same-permutation claim rests on this being the
+    only place the hash input is spelled (code-review r7: each query
+    had its own copy)."""
+    return df.withColumn(
+        "h",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col(key).cast("string"))),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+
+
 @register(
     "q_global_shuffle",
     oracle=f"""
@@ -562,12 +576,7 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-sized sort through one reducer anywhere.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = docs.select(
-        "doc_id",
-        F.md5(
-            F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col("doc_id").cast("string"))
-        ).alias("h"),
-    ).withColumn("bkt", F.substring("h", 1, 2))
+    hashed = seeded_shuffle_key(docs)
     ranked = two_phase_rank(
         hashed,
         partition_cols=[],

@@ -158,7 +158,12 @@ def test_sharded_training_export_roundtrip(spark, smoke_dir, tmp_path):
     # Partition pruning reaches the shard directories.
     pruned = back.where(F.col("shard") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(shard" in plan or "shard#" in plan
+    # The shard predicate must reach the scan as a PARTITION filter (a
+    # data Filter over shard would also pass a naive contains check —
+    # code-review r7 killed the vacuous `or "shard#" in plan` fallback).
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
     assert pruned.count() == min(_SHARD_DOCS, back.count())
     # Each shard holds exactly its contiguous rank block.
     bad = back.where(

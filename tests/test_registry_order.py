@@ -142,7 +142,7 @@ def test_flagship_is_first():
 
 def test_new_and_changed_lead_the_prefix():
     """The never-graded new queries and the changed queries sit in slots
-    2-13 — graded even if the driver's cutoff ever shrinks below 50."""
+    2-14 — graded even if the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R7) + len(CHANGED_R7)])
     assert head == NEW_R7 | CHANGED_R7
 

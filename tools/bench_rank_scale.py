@@ -55,15 +55,18 @@ def hashed(spark, n: int):
 
 
 def checksum_spark(ranked) -> int:
-    # Σ rank·(id+1) mod M in exact integer arithmetic (DECIMAL sum is
-    # overflow-safe far past these rungs; per-term product < 2^83 needs
-    # the pmod BEFORE the sum, so each term is < 2^61 and the DECIMAL(38)
-    # running sum is exact).
+    # Σ rank·(id+1) mod M in exact integer arithmetic.  The PRODUCT must
+    # be computed in DECIMAL — r*(id+1) reaches n², past int64 at
+    # n ≈ 3e9 (ANSI mode would throw; non-ANSI would silently wrap and
+    # fire the cross-engine assert — code-review r7); the DuckDB twin
+    # promotes to HUGEINT the same way.  The pmod bounds each term under
+    # 2^61 so the DECIMAL(38) running sum stays exact.
     return int(
         ranked.select(
             F.sum(
-                F.pmod(F.col("r") * (F.col("id") + 1), F.lit(MOD)).cast(
-                    "decimal(38,0)"
+                F.pmod(
+                    F.col("r").cast("decimal(38,0)") * (F.col("id") + 1),
+                    F.lit(MOD).cast("decimal(38,0)"),
                 )
             ).alias("c")
         ).first()["c"]
@@ -115,7 +118,8 @@ WITH h AS (
 ),
 r AS (SELECT id, CAST(row_number() OVER (ORDER BY h, id) AS BIGINT) AS r
       FROM h)
-SELECT CAST(sum((r * (id + 1)) % {MOD}) AS HUGEINT) % {MOD} AS c FROM r
+SELECT CAST(sum((CAST(r AS HUGEINT) * (id + 1)) % {MOD}) AS HUGEINT)
+       % {MOD} AS c FROM r
 """
 
         def duck_form():
