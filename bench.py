@@ -124,6 +124,12 @@ def main() -> None:
         "q_text_ccnet_buckets",
         "q_text_pii",
         "q_pack_shuffled",
+        # round 7 capstone: the end-to-end export (curate → shuffle →
+        # pack → manifest) — beats its DuckDB twin outright at sf0.1
+        # (0.55× raw when added): the recursive-CTE curation walk plus
+        # two global windows is the baseline's weak shape, the engine's
+        # stages all parallelize.
+        "q_export_manifest",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -166,6 +172,7 @@ def main() -> None:
         "q_text_ccnet_buckets": 0.123,
         "q_text_pii": 0.043,
         "q_pack_shuffled": 0.049,
+        "q_export_manifest": 10.807,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

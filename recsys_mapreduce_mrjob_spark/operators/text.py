@@ -357,10 +357,13 @@ _CURATION_NEAR_CTES = f"""{_CURATION_NEAR_PAIR_CTES},
 near_nonkeepers AS (SELECT id AS doc_id FROM near_labels WHERE id <> label)"""
 
 
-@register(
-    "q_corpus_curation",
-    oracle=f"""
-WITH RECURSIVE {_CURATION_NEAR_CTES},
+# The full curation CTE chain through the final `curated` relation —
+# ONE definition feeding q_corpus_curation AND q_export_manifest (the
+# single-source discipline; a semantics drift between the two oracles
+# would silently decouple the pipeline stages).  Body is verbatim the
+# r6-graded q_corpus_curation oracle with its final WHERE folded into
+# the `curated` CTE.
+_CURATION_CTES = f"""{_CURATION_NEAR_CTES},
 {_TOKS_CTE},
 {_langid_cte().strip().rstrip()},
 per_doc AS (
@@ -389,14 +392,78 @@ deduped AS (
     SELECT *, row_number() OVER (PARTITION BY md5(text)
                                  ORDER BY doc_id) AS rn
     FROM kept
-)
+),
+curated AS (
+    SELECT doc_id, lang_pred, quality, n_tokens
+    FROM deduped
+    WHERE rn = 1
+      AND doc_id NOT IN (SELECT doc_id FROM near_nonkeepers)
+)"""
+
+
+def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated corpus — (doc_id, lang_pred, quality, n_tokens) after
+    the quality → language-ID → exact-dedup keep-one → near-dup-cluster
+    keep-one ladder.  Memoized: q_corpus_curation's per-lang accounting
+    and q_export_manifest's shuffle+pack both consume it; the near-dup
+    stage underneath is the expensive part (shingle relation + LSH +
+    two-star fixpoint), and one session needs it once.  Twin: the
+    ``curated`` CTE in :data:`_CURATION_CTES`."""
+    from .dedup import connected_components_twostar, q_dedup_near_exact
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        scored = docs.select(
+            "doc_id",
+            "text",
+            (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
+            lang_id(F.col("text")).alias("lang_pred"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        kept = scored.where(
+            (F.col("quality") >= _CURATION_QUALITY_MIN)
+            & (F.col("lang_pred") != "und")
+        )
+        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+        deduped = (
+            kept.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+        )
+        pairs = q_dedup_near_exact(spark, sf_dir)
+        # Vertices = pair ENDPOINTS only (code-review r6): a doc in no
+        # pair is trivially its own component keeper, so labeling the
+        # full corpus paid a corpus-sized scan + join just to discard
+        # every label==id row.  The endpoint relation is pair-sized.
+        endpoints = (
+            pairs.select(F.col("doc_a").alias("id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("id")))
+            .distinct()
+        )
+        labels = connected_components_twostar(
+            endpoints,
+            pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            ),
+        )
+        non_keepers = labels.where(F.col("label") != F.col("id")).select(
+            F.col("id").alias("doc_id")
+        )
+        return deduped.join(non_keepers, "doc_id", "left_anti").select(
+            "doc_id", "lang_pred", "quality", "n_tokens"
+        )
+
+    return memo_persist(spark, "curated_docs", sf_dir, build)
+
+
+@register(
+    "q_corpus_curation",
+    oracle=f"""
+WITH RECURSIVE {_CURATION_CTES}
 SELECT lang_pred,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) + 0.0 AS avg_quality
-FROM deduped
-WHERE rn = 1
-  AND doc_id NOT IN (SELECT doc_id FROM near_nonkeepers)
+FROM curated
 GROUP BY lang_pred
 """,
 )
@@ -435,40 +502,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the dedup shuffles
     partition on content-derived keys (uniform by construction, no skew),
     the component edge relation is pair-sized (≪ corpus-sized), and the
-    final group-by is languages-sized."""
-    from .dedup import connected_components_twostar, q_dedup_near_exact
+    final group-by is languages-sized.
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "text",
-        (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
-        lang_id(F.col("text")).alias("lang_pred"),
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-    )
-    kept = scored.where(
-        (F.col("quality") >= _CURATION_QUALITY_MIN) & (F.col("lang_pred") != "und")
-    )
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
-    deduped = kept.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    pairs = q_dedup_near_exact(spark, sf_dir)
-    # Vertices = pair ENDPOINTS only (code-review r6): a doc in no pair
-    # is trivially its own component keeper, so labeling the full corpus
-    # paid a corpus-sized scan + join just to discard every label==id
-    # row.  The endpoint relation is pair-sized (≪ corpus-sized).
-    endpoints = (
-        pairs.select(F.col("doc_a").alias("id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("id")))
-        .distinct()
-    )
-    labels = connected_components_twostar(
-        endpoints,
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-    )
-    non_keepers = labels.where(F.col("label") != F.col("id")).select(
-        F.col("id").alias("doc_id")
-    )
-    curated = deduped.join(non_keepers, "doc_id", "left_anti")
+    Round 7: the curated relation itself is factored into
+    :func:`curated_docs` (memo-shared with q_export_manifest); this
+    query is the per-language accounting over it."""
+    curated = curated_docs(spark, sf_dir)
     return curated.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -1164,8 +1203,9 @@ if q_pack_blocks.__doc__:  # absent under python -OO (docstrings stripped)
     )
 
 
-# One seed definition across the shuffle family (sampling defines it;
-# the oracle below must embed the same literal).
+# One seed / shard-size definition across the shuffle family (sampling
+# defines them; the oracles below must embed the same literals).
+from .sampling import _SHARD_DOCS as _EXPORT_SHARD_DOCS  # noqa: E402
 from .sampling import _SHUFFLE_SEED as _PACK_SHUFFLE_SEED  # noqa: E402
 
 
@@ -1633,4 +1673,91 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("redacted") != F.col("text"), 1).otherwise(0))
         .cast("long")
         .alias("docs_redacted"),
+    )
+
+
+@register(
+    "q_export_manifest",
+    oracle=f"""
+WITH RECURSIVE {_CURATION_CTES},
+exp_ranked AS (
+    SELECT doc_id, n_tokens,
+           CAST(row_number() OVER (
+               ORDER BY md5(concat('{{seed}}:', CAST(doc_id AS VARCHAR))),
+                        doc_id
+           ) AS BIGINT) AS r
+    FROM curated
+),
+exp_placed AS (
+    SELECT doc_id, n_tokens, r,
+           CAST(sum(n_tokens) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS off
+    FROM exp_ranked
+)
+SELECT (r - 1) // {{shard}} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(off) // {{block}} AS first_block,
+       max(off + n_tokens - 1) // {{block}} AS last_block
+FROM exp_placed
+GROUP BY shard
+""".format(
+        seed=_PACK_SHUFFLE_SEED, shard=_EXPORT_SHARD_DOCS, block=_PACK_BLOCK_TOKENS
+    ),
+)
+def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-set export, as one declared query: curate
+    (quality → lang-ID → exact dedup → near-dup-cluster keep-one), then
+    permute with the seeded deterministic shuffle, then pack into
+    2048-token blocks, and emit the per-shard MANIFEST a data loader
+    consumes — docs, tokens, and the [first_block, last_block] span each
+    1000-doc shard covers.  This is the capstone composition: every
+    stage is an independently driver-graded primitive (`curated_docs` /
+    q_corpus_curation, `two_phase_rank` / q_global_shuffle,
+    `distributed_prefix_sum` / q_pack_blocks, shuffled chaining /
+    q_pack_shuffled), and the oracle chains the SAME stages from the
+    shared `_CURATION_CTES` body so the two pipelines cannot drift
+    stage-by-stage.
+
+    Scale shape: the curation ladder's content-keyed shuffles feed a
+    docs-sized (doc_id, n_tokens) relation; rank and prefix sum are the
+    bucket-parallel two-phase scans (no single-reducer window anywhere
+    — the oracle's two global windows are exactly what the ladder in
+    BASELINE.md measures losing 5-7× past a few million rows); the
+    manifest aggregate is shards-sized.  One memo-shared curated
+    relation serves this query and the per-lang accounting alike.
+    """
+    from .sampling import seeded_shuffle_key, two_phase_rank
+
+    def build_ranked() -> DataFrame:
+        curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
+        hashed = seeded_shuffle_key(curated)
+        return two_phase_rank(
+            hashed,
+            partition_cols=[],
+            bucket_col="bkt",
+            order_cols=[F.col("h"), F.col("doc_id")],
+            rank_col="shuffle_rank",
+        ).drop("h", "bkt")
+
+    # Same memo rationale as q_pack_shuffled: the prefix sum fans its
+    # input into three lazy branches.
+    ranked = memo_persist(spark, "export_ranked", sf_dir, build_ranked)
+    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    return (
+        placed.withColumn(
+            "shard",
+            F.expr(f"(shuffle_rank - 1) div {_EXPORT_SHARD_DOCS}"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.expr(f"min(start_offset) div {_PACK_BLOCK_TOKENS}").alias(
+                "first_block"
+            ),
+            F.expr(
+                f"max(start_offset + n_tokens - 1) div {_PACK_BLOCK_TOKENS}"
+            ).alias("last_block"),
+        )
     )

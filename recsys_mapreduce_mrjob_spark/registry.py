@@ -27,10 +27,10 @@ ORACLES: dict[str, str] = {}
 # 2–6: exactly the first 50), so registration order is the lever that decides
 # which operators get a driver correctness row.  Round-7 rotation (VERDICT r6
 # "Next round" #2, amended as the round added queries): flagship first, then
-# every query NEW this round (persisted-index IVF + the ten later-session
+# every query NEW this round (persisted-index IVF + the eleven later-session
 # operators — each needs its FIRST row), the two CHANGED queries, then the
-# round-4 data-era cohort (the stalest) minus the eight least-informative
-# rows the new queries displaced (the two r5 fills went too) — all ten
+# round-4 data-era cohort (the stalest) minus the nine least-informative
+# rows the new queries displaced (the two r5 fills went too) — all eleven
 # displaced names lead the post-prefix stale queue so they rotate in first
 # next round.  tests/test_registry_order.py pins this contract.
 # ---------------------------------------------------------------------------
@@ -41,7 +41,7 @@ GRADING_ORDER: list[str] = [
     #    index (VERDICT r6 #5: the winning shape from
     #    tools/bench_ann_scale.py, now a declared query) --
     "q_knn_cosine_ivf_indexed",
-    # -- slots 3-12: queries NEW this round-7 session — each needs its
+    # -- slots 3-13: queries NEW this round-7 session — each needs its
     #    first driver correctness row (an undeclared-vs-ungraded gap was
     #    the r5 verdict's top freshness ding, so new names always enter
     #    the prefix in their birth round) --
@@ -58,15 +58,16 @@ GRADING_ORDER: list[str] = [
     "q_text_ccnet_buckets",
     "q_text_pii",
     "q_pack_shuffled",
-    # -- slots 13-14: CHANGED round 7 — skew profile now excludes NULL keys
+    "q_export_manifest",
+    # -- slots 14-15: CHANGED round 7 — skew profile now excludes NULL keys
     #    on both sides (ADVICE r6: oracle count(DISTINCT) was
     #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
     #    became a parquet-footer literal (one fewer job/exchange, −18%
     #    wall at sf0.1) --
     "q_skew_profile",
     "q_text_tfidf",
-    # -- slots 15-50: the round-4 data-era cohort (VERDICT r6 #2) minus
-    #    the eight displaced rows --
+    # -- slots 16-50: the round-4 data-era cohort (VERDICT r6 #2) minus
+    #    the nine displaced rows --
     "q_agg_having_q11",
     "q_agg_max_q15",
     "q_agg_pricing_summary",
@@ -78,7 +79,6 @@ GRADING_ORDER: list[str] = [
     "q_embedding_quantize",
     "q_events_anomaly",
     "q_graph_degree_stats",
-    "q_histogram",
     "q_join_agg_q10",
     "q_join_agg_q12",
     "q_join_agg_q14",
@@ -132,6 +132,9 @@ GRADING_ORDER: list[str] = [
     # Displaced by q_pack_shuffled: the windows family's most basic row
     # (q_window_ntile / q_window_first_last are r6-green siblings).
     "q_window_rank",
+    # Displaced by q_export_manifest: bucketed-histogram aggregate, the
+    # scalar/agg family's most self-contained remaining r4 row.
+    "q_histogram",
     "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",

@@ -139,6 +139,7 @@ def main() -> None:
             "q_text_ccnet_buckets",
             "q_text_pii",
             "q_pack_shuffled",
+            "q_export_manifest",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

@@ -73,6 +73,7 @@ HEADLINE = [
     "q_text_ccnet_buckets",
     "q_text_pii",
     "q_pack_shuffled",
+    "q_export_manifest",
 ]
 
 
