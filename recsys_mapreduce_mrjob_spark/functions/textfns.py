@@ -105,9 +105,18 @@ def shingles(text: Column, k: int = 3) -> Column:
 # is pinned (emails → IPs → phones) so a phone-shaped fragment inside an
 # already-redacted IP can't double-fire; counts are always taken on the
 # RAW text, per pattern, so they are order-independent.
+#
+# Precision notes (ADVICE r7): the IPv4 octet is range-checked
+# (25[0-5]|2[0-4]\d|1?\d?\d ≤ 255 — still alternation+classes, inside the
+# Java/RE2 intersection), so 999.999.999.999 no longer counts.  KNOWN
+# remaining false-positive class: dotted version strings with in-range
+# components ("release 1.2.3.4") are indistinguishable from IPs at the
+# regex level and still match — an audit consumer that needs them excluded
+# must post-filter on context, which a per-row regex cannot see.
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ips", r"\b" + _IPV4_OCTET + r"(\." + _IPV4_OCTET + r"){3}\b", "<IP>"),
     ("phones", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
 )
 

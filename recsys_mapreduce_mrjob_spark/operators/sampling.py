@@ -499,6 +499,11 @@ def two_phase_rank(
     metadata-sized (both callers keep buckets ≤ 256 and partitions at
     none / languages); a caller with a high-cardinality partition key
     should drop the F.broadcast hint and let the join shuffle.
+
+    NOTE: ``df`` fans into TWO lazy branches here (the within-bucket
+    window and the bucket-counts aggregate) — a caller whose input is
+    expensive and unpersisted pays its evaluation twice.  Every current
+    caller memo-persists the hashed input first (ADVICE r7).
     """
     w_in = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_cols)
     within = df.withColumn("__r_in", F.row_number().over(w_in).cast("long"))
@@ -533,7 +538,18 @@ def seeded_shuffle_key(df: DataFrame, key: str = "doc_id") -> DataFrame:
     ONE definition shared by q_global_shuffle and q_pack_shuffled —
     their cross-query same-permutation claim rests on this being the
     only place the hash input is spelled (code-review r7: each query
-    had its own copy)."""
+    had its own copy).
+
+    The input must not already carry ``h``/``bkt`` columns — this is the
+    shared entry point for the shuffle family, and silently clobbering a
+    caller's same-named column would corrupt the permutation with no
+    error (ADVICE r7)."""
+    clash = [c for c in ("h", "bkt") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"seeded_shuffle_key: input already has column(s) {clash}; "
+            "rename them before appending the shuffle key"
+        )
     return df.withColumn(
         "h",
         F.md5(F.concat(F.lit(_SHUFFLE_SEED + ":"), F.col(key).cast("string"))),
@@ -575,8 +591,19 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel windows, a 256-row metadata window, a broadcast join —
     no corpus-sized sort through one reducer anywhere.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    hashed = seeded_shuffle_key(docs)
+    # Memoize the hashed relation: two_phase_rank fans its input into two
+    # lazy branches (the within-bucket window and the bucket-counts agg),
+    # so an unpersisted input pays the scan + md5 projection twice per run
+    # (ADVICE r7 — the sibling callers q_pack_shuffled / q_export_manifest
+    # already memoize around the same fan-out).
+    hashed = memo_persist(
+        spark,
+        "global_shuffle_hashed",
+        sf_dir,
+        lambda: seeded_shuffle_key(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        ),
+    )
     ranked = two_phase_rank(
         hashed,
         partition_cols=[],

@@ -352,9 +352,13 @@ _CURATION_QUALITY_MIN = 0.8
 from .dedup import _NEAR_EXACT_CTES as _CURATION_NEAR_PAIR_CTES  # noqa: E402
 from .dedup import component_walk_ctes as _component_walk_ctes  # noqa: E402
 
+# Pair relation + component walk only — the non-keeper derivation moved
+# BELOW the gate CTEs (r8 keeper-semantics fix, VERDICT r7 "what's wrong"
+# #1): the keeper of each near-dup cluster is now the min doc_id among
+# GATE SURVIVORS in that cluster, so a cluster whose global-min doc fails
+# the quality/lang/exact-dedup gates no longer vanishes wholesale.
 _CURATION_NEAR_CTES = f"""{_CURATION_NEAR_PAIR_CTES},
-{_component_walk_ctes("near_")},
-near_nonkeepers AS (SELECT id AS doc_id FROM near_labels WHERE id <> label)"""
+{_component_walk_ctes("near_")}"""
 
 
 # The full curation CTE chain through the final `curated` relation —
@@ -393,6 +397,16 @@ deduped AS (
                                  ORDER BY doc_id) AS rn
     FROM kept
 ),
+near_surv AS (
+    SELECT l.id, l.label
+    FROM near_labels l JOIN deduped d ON l.id = d.doc_id AND d.rn = 1
+),
+near_keeper AS (SELECT label, min(id) AS keeper FROM near_surv GROUP BY label),
+near_nonkeepers AS (
+    SELECT s.id AS doc_id
+    FROM near_surv s JOIN near_keeper k USING (label)
+    WHERE s.id <> k.keeper
+),
 curated AS (
     SELECT doc_id, lang_pred, quality, n_tokens
     FROM deduped
@@ -408,10 +422,17 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q_export_manifest's shuffle+pack both consume it; the near-dup
     stage underneath is the expensive part (shingle relation + LSH +
     two-star fixpoint), and one session needs it once.  Twin: the
-    ``curated`` CTE in :data:`_CURATION_CTES`."""
+    ``curated`` CTE in :data:`_CURATION_CTES`.
+
+    Keeper semantics (changed r8, VERDICT r7 "what's wrong" #1): each
+    near-dup cluster keeps the min doc_id among its GATE SURVIVORS
+    (quality + lang + exact-dedup), not the cluster's global-min doc —
+    the old rule dropped an entire cluster whenever its global-min
+    keeper had already failed an upstream gate.  Plan and oracle changed
+    together, so the graded hash moved with the semantic."""
     from .dedup import connected_components_twostar, q_dedup_near_exact
 
-    def build() -> DataFrame:
+    def build_survivors() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         scored = docs.select(
             "doc_id",
@@ -425,9 +446,18 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang_pred") != "und")
         )
         w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
-        deduped = (
+        return (
             kept.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
+            .select("doc_id", "lang_pred", "quality", "n_tokens")
+        )
+
+    def build() -> DataFrame:
+        # Gate survivors are memoized separately: keeper selection below
+        # consumes them twice (the cluster-survivor join AND the final
+        # anti-join), and the scoring projection is a full corpus scan.
+        survivors = memo_persist(
+            spark, "curation_survivors", sf_dir, build_survivors
         )
         pairs = q_dedup_near_exact(spark, sf_dir)
         # Vertices = pair ENDPOINTS only (code-review r6): a doc in no
@@ -445,12 +475,19 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             ),
         )
-        non_keepers = labels.where(F.col("label") != F.col("id")).select(
-            F.col("id").alias("doc_id")
+        # Keeper = min SURVIVING doc_id per cluster.  All three relations
+        # here are pair-endpoint-sized, not corpus-sized.
+        lab_surv = labels.join(
+            survivors.select("doc_id"),
+            labels["id"] == F.col("doc_id"),
+        ).select("id", "label")
+        keepers = lab_surv.groupBy("label").agg(F.min("id").alias("keeper"))
+        non_keepers = (
+            lab_surv.join(keepers, "label")
+            .where(F.col("id") != F.col("keeper"))
+            .select(F.col("id").alias("doc_id"))
         )
-        return deduped.join(non_keepers, "doc_id", "left_anti").select(
-            "doc_id", "lang_pred", "quality", "n_tokens"
-        )
+        return survivors.join(non_keepers, "doc_id", "left_anti")
 
     return memo_persist(spark, "curated_docs", sf_dir, build)
 
@@ -1676,14 +1713,16 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_export_manifest",
-    oracle=f"""
-WITH RECURSIVE {_CURATION_CTES},
+# Tail of the export oracle.  Only THIS fragment passes through .format()
+# — _CURATION_CTES is concatenated in afterwards, never formatted, so a
+# future bounded-repeat regex in the curation chain (like the {2,} the
+# PII_RULES already use) can't crash the assembly or silently corrupt the
+# oracle (ADVICE r7; the hazard _pii_oracle's comment documents).
+_EXPORT_ORACLE_TAIL = """,
 exp_ranked AS (
     SELECT doc_id, n_tokens,
            CAST(row_number() OVER (
-               ORDER BY md5(concat('{{seed}}:', CAST(doc_id AS VARCHAR))),
+               ORDER BY md5(concat('{seed}:', CAST(doc_id AS VARCHAR))),
                         doc_id
            ) AS BIGINT) AS r
     FROM curated
@@ -1694,16 +1733,21 @@ exp_placed AS (
                 - n_tokens AS BIGINT) AS off
     FROM exp_ranked
 )
-SELECT (r - 1) // {{shard}} AS shard,
+SELECT (r - 1) // {shard} AS shard,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
-       min(off) // {{block}} AS first_block,
-       max(off + n_tokens - 1) // {{block}} AS last_block
+       min(off) // {block} AS first_block,
+       max(off + n_tokens - 1) // {block} AS last_block
 FROM exp_placed
 GROUP BY shard
 """.format(
-        seed=_PACK_SHUFFLE_SEED, shard=_EXPORT_SHARD_DOCS, block=_PACK_BLOCK_TOKENS
-    ),
+    seed=_PACK_SHUFFLE_SEED, shard=_EXPORT_SHARD_DOCS, block=_PACK_BLOCK_TOKENS
+)
+
+
+@register(
+    "q_export_manifest",
+    oracle="\nWITH RECURSIVE " + _CURATION_CTES + _EXPORT_ORACLE_TAIL,
 )
 def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-set export, as one declared query: curate
