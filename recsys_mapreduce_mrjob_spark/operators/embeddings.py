@@ -794,9 +794,23 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
         .withColumn("cnrm", l2_norm(F.col("cvec")))
     )
+    return assign_cells(
+        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id"),
+        cents_n,
+    )
+
+
+def assign_cells(emb_df: DataFrame, cents_n: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment for any (vec_id, label, embedding)
+    relation against a (cid, cvec, cnrm) centroid relation — ONE
+    expression chain shared by the one-shot index build
+    (:func:`_ivf_assign`) and the streaming ingest upsert
+    (streaming/twins.py ``incremental_ivf_index``), so a vector gets the
+    bit-identical cell id whichever path ingests it (the assignment is
+    row-local: it depends only on the vector and the fixed quantizer, so
+    micro-batching cannot change it)."""
     scored = (
-        emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .withColumn("nrm", l2_norm(F.col("embedding")))
+        emb_df.withColumn("nrm", l2_norm(F.col("embedding")))
         .join(cents_n)
         .select(
             "vec_id",
@@ -829,6 +843,24 @@ def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.embedding").alias("embedding"),
         )
     )
+
+
+def centroid_rows(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """The coarse-quantizer ARTIFACT, driver-side: the K=16 centroid
+    vectors as plain Python rows (16 × 64 floats — index metadata, the
+    same constant-size collect class as :func:`_ivf_probe`).  A streaming
+    ingest pins the quantizer once at stream start and assigns every
+    arriving vector against it — re-deriving centroids per micro-batch
+    would re-cluster the index out from under committed cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        .collect()
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
 
 
 @register("q_knn_cosine_ivf", oracle=_IVF_ORACLE)

@@ -24,50 +24,167 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–6: exactly the first 50), so registration order is the lever that decides
-# which operators get a driver correctness row.  Round-7 rotation (VERDICT r6
-# "Next round" #2, amended as the round added queries): flagship first, then
-# every query NEW this round (persisted-index IVF + the eleven later-session
-# operators — each needs its FIRST row), the two CHANGED queries, then the
-# round-4 data-era cohort (the stalest) minus the nine least-informative
-# rows the new queries displaced (the two r5 fills went too) — all eleven
-# displaced names lead the post-prefix stale queue so they rotate in first
-# next round.  tests/test_registry_order.py pins this contract.
+# 2–7: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-8 rotation (VERDICT r7
+# "Next round" #1): flagship first, then the three queries NEW this round
+# (the graded CSV/text source pair — the reference's native input model —
+# and the streaming IVF index maintenance), the two queries CHANGED this
+# round (curation keeper semantics moved to min-gate-survivor, which moves
+# the graded hash of both curation consumers), then the ENTIRE stale queue
+# VERDICT r7 named (the 11 displaced r4-era rows), then as much of the
+# round-5 data-era cohort as fits.  The r5 cohort is 46 names and only 33
+# fit, so the 13 deferred names (picked where a fresher-graded sibling
+# covers the same shape — see the comment at their block) lead the
+# post-prefix queue for round 9.  tests/test_registry_order.py pins this.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slot 2: NEW round-7 query — the persisted cell-partitioned IVF
-    #    index (VERDICT r6 #5: the winning shape from
-    #    tools/bench_ann_scale.py, now a declared query) --
+    # -- slots 2-4: NEW round 8 — the pipe-format and quoted-CSV source
+    #    queries (VERDICT r7 "what's missing" #1: the readers were
+    #    pytest-green but no graded query exercised the text input path)
+    #    and the foreachBatch-maintained IVF index (#2) --
+    "q_scan_csv_ratings",
+    "q_scan_csv_quoted",
+    "q_stream_ann_index_exec",
+    # -- slots 5-6: CHANGED round 8 — near-dup cluster keeper is now the
+    #    min GATE-SURVIVOR doc_id (plan + oracle together; both graded
+    #    hashes move, so both re-grade in the birth round of the change) --
+    "q_corpus_curation",
+    "q_export_manifest",
+    # -- slots 7-17: the full stale queue VERDICT r7 #1 named — the 11
+    #    rows displaced from the r7 prefix, all r4-data-era --
+    "q_recommend_als",
+    "q_union_all",
+    "q_cond_funcs",
+    "q_join_salted_skew",
+    "q_dedup_near_exact",
+    "q_scan_pruned",
+    "q_map_funcs",
+    "q_filter_compound",
+    "q_topn_orders",
+    "q_window_rank",
+    "q_histogram",
+    # -- slots 18-50: the round-5 data-era cohort (stalest remaining),
+    #    33 of 46 --
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_agg_rollup",
+    "q_agg_salted_twophase",
+    "q_audit_constraints",
+    "q_dedup_embedding",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_item_cooccurrence",
+    "q_item_rater_counts",
+    "q_item_similarity",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_fuzzy_names",
+    "q_join_left",
+    "q_join_selfpair",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_pairwise_stats",
+    "q_pivot_events",
+    "q_ratings_matrix",
+    "q_recommend_topn",
+    "q_stateful_dedup_events",
+    "q_text_repetition",
+    "q_topk_similar_dimsum_exact",
+    "q_user_stats",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_topk_per_group",
+    "q_window_tumbling",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix.  First the 13 r5-era names the
+    # prefix could not fit — each deferred because a fresher-graded
+    # sibling covers its shape this round (q_scan_parquet: three fresh
+    # r8 scan rows; the scalar packs: q_cond_funcs/q_map_funcs/
+    # q_histogram in prefix; q_agg_stats/q_agg_string_agg: six agg
+    # siblings in prefix; setops: q_union_all in prefix; the window/
+    # events rows: rank/topn/lag_lead/range_frame/topk/tumbling all in
+    # prefix).  They lead the round-9 stale queue.  Then the round-6-
+    # graded cohort, then the round-7-graded cohort (freshest).
+    # ------------------------------------------------------------------
+    "q_scan_parquet",
+    "q_project_expr",
+    "q_math_funcs",
+    "q_date_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_except",
+    "q_intersect",
+    "q_window_running",
+    "q_window_sliding",
+    "q_late_data_filter",
+    # -- round-6-graded cohort --
+    "q_stream_tumbling_exec",
+    "q_stream_user_counter_exec",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
+    "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
+    "q_kmeans_exact",
+    "q_stream_sink_parquet_exec",
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
+    "q_knn_cosine",
+    "q_dedup_components_twostar",
+    "q_dedup_components",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_embedding_label_stats",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_ivf",
+    "q_knn_cosine_lsh",
+    "q_knn_per_label",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pagerank_items",
+    "q_sample_reservoir_per_lang",
+    "q_sample_split",
+    "q_sample_weighted",
+    "q_sketch_countmin",
+    "q_string_funcs",
+    "q_text_bigrams",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+    "q_join_bloom",
+    "q_mixture_resample",
+    "q_pack_blocks",
+    "q_stream_incremental_stats_exec",
+    # -- round-7-graded cohort (freshest — verified last round) --
     "q_knn_cosine_ivf_indexed",
-    # -- slots 3-13: queries NEW this round-7 session — each needs its
-    #    first driver correctness row (an undeclared-vs-ungraded gap was
-    #    the r5 verdict's top freshness ding, so new names always enter
-    #    the prefix in their birth round) --
     "q_sample_temperature",
     "q_dedup_containment",
     "q_text_keywords",
     "q_events_scd2",
     "q_stream_scd2_exec",
     "q_text_bm25",
-    # -- late-round-7 additions, same first-row rule: deterministic
-    #    global training-order shuffle (two-phase rank), CCNet-style
-    #    perplexity tertile bucketing, PII detection/redaction audit --
     "q_global_shuffle",
     "q_text_ccnet_buckets",
     "q_text_pii",
     "q_pack_shuffled",
-    "q_export_manifest",
-    # -- slots 14-15: CHANGED round 7 — skew profile now excludes NULL keys
-    #    on both sides (ADVICE r6: oracle count(DISTINCT) was
-    #    NULL-excluding, Spark groupBy was not); tfidf's idf corpus size
-    #    became a parquet-footer literal (one fewer job/exchange, −18%
-    #    wall at sf0.1) --
     "q_skew_profile",
     "q_text_tfidf",
-    # -- slots 16-50: the round-4 data-era cohort (VERDICT r6 #2) minus
-    #    the nine displaced rows --
     "q_agg_having_q11",
     "q_agg_max_q15",
     "q_agg_pricing_summary",
@@ -103,132 +220,6 @@ GRADING_ORDER: list[str] = [
     "q_text_unigram_lm",
     "q_udf_reg_corr",
     "q_window_session",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the four names the new
-    # round-7 queries displaced — q_recommend_als (rows-only by design:
-    # a re-grade only re-proves it runs) and q_union_all (the cohort's
-    # most trivial operator, r4-green) from the r4 cohort, plus the two
-    # r5 fills (q_join_salted_skew's REGISTERED query is unchanged —
-    # this round only added the profile-wiring helpers beside it) — so
-    # they lead the stale queue next round.  Then the remaining
-    # round-5 cohort (stalest era left), then the round-6/7-graded
-    # cohort, which needs re-verification least.
-    # ------------------------------------------------------------------
-    "q_recommend_als",
-    "q_union_all",
-    "q_cond_funcs",
-    "q_join_salted_skew",
-    "q_dedup_near_exact",
-    "q_scan_pruned",
-    # Displaced by the three late-round-7 queries (shuffle/ccnet/pii):
-    # the three most trivial remaining r4 rows, each from a family with
-    # fresher-graded siblings — q_map_funcs and q_filter_compound
-    # (scalar/filter packs; q_string_funcs r6, q_project_expr r5 cover
-    # the shapes) and q_topn_orders (sort/limit; q_window_topk_per_group
-    # r4→prefix covers ranking).
-    "q_map_funcs",
-    "q_filter_compound",
-    "q_topn_orders",
-    # Displaced by q_pack_shuffled: the windows family's most basic row
-    # (q_window_ntile / q_window_first_last are r6-green siblings).
-    "q_window_rank",
-    # Displaced by q_export_manifest: bucketed-histogram aggregate, the
-    # scalar/agg family's most self-contained remaining r4 row.
-    "q_histogram",
-    "q_agg_cube",
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_agg_rollup",
-    "q_agg_salted_twophase",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_array_funcs",
-    "q_audit_constraints",
-    "q_date_funcs",
-    "q_dedup_embedding",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_except",
-    "q_intersect",
-    "q_item_cooccurrence",
-    "q_item_rater_counts",
-    "q_item_similarity",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_fuzzy_names",
-    "q_join_left",
-    "q_join_selfpair",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_json_funcs",
-    "q_late_data_filter",
-    "q_math_funcs",
-    "q_pairwise_stats",
-    "q_pivot_events",
-    "q_project_expr",
-    "q_ratings_matrix",
-    "q_recommend_topn",
-    "q_scan_parquet",
-    "q_stateful_dedup_events",
-    "q_text_repetition",
-    "q_topk_similar_dimsum_exact",
-    "q_user_stats",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_running",
-    "q_window_sliding",
-    "q_window_topk_per_group",
-    "q_window_tumbling",
-    # -- round-6-graded cohort --
-    "q_stream_tumbling_exec",
-    "q_stream_user_counter_exec",
-    "q_stream_session_exec",
-    "q_stream_attribution_exec",
-    "q_dedup_components_exact",
-    "q_knn_cosine_lsh_exact",
-    "q_dedup_simhash_exact",
-    "q_pagerank_exact",
-    "q_kmeans_exact",
-    "q_stream_sink_parquet_exec",
-    "q_window_ntile",
-    "q_window_first_last",
-    "q_topk_similar_dimsum",
-    "q_agg_approx_distinct",
-    "q_knn_cosine",
-    "q_corpus_curation",
-    "q_dedup_components_twostar",
-    "q_dedup_components",
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_embedding_label_stats",
-    "q_kmeans_embeddings",
-    "q_knn_cosine_ivf",
-    "q_knn_cosine_lsh",
-    "q_knn_per_label",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pagerank_items",
-    "q_sample_reservoir_per_lang",
-    "q_sample_split",
-    "q_sample_weighted",
-    "q_sketch_countmin",
-    "q_string_funcs",
-    "q_text_bigrams",
-    "q_text_bpe_tokens",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_token_stats",
-    "q_text_winnow_pairs",
-    "q_text_wordcount",
-    "q_udf_znorm_per_user",
-    "q_join_bloom",
-    "q_mixture_resample",
-    "q_pack_blocks",
-    "q_stream_incremental_stats_exec",
 ]
 
 

@@ -172,6 +172,56 @@ ratings AS (
 """
 
 
+# One materialized text copy per (sf_dir, fmt) per process — the graded
+# CSV-source queries (q_scan_csv_ratings / q_scan_csv_quoted) re-read these
+# through the schema-first readers above, closing the loop on the
+# reference's ACTUAL input model (line-oriented `user|item|rating` /
+# quoted Book-Crossing CSV — SURVEY §2.1 R1/R3; every other graded query
+# reads parquet).  The files live under the system tempdir (the streaming
+# sinks' convention) and are derived deterministically from the parquet
+# star schema, so the DuckDB oracle never needs to read them: it computes
+# the same relation straight from the tables, and the grade proves the
+# write→parse round-trip is lossless (Java emits shortest-round-trip
+# doubles; the reader parses them back bit-identically).
+_CSV_CACHE: dict[tuple[str, str], str] = {}
+
+
+def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the derived ratings relation once as the reference's native
+    text format and return the directory path.  ``fmt``: ``"pipe"`` →
+    unquoted ``user|item|rating`` lines (moviesSimilarities.py:≈55),
+    ``"quoted"`` → ``"user";"item";"rating"`` with string keys
+    (vectorSimilarities.py:≈90 Book-Crossing).  Idempotent per process
+    AND per disk state (a _SUCCESS marker short-circuits rewrites across
+    processes sharing the tempdir)."""
+    import os
+    import tempfile
+
+    key = (os.path.abspath(sf_dir), fmt)
+    cached = _CSV_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slug = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv", slug, fmt)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ratings = derive_ratings(spark, sf_dir)
+        if fmt == "pipe":
+            ratings.write.mode("overwrite").csv(path, sep="|", header=False)
+        elif fmt == "quoted":
+            # String keys, every field quoted — the Book-Crossing shape.
+            ratings.select(
+                F.col("user_id").cast("string"),
+                F.col("item_id").cast("string"),
+                F.col("rating"),
+            ).write.mode("overwrite").csv(
+                path, sep=";", quote='"', quoteAll=True, header=False
+            )
+        else:
+            raise ValueError(f"unknown ratings text format: {fmt!r}")
+    _CSV_CACHE[key] = path
+    return path
+
+
 def parquet_num_rows(sf_dir: str, table: str) -> int | None:
     """Driver-side row count from the parquet footer — a pure metadata
     read, no Spark job (on a real cluster this comes from catalog

@@ -1140,3 +1140,113 @@ def test_two_phase_rank_matches_sequential_rank_property(spark):
         assert got == expect
 
     check()
+
+
+def test_approx_distinct_error_is_bounded(spark, sf_dir):
+    """Stronger-than-rows check for the irreducibly rows-only HLL query
+    (VERDICT r7 #7): the relation already carries the exact count next to
+    the estimate, so pin the estimator's contract — relative error within
+    3× the default rsd (0.05) on every group.  The exact column is graded
+    nowhere else at this grain, so this also re-proves it against
+    approx's independent path."""
+    rows = registry.QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows, "no groups returned"
+    for r in rows:
+        assert r.exact_parts > 0
+        rel_err = abs(r.approx_parts - r.exact_parts) / r.exact_parts
+        assert rel_err <= 0.15, (r.l_returnflag, r.approx_parts, r.exact_parts)
+
+
+def test_als_and_neighborhood_recover_planted_blocks(spark):
+    """Rank-overlap invariant for the rows-only ALS recommender (VERDICT
+    r7 #7): on a PLANTED two-block preference matrix (users 0-4 × items
+    0-4 high, users 5-9 × items 5-9 high, sparse low cross-block ratings,
+    one held-out in-block item per user), the registered ALS pipeline
+    (same hyperparameters + unseen-filter + rounded-pred ranking as
+    q_recommend_als) and the neighborhood recommender must BOTH surface
+    the held-out in-block item at rank 1, and their top-3 sets must
+    overlap — the two model families agree where the data has real
+    structure, which the derived TPC-H ratings (no low-rank structure,
+    held-out-RMSE test above) cannot show."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.recsys import recommend_topn
+
+    rows = []
+    for u in range(10):
+        blk = 0 if u < 5 else 1
+        items_in = range(0, 5) if blk == 0 else range(5, 10)
+        for i in items_in:
+            if (u + i) % 5 == 0:
+                continue  # the held-out in-block item
+            rows.append((u, i, float(35 + ((u * 7 + i * 3) % 11))))
+        for i in [
+            (u * 3) % 5 + (5 if blk == 0 else 0),
+            (u * 3 + 1) % 5 + (5 if blk == 0 else 0),
+        ]:
+            rows.append((u, i, float(3 + ((u + i) % 3))))
+    ratings = spark.createDataFrame(rows, "user_id long, item_id long, rating double")
+    held = {
+        u: next(
+            i
+            for i in (range(0, 5) if u < 5 else range(5, 10))
+            if (u + i) % 5 == 0
+        )
+        for u in range(10)
+    }
+
+    nb = recommend_topn(ratings, k=5, n=3).collect()
+    nb_top = {}
+    for r in nb:
+        nb_top.setdefault(r.user_id, {})[r.rank] = r.item_id
+
+    # The registered ALS pipeline shape (recsys.py q_recommend_als) on the
+    # fixture: same hyperparameters, unseen anti-join, rounded-pred rank.
+    model = ALS(
+        rank=8,
+        maxIter=10,
+        regParam=5.0,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    ).fit(ratings)
+    recs = (
+        model.recommendForAllUsers(10)
+        .select("user_id", F.explode("recommendations").alias("r"))
+        .select(
+            "user_id",
+            F.col("r.item_id").alias("item_id"),
+            F.col("r.rating").cast("double").alias("pred"),
+        )
+        .join(ratings.select("user_id", "item_id"), ["user_id", "item_id"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("pred", 6)), F.asc("item_id")
+    )
+    als_rows = (
+        recs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .collect()
+    )
+    als_top = {}
+    for r in als_rows:
+        als_top.setdefault(r.user_id, {})[r.rank] = r.item_id
+
+    # Neighborhood is pure relational algebra on the planted structure:
+    # rank 1 must be the held-out in-block item for every user.
+    assert all(nb_top[u][1] == held[u] for u in range(10)), nb_top
+    # ALS is iterative: allow one user of slack on the exact-item claim,
+    # but every top-1 must stay in-block (measured 10/10 exact).
+    in_block = lambda u, i: (u < 5) == (i < 5)
+    exact_hits = sum(als_top[u][1] == held[u] for u in range(10))
+    assert exact_hits >= 9, als_top
+    assert all(in_block(u, als_top[u][1]) for u in range(10)), als_top
+    # Rank overlap between the two families (measured 2.5 mean @3).
+    overlaps = [
+        len(set(als_top[u].values()) & set(nb_top[u].values())) for u in range(10)
+    ]
+    assert min(overlaps) >= 1 and sum(overlaps) >= 15, overlaps

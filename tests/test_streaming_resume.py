@@ -219,3 +219,63 @@ def test_scd2_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
     write_ordered_event_chunks(spark, smoke_dir, src1, n_chunks=1)
     incremental_scd2(spark, src1, st1)
     assert _multiset(final_state(st1)) == resumed
+
+
+def test_ann_index_crash_resume_and_pruning(spark, smoke_dir, tmp_path):
+    """The streaming IVF index ingest under the exactly-once hazard plus
+    its scale contract: crash after batch 0 commits → restart skips the
+    committed batch, replays the rest, and the final index (a) holds
+    every vector exactly once and (b) answers the probe query with
+    partition PRUNING across the per-batch cell dirs."""
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+        _ivf_assign,
+        centroid_rows,
+    )
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_ivf_index,
+        write_embedding_chunks,
+    )
+
+    src = str(tmp_path / "vec_src")
+    state = str(tmp_path / "state")
+    write_embedding_chunks(spark, smoke_dir, src, n_chunks=4)
+    cents = centroid_rows(spark, smoke_dir)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_ivf_index(spark, src, state, cents, on_batch=crash_on_second)
+    assert os.path.isdir(f"{state}/index/batch=0"), "batch 0 index dir missing"
+    commits = [c for c in os.listdir(f"{state}/_checkpoint/commits") if c.isdigit()]
+    assert commits == ["0"], f"expected exactly batch 0 committed, got {commits}"
+
+    replayed: list[int] = []
+    index_path = incremental_ivf_index(
+        spark, src, state, cents, on_batch=replayed.append
+    )
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    # Exactly-once content: the streamed index equals the one-shot
+    # assignment relation — every vector once, same cell, same payload.
+    def hashable(df):
+        return df.select(
+            "vec_id", "cid", "label", F.col("embedding").cast("string")
+        )
+
+    streamed = hashable(spark.read.parquet(index_path))
+    oneshot = hashable(_ivf_assign(spark, smoke_dir))
+    assert _multiset(streamed) == _multiset(oneshot)
+
+    # Scale contract: a literal cell-id predicate reaches the scan as a
+    # partition filter (pruning across every batch= subtree), not a
+    # post-scan Filter over all cells.
+    plan = (
+        spark.read.parquet(index_path)
+        .where(F.col("cid").isin([3, 7]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
