@@ -1686,8 +1686,17 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the cheapest possible 100 TB pass; redacted text is a
     projected column, so the WRITE path (curated-corpus export) reuses
     the same expression without a second scan.
+
+    Rebalanced (round 8): Java's backtracking regex engine is ~an order
+    slower per byte than RE2, so a split-starved scan turns the whole
+    query single-threaded — the r8 K-copy ladder measured the wall
+    growing linearly (2.0 s → 4.3 s, K=3 → K=10) against a FLAT 70 ms
+    DuckDB twin until the round-robin exchange spread the regex
+    projection across cores.  The query has the groupBy shuffle anyway,
+    which is the precondition `rebalance_if_starved` documents; at
+    100 TB the scan has thousands of splits and this is a no-op.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
     scanned = docs.select(
         "source",
         "text",
