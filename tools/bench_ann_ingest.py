@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Incremental IVF index INGEST at honest scale (round 8).
+
+BASELINE.md's ANN rung measured the persisted-index QUERY winning (flat
+~0.6 s probe at 200k vectors) but left the index BUILD one-shot — the r7
+verdict named the missing piece: maintenance cost as the corpus grows.
+`q_stream_ann_index_exec` added the foreachBatch upsert path; this tool
+measures its scale property at the same 200k-vector rung the query rung
+used: per-batch upsert cost must track the BATCH size, not the index
+size (the upsert is assignment of the new vectors + an append-shaped
+partitioned write of one `batch=` subtree — nothing reads or rewrites
+committed cells).
+
+Reports, per corpus size:
+  - one-shot build wall (assignment pass + partitioned write — the r7
+    shape, rebuilt from scratch);
+  - incremental ingest over N equal chunks: total wall, per-batch walls
+    (the flat sequence IS the claim), and index-content row parity vs
+    the one-shot build.
+
+Usage: python tools/bench_ann_ingest.py [n_vectors ...] (default 200000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tools.bench_ann_scale import build_corpus
+from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+    _ivf_assign,
+    centroid_rows,
+)
+from recsys_mapreduce_mrjob_spark.session import session_builder
+from recsys_mapreduce_mrjob_spark.streaming.twins import incremental_ivf_index
+
+N_CHUNKS = 8
+
+
+def main() -> None:
+    sizes = [int(a) for a in sys.argv[1:]] or [200_000]
+    spark = (
+        session_builder(
+            master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+            shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix=f"ann_ingest_{n}_")
+        try:
+            build_corpus(spark, n, base)
+            cents = centroid_rows(spark, base)
+
+            # One-shot build (the r7 shape, from scratch).
+            oneshot_dir = f"{base}/oneshot"
+            t0 = time.monotonic()
+            _ivf_assign(spark, base).write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(oneshot_dir)
+            t_oneshot = round(time.monotonic() - t0, 3)
+
+            # Incremental ingest: the corpus as N_CHUNKS equal files.
+            src = f"{base}/src"
+            emb = spark.read.parquet(f"{base}/embeddings.parquet")
+            for k in range(N_CHUNKS):
+                emb.where(
+                    F.pmod(F.col("vec_id"), F.lit(N_CHUNKS)) == k
+                ).coalesce(1).write.mode("append").parquet(src)
+                time.sleep(0.05)  # distinct mtimes order the file source
+
+            state = f"{base}/state"
+            marks: list[float] = []
+            t0 = time.monotonic()
+            index_path = incremental_ivf_index(
+                spark,
+                src,
+                state,
+                cents,
+                on_batch=lambda b: marks.append(time.monotonic()),
+            )
+            t_total = round(time.monotonic() - t0, 3)
+            marks.append(time.monotonic())
+            per_batch = [
+                round(marks[i + 1] - marks[i], 3) for i in range(len(marks) - 1)
+            ]
+
+            streamed_rows = spark.read.parquet(index_path).count()
+            oneshot_rows = spark.read.parquet(oneshot_dir).count()
+            results[n] = {
+                "oneshot_build_sec": t_oneshot,
+                "ingest_total_sec": t_total,
+                "ingest_batches": len(per_batch),
+                "per_batch_sec": per_batch,
+                "rows_match": streamed_rows == oneshot_rows == n,
+            }
+            print(f"n={n}: {json.dumps(results[n])}", flush=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"chunks": N_CHUNKS, "rungs": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
