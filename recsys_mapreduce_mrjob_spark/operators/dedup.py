@@ -1289,3 +1289,159 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(containment, 6) + F.lit(0.0)).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-SPAN dedup (round 8) — the Lee et al. 2021 layer
+# ("Deduplicating Training Data Makes Language Models Better"): report the
+# maximal shared token RUNS between document pairs, not just that a pair is
+# similar.  Jaccard/SimHash/containment answer "are these docs near-dups?";
+# span dedup answers "WHICH tokens are copied, where?" — the question an
+# actual substring-removal pass needs.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5          # shingle width (tokens)
+_SPAN_DF_CAP = 8     # drop shingles occurring more often corpus-wide
+_SPAN_MIN_TOKENS = 10  # report runs of at least this many shared tokens
+
+_SPANS_ORACLE = f"""
+WITH ptoks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pos_sh AS (
+    SELECT doc_id, e.pos AS pos, e.sh AS sh
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(t) - {_SPAN_K - 1}),
+                   i -> struct_pack(pos := i,
+                                    sh := array_to_string(t[i:i+{_SPAN_K - 1}], ' '))
+               )) AS e
+        FROM ptoks WHERE len(t) >= {_SPAN_K}
+    )
+),
+sdf AS (SELECT sh, count(*) AS occ FROM pos_sh GROUP BY sh),
+kept AS (
+    SELECT p.doc_id, p.pos, p.sh
+    FROM pos_sh p JOIN sdf USING (sh)
+    WHERE sdf.occ BETWEEN 2 AND {_SPAN_DF_CAP}
+),
+matches AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
+    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+islands AS (
+    SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
+                                      ORDER BY pa) AS isl
+    FROM matches
+)
+SELECT doc_a, doc_b,
+       CAST(min(pa) AS BIGINT) AS start_a,
+       CAST(min(pb) AS BIGINT) AS start_b,
+       CAST(max(pa) - min(pa) + {_SPAN_K} AS BIGINT) AS span_tokens
+FROM islands
+GROUP BY doc_a, doc_b, d, isl
+HAVING max(pa) - min(pa) + {_SPAN_K} >= {_SPAN_MIN_TOKENS}
+"""
+
+
+@register("q_dedup_spans", oracle=_SPANS_ORACLE)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup: the maximal runs of ≥ {min} tokens
+    shared verbatim between two documents, with 1-based start positions
+    in each — the span-level report an exact-substring removal pass
+    (Lee et al. 2021) consumes, next to the set-level family
+    (Jaccard / MinHash / SimHash / containment) that only scores pairs.
+
+    Shape: positional {k}-token shingles (one scan-side explode), a
+    shingle-keyed occurrence count that keeps only 2 ≤ occ ≤ {cap}
+    shingles (the ubiquitous-shingle guard every exact-substring dedup
+    uses — boilerplate n-grams would otherwise quadratically fan the
+    match join; a run interrupted by a capped shingle splits into two
+    reported spans, identically in both engines), an equi-join on the
+    shingle for cross-doc matches, then maximal-run merging as
+    gaps-and-islands per (pair, DIAGONAL pa − pb): consecutive positions
+    on one diagonal are one verbatim run, and ``pa − row_number()``
+    within the diagonal is the island id.  A run of m consecutive
+    matching shingles is m + {k} − 1 shared tokens.
+
+    Scale: the explode is scan-side; every shuffle is keyed on the
+    shingle or the (pair, diagonal) — the match relation is bounded by
+    occ² ≤ {cap}² per kept shingle, never the corpus pair space; the
+    islands window partitions by (pair, diagonal), which is
+    match-sized.  All-integer arithmetic — bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.col("text"), " ")
+    pos_sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(t) >= _SPAN_K,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (_SPAN_K - 1)),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.concat_ws(
+                                " ", F.slice(t, i, _SPAN_K)
+                            ).alias("sh"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<pos:int,sh:string>>")
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+    )
+    # One materialization feeds both the occurrence count and the join
+    # sides (three lazy branches otherwise re-run the explode).
+    pos_sh = memo_persist(spark, "span_pos_shingles", sf_dir, lambda: pos_sh)
+    occ = pos_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("occ"))
+    kept = pos_sh.join(
+        occ.where(
+            (F.col("occ") >= 2) & (F.col("occ") <= _SPAN_DF_CAP)
+        ).select("sh"),
+        "sh",
+    )
+    a = kept.select(
+        F.col("sh"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pa"),
+    )
+    b = kept.select(
+        F.col("sh"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pb"),
+    )
+    matches = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
+    islands = matches.withColumn("isl", F.col("pa") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_a", "doc_b", "d", "isl")
+        .agg(
+            F.min("pa").cast("long").alias("start_a"),
+            F.min("pb").cast("long").alias("start_b"),
+            (F.max("pa") - F.min("pa") + _SPAN_K).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+        .where(F.col("span_tokens") >= _SPAN_MIN_TOKENS)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+if q_dedup_spans.__doc__:  # absent under python -OO
+    q_dedup_spans.__doc__ = q_dedup_spans.__doc__.format(
+        min=_SPAN_MIN_TOKENS, k=_SPAN_K, cap=_SPAN_DF_CAP
+    )

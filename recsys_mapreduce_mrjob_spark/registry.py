@@ -47,6 +47,10 @@ GRADING_ORDER: list[str] = [
     "q_scan_csv_ratings",
     "q_scan_csv_quoted",
     "q_stream_ann_index_exec",
+    # -- late round 8: exact substring-SPAN dedup (Lee et al. 2021 layer;
+    #    its slot comes from q_agg_cube, deferred below — the
+    #    grouping-sets family keeps two fresh prefix rows) --
+    "q_dedup_spans",
     # -- slots 5-6: CHANGED round 8 — near-dup cluster keeper is now the
     #    min GATE-SURVIVOR doc_id (plan + oracle together; both graded
     #    hashes move, so both re-grade in the birth round of the change) --
@@ -66,8 +70,7 @@ GRADING_ORDER: list[str] = [
     "q_window_rank",
     "q_histogram",
     # -- slots 18-50: the round-5 data-era cohort (stalest remaining),
-    #    33 of 46 --
-    "q_agg_cube",
+    #    32 of 46 --
     "q_agg_distinct",
     "q_agg_grouping_sets",
     "q_agg_percentiles",
@@ -111,6 +114,7 @@ GRADING_ORDER: list[str] = [
     # prefix).  They lead the round-9 stale queue.  Then the round-6-
     # graded cohort, then the round-7-graded cohort (freshest).
     # ------------------------------------------------------------------
+    "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
     "q_math_funcs",

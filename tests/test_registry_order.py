@@ -8,8 +8,8 @@ graded CSV/text source pair + the streaming IVF index maintenance) and the
 two queries CHANGED this round (curation keeper semantics → both curation
 consumers' graded hashes move), then the ENTIRE 11-name stale queue the r7
 verdict listed (all r4-data-era), then 33 of the 46-name round-5 data-era
-cohort.  The 13 r5 names that did not fit lead the post-prefix queue for
-round 9 (DEFERRED_R5 below, each with a fresher-graded sibling covering
+cohort.  The 14 r5 names that did not fit lead the post-prefix queue for
+round 9 (DEFERRED_R5 below — q_agg_cube displaced late-round by q_dedup_spans — each with a fresher-graded sibling covering
 its shape this round).
 """
 
@@ -27,6 +27,10 @@ NEW_R8 = {
     "q_scan_csv_ratings",
     "q_scan_csv_quoted",
     "q_stream_ann_index_exec",
+    # Late round 8: exact substring-span dedup.  Its prefix slot comes
+    # from q_agg_cube (DEFERRED_R5 below) — the grouping-sets family
+    # keeps q_agg_grouping_sets and q_agg_rollup as fresh prefix rows.
+    "q_dedup_spans",
 }
 
 # Changed this round: near-dup cluster keeper = min GATE-SURVIVOR doc_id
@@ -53,7 +57,6 @@ STALE_R4 = {
 
 # The round-5 data-era cohort members that FIT the remaining 33 slots.
 R5_IN_PREFIX = {
-    "q_agg_cube",
     "q_agg_distinct",
     "q_agg_grouping_sets",
     "q_agg_percentiles",
@@ -95,6 +98,7 @@ R5_IN_PREFIX = {
 # q_union_all in prefix; window/events rows: rank/topn/lag_lead/
 # range_frame/topk/tumbling all in prefix).  They lead the round-9 queue.
 DEFERRED_R5 = {
+    "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
     "q_math_funcs",

@@ -1250,3 +1250,44 @@ def test_als_and_neighborhood_recover_planted_blocks(spark):
         len(set(als_top[u].values()) & set(nb_top[u].values())) for u in range(10)
     ]
     assert min(overlaps) >= 1 and sum(overlaps) >= 15, overlaps
+
+
+def test_dedup_spans_finds_planted_full_doc_spans_sf01(spark):
+    """The span-level dedup (round 8) must report every planted exact
+    sf0.1 duplicate as a FULL-document shared span starting at position
+    1 in both docs — the span report is what an exact-substring removal
+    pass consumes, so missing or truncating a verbatim copy is the
+    failure mode that matters."""
+    from pyspark.sql import functions as F
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    spans = {
+        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
+        for r in registry.QUERIES["q_dedup_spans"](spark, SF01).collect()
+    }
+    docs = load_table(spark, SF01, "documents")
+    dup_pairs = (
+        docs.alias("a")
+        .join(
+            docs.alias("b"),
+            (F.md5(F.col("a.text")) == F.md5(F.col("b.text")))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.split(F.col("a.text"), " ")).alias("n_toks"),
+        )
+        .collect()
+    )
+    assert dup_pairs, "no planted exact duplicates at sf0.1?"
+    for r in dup_pairs:
+        if r.n_toks < 10:
+            continue  # below the reporting threshold by design
+        got = spans.get((r.doc_a, r.doc_b))
+        assert got is not None, (r.doc_a, r.doc_b)
+        start_a, start_b, span = got
+        assert (start_a, start_b) == (1, 1), got
+        # A frequent-shingle (occ > cap) interruption may split the span;
+        # the FIRST reported span must still cover most of the doc.
+        assert span >= 0.5 * r.n_toks, (got, r.n_toks)
