@@ -49,7 +49,13 @@ QUERIES = {
     "q_text_bm25": "documents",
     "q_text_pii": "documents",
     "q_events_scd2": "events",
+    # round-8-born: substring-span dedup — tagged copies keep shingle
+    # vocabularies disjoint, so kept-shingle matches scale K×, never K².
+    "q_dedup_spans": "documents",
 }
+
+# Optional single-query focus: bench_r7ops_scale.py K ... --only name
+
 
 
 def build_scaled_documents(k: int, out_dir: str) -> None:
@@ -117,7 +123,14 @@ def timed(fn, runs: int = RUNS) -> tuple[float, list[float]]:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [3, 10]
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    ks = [int(a) for a in args] or [3, 10]
+    queries = {only: QUERIES[only]} if only else QUERIES
 
     from recsys_mapreduce_mrjob_spark import registry
     from recsys_mapreduce_mrjob_spark.session import session_builder
@@ -146,7 +159,7 @@ def main() -> None:
                     f"FROM read_parquet('{base}/{t}.parquet')"
                 )
             rung: dict[str, dict] = {}
-            for name in QUERIES:
+            for name in queries:
                 sql = registry.ORACLES[name]
                 fn = registry.QUERIES[name]
                 duck_rows = len(con.execute(sql).fetchdf())
