@@ -141,6 +141,25 @@ ENTRIES = [
         "reproducible (no rand(): retries and speculative tasks agree).",
     ),
     (
+        "q_scan_csv_ratings",
+        "The reference's native text input path, graded (round 8): one "
+        "FileScan csv with the explicit 3-column schema — no inference "
+        "pass, no shuffle; filter pushdown and column pruning on the csv "
+        "scan are pinned separately in tests/test_plan_audit.py.  The "
+        "parse IS the plan: a 100 TB text corpus splits by line ranges "
+        "exactly like this scan.",
+    ),
+    (
+        "q_dedup_spans",
+        "Exact substring-span dedup (round 8): positional 5-shingles are "
+        "a scan-side explode read from the memoized relation "
+        "(InMemoryTableScan) by all three consumers; the occurrence cap "
+        "(2 ≤ occ ≤ 8) turns the cross-doc match into a bounded "
+        "equi-join on the shingle — fanout ≤ occ² per kept shingle, "
+        "never a corpus pair space — and the maximal-run merge is one "
+        "window over the match-sized (pair, diagonal) relation.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
