@@ -502,8 +502,13 @@ def two_phase_rank(
 
     NOTE: ``df`` fans into TWO lazy branches here (the within-bucket
     window and the bucket-counts aggregate) — a caller whose input is
-    expensive and unpersisted pays its evaluation twice.  Every current
-    caller memo-persists the hashed input first (ADVICE r7).
+    expensive and unpersisted pays its evaluation twice (ADVICE r7).
+    q_global_shuffle memoizes its hashed input for exactly this reason;
+    the other callers either memoize the expensive relation UPSTREAM of
+    the cheap hash projection (q_pack_shuffled: tokenized_per_doc) or
+    feed a projection cheap enough that double evaluation is the right
+    trade (q_text_ccnet_buckets).  Weigh the input's cost before
+    copying either shape.
     """
     w_in = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_cols)
     within = df.withColumn("__r_in", F.row_number().over(w_in).cast("long"))

@@ -32,15 +32,16 @@ ORACLES: dict[str, str] = {}
 # round (curation keeper semantics moved to min-gate-survivor, which moves
 # the graded hash of both curation consumers), then the ENTIRE stale queue
 # VERDICT r7 named (the 11 displaced r4-era rows), then as much of the
-# round-5 data-era cohort as fits.  The r5 cohort is 46 names and only 33
-# fit, so the 13 deferred names (picked where a fresher-graded sibling
-# covers the same shape — see the comment at their block) lead the
-# post-prefix queue for round 9.  tests/test_registry_order.py pins this.
+# round-5 data-era cohort as fits.  The r5 cohort is 46 names and only 32
+# fit (after the late q_dedup_spans insertion took one more slot), so the
+# 14 deferred names (picked where a fresher-graded sibling covers the
+# same shape — see the comment at their block) lead the post-prefix
+# queue for round 9.  tests/test_registry_order.py pins this.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-4: NEW round 8 — the pipe-format and quoted-CSV source
+    # -- slots 2-5: NEW round 8 — the pipe-format and quoted-CSV source
     #    queries (VERDICT r7 "what's missing" #1: the readers were
     #    pytest-green but no graded query exercised the text input path)
     #    and the foreachBatch-maintained IVF index (#2) --
@@ -51,12 +52,12 @@ GRADING_ORDER: list[str] = [
     #    its slot comes from q_agg_cube, deferred below — the
     #    grouping-sets family keeps two fresh prefix rows) --
     "q_dedup_spans",
-    # -- slots 5-6: CHANGED round 8 — near-dup cluster keeper is now the
+    # -- slots 6-7: CHANGED round 8 — near-dup cluster keeper is now the
     #    min GATE-SURVIVOR doc_id (plan + oracle together; both graded
     #    hashes move, so both re-grade in the birth round of the change) --
     "q_corpus_curation",
     "q_export_manifest",
-    # -- slots 7-17: the full stale queue VERDICT r7 #1 named — the 11
+    # -- slots 8-18: the full stale queue VERDICT r7 #1 named — the 11
     #    rows displaced from the r7 prefix, all r4-data-era --
     "q_recommend_als",
     "q_union_all",
@@ -69,7 +70,7 @@ GRADING_ORDER: list[str] = [
     "q_topn_orders",
     "q_window_rank",
     "q_histogram",
-    # -- slots 18-50: the round-5 data-era cohort (stalest remaining),
+    # -- slots 19-50: the round-5 data-era cohort (stalest remaining),
     #    32 of 46 --
     "q_agg_distinct",
     "q_agg_grouping_sets",
@@ -104,7 +105,7 @@ GRADING_ORDER: list[str] = [
     "q_window_topk_per_group",
     "q_window_tumbling",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 13 r5-era names the
+    # Past the 50-slot grading prefix.  First the 14 r5-era names the
     # prefix could not fit — each deferred because a fresher-graded
     # sibling covers its shape this round (q_scan_parquet: three fresh
     # r8 scan rows; the scalar packs: q_cond_funcs/q_map_funcs/

@@ -186,27 +186,61 @@ ratings AS (
 _CSV_CACHE: dict[tuple[str, str], str] = {}
 
 
+def _ratings_source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the parquet inputs the ratings
+    relation derives from — footer row counts + file sizes + mtimes of
+    lineitem and orders.  Keys the materialized-CSV cache directory, so
+    regenerated testdata (it HAS changed between driver rounds) or a
+    changed derivation can never serve a stale text copy to the graded
+    CSV queries (code-review r8)."""
+    import hashlib
+    import os
+
+    parts = []
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{parquet_num_rows(sf_dir, t)}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the derived ratings relation once as the reference's native
     text format and return the directory path.  ``fmt``: ``"pipe"`` →
     unquoted ``user|item|rating`` lines (moviesSimilarities.py:≈55),
     ``"quoted"`` → ``"user";"item";"rating"`` with string keys
-    (vectorSimilarities.py:≈90 Book-Crossing).  Idempotent per process
-    AND per disk state (a _SUCCESS marker short-circuits rewrites across
-    processes sharing the tempdir)."""
+    (vectorSimilarities.py:≈90 Book-Crossing).
+
+    Idempotence + safety (code-review r8): the cache directory is keyed
+    by a FINGERPRINT of the source parquet (row counts/sizes/mtimes), so
+    regenerated testdata gets a fresh copy instead of a silently stale
+    one; and the write is ATOMIC-publish — Spark writes to a
+    process-unique staging dir which is ``os.rename``d into place, so
+    two first-run processes racing (pytest + bench sharing one tempdir)
+    each produce a complete set and exactly one wins the rename, never
+    an interleaved mixed directory."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     key = (os.path.abspath(sf_dir), fmt)
     cached = _CSV_CACHE.get(key)
     if cached is not None:
         return cached
     slug = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_csv", slug, fmt)
+    fp = _ratings_source_fingerprint(sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_csv", slug, f"{fmt}-{fp}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.staging-{uuid.uuid4().hex}"
         ratings = derive_ratings(spark, sf_dir)
         if fmt == "pipe":
-            ratings.write.mode("overwrite").csv(path, sep="|", header=False)
+            ratings.write.mode("overwrite").csv(staging, sep="|", header=False)
         elif fmt == "quoted":
             # String keys, every field quoted — the Book-Crossing shape.
             ratings.select(
@@ -214,10 +248,17 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
                 F.col("item_id").cast("string"),
                 F.col("rating"),
             ).write.mode("overwrite").csv(
-                path, sep=";", quote='"', quoteAll=True, header=False
+                staging, sep=";", quote='"', quoteAll=True, header=False
             )
         else:
+            shutil.rmtree(staging, ignore_errors=True)
             raise ValueError(f"unknown ratings text format: {fmt!r}")
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # A concurrent writer published first: its copy is complete
+            # (rename is atomic), ours is redundant.
+            shutil.rmtree(staging, ignore_errors=True)
     _CSV_CACHE[key] = path
     return path
 

@@ -275,13 +275,10 @@ def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _ivf_oracle() -> str:
-    from ..operators.embeddings import _IVF_ORACLE
-
-    return _IVF_ORACLE
+from ..operators.embeddings import _IVF_ORACLE as _ANN_ORACLE  # noqa: E402
 
 
-@register("q_stream_ann_index_exec", oracle=_ivf_oracle())
+@register("q_stream_ann_index_exec", oracle=_ANN_ORACLE)
 def q_stream_ann_index_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF ANN index maintained INCREMENTALLY off a vector
     ingest stream, then queried — the production lifecycle

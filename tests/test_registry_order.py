@@ -7,7 +7,7 @@ round" #1): the prefix first-grades the three queries NEW this round (the
 graded CSV/text source pair + the streaming IVF index maintenance) and the
 two queries CHANGED this round (curation keeper semantics → both curation
 consumers' graded hashes move), then the ENTIRE 11-name stale queue the r7
-verdict listed (all r4-data-era), then 33 of the 46-name round-5 data-era
+verdict listed (all r4-data-era), then 32 of the 46-name round-5 data-era
 cohort.  The 14 r5 names that did not fit lead the post-prefix queue for
 round 9 (DEFERRED_R5 below — q_agg_cube displaced late-round by q_dedup_spans — each with a fresher-graded sibling covering
 its shape this round).
@@ -55,7 +55,7 @@ STALE_R4 = {
     "q_histogram",
 }
 
-# The round-5 data-era cohort members that FIT the remaining 33 slots.
+# The round-5 data-era cohort members that FIT the remaining 32 slots.
 R5_IN_PREFIX = {
     "q_agg_distinct",
     "q_agg_grouping_sets",
@@ -91,7 +91,7 @@ R5_IN_PREFIX = {
     "q_window_tumbling",
 }
 
-# The 13 r5-era names the 50-slot prefix could not fit — deferred because
+# The 14 r5-era names the 50-slot prefix could not fit — deferred because
 # a fresher-graded sibling covers each shape this round (scan family: 3
 # fresh r8 rows; scalar packs: q_cond_funcs/q_map_funcs/q_histogram in
 # prefix; agg stats/string_agg: six agg siblings in prefix; setops:
@@ -140,13 +140,13 @@ def test_flagship_is_first():
 
 def test_new_and_changed_lead_the_prefix():
     """The never-graded new queries and the changed queries sit in slots
-    2-6 — graded even if the driver's cutoff ever shrinks below 50."""
+    2-7 — graded even if the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R8) + len(CHANGED_R8)])
     assert head == NEW_R8 | CHANGED_R8
 
 
 def test_stale_queue_precedes_r5_cohort():
-    """The 11 r4-era rows the r7 verdict named occupy slots 7-17, ahead
+    """The 11 r4-era rows the r7 verdict named occupy slots 8-18, ahead
     of the (one era fresher) r5 cohort."""
     names = _loaded_names()
     start = 1 + len(NEW_R8) + len(CHANGED_R8)

@@ -1261,10 +1261,15 @@ def test_dedup_spans_finds_planted_full_doc_spans_sf01(spark):
     from pyspark.sql import functions as F
     from recsys_mapreduce_mrjob_spark.sources.readers import load_table
 
-    spans = {
-        (r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_tokens)
-        for r in registry.QUERIES["q_dedup_spans"](spark, SF01).collect()
-    }
+    # Keep the FIRST span per pair explicitly (min start_a): a pair can
+    # report several spans when a frequent shingle splits the run, and a
+    # dict comprehension would keep an arbitrary collect()-order row
+    # (code-review r8).
+    spans: dict = {}
+    for r in registry.QUERIES["q_dedup_spans"](spark, SF01).collect():
+        k = (r.doc_a, r.doc_b)
+        if k not in spans or r.start_a < spans[k][0]:
+            spans[k] = (r.start_a, r.start_b, r.span_tokens)
     docs = load_table(spark, SF01, "documents")
     dup_pairs = (
         docs.alias("a")

@@ -150,10 +150,16 @@ def main() -> None:
     for k in ks:
         base = tempfile.mkdtemp(prefix=f"r7ops_scale_{k}_")
         try:
-            build_scaled_documents(k, base)
-            build_scaled_events(k, base)
+            # Build only the tables the selected queries actually read —
+            # the tagged-documents build is the tool's dominant cost and
+            # --only q_events_scd2 shouldn't pay it (code-review r8).
+            needed = set(queries.values())
+            if "documents" in needed:
+                build_scaled_documents(k, base)
+            if "events" in needed:
+                build_scaled_events(k, base)
             con = duckdb.connect()
-            for t in ("documents", "events"):
+            for t in sorted(needed):
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{base}/{t}.parquet')"
