@@ -1296,3 +1296,98 @@ def test_dedup_spans_finds_planted_full_doc_spans_sf01(spark):
         # A frequent-shingle (occ > cap) interruption may split the span;
         # the FIRST reported span must still cover most of the doc.
         assert span >= 0.5 * r.n_toks, (got, r.n_toks)
+
+
+def test_dedup_spans_match_bruteforce_property(spark):
+    """Property: the span-dedup pipeline (positional shingles →
+    occurrence-capped match join → diagonal gaps-and-islands) equals an
+    independent brute-force maximal-common-run computation, for corpora
+    built as a shared chunk embedded at arbitrary offsets inside noise —
+    including docs shorter than the shingle width, chunks shared by >2
+    docs, and runs split by the occurrence cap."""
+    import tempfile
+    import shutil
+    from collections import Counter, defaultdict
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    K, CAP, MIN = 5, 8, 10
+    VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    tok = st.sampled_from(VOCAB)
+
+    def brute(docs):
+        grams = {
+            d: [(" ".join(t[i : i + K]), i + 1) for i in range(len(t) - K + 1)]
+            for d, t in docs.items()
+            if len(t) >= K
+        }
+        occ = Counter(g for gs in grams.values() for g, _ in gs)
+        kept = {
+            d: [(g, p) for g, p in gs if 2 <= occ[g] <= CAP]
+            for d, gs in grams.items()
+        }
+        out = set()
+        ids = sorted(kept)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                gb = defaultdict(list)
+                for g, p in kept[b]:
+                    gb[g].append(p)
+                diag = defaultdict(set)
+                for g, pa in kept[a]:
+                    for pb in gb.get(g, ()):
+                        diag[pa - pb].add(pa)
+                for d_, pas in diag.items():
+                    pas = sorted(pas)
+                    start = prev = pas[0]
+                    for p in pas[1:] + [None]:
+                        if p is not None and p == prev + 1:
+                            prev = p
+                            continue
+                        span = prev - start + K
+                        if span >= MIN:
+                            out.add((a, b, start, start - d_, span))
+                        if p is not None:
+                            start = prev = p
+        return out
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        chunk=st.lists(tok, min_size=8, max_size=18),
+        affixes=st.lists(
+            st.tuples(
+                st.lists(tok, max_size=10),  # prefix
+                st.lists(tok, max_size=10),  # suffix
+                st.booleans(),  # embed the shared chunk?
+            ),
+            min_size=2,
+            max_size=4,
+        ),
+    )
+    def check(chunk, affixes):
+        docs = {}
+        for i, (pre, suf, embed) in enumerate(affixes):
+            docs[i] = pre + (chunk if embed else []) + suf
+        rows = [(d, " ".join(t)) for d, t in docs.items()]
+        base = tempfile.mkdtemp(prefix="span_prop_")
+        try:
+            spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+                f"{base}/documents.parquet"
+            )
+            from recsys_mapreduce_mrjob_spark.caching import memo_unpersist
+
+            memo_unpersist("span_pos_shingles")
+            got = {
+                (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+                for r in registry.QUERIES["q_dedup_spans"](spark, base).collect()
+            }
+            assert got == brute(docs), (docs, got, brute(docs))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    check()
