@@ -260,6 +260,21 @@ def render(spark, sf_dir: str) -> str:
         # every regeneration — normalize so the freshness check compares
         # plan SHAPE, not the tempdir suffix.
         plan = re.sub(r"spark_ivf_index_\w+", "spark_ivf_index_<session>", plan)
+        # The materialized-CSV cache dir carries a source-data fingerprint
+        # (round 8: stale-cache guard), which changes whenever the driver
+        # regenerates testdata — same normalization rationale.
+        plan = re.sub(
+            r"spark_graft_csv/\S+",
+            "spark_graft_csv/<slug>/<fmt>-<fingerprint>",
+            plan,
+        )
+        # Expression IDs (`col#1234`) come from a session-global counter,
+        # so ANY extra plan built earlier in the session — e.g. the csv
+        # materialization job on a cold cache — shifts every later ID and
+        # fails the freshness diff on pure numbering (round 8).  The IDs
+        # carry no plan information; normalize them away.
+        plan = re.sub(r"#\d+", "#x", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
         out.append(f"## `{name}`")
         out.append("")
         out.append(note)
