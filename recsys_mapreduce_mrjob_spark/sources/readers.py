@@ -183,7 +183,7 @@ ratings AS (
 # the same relation straight from the tables, and the grade proves the
 # write→parse round-trip is lossless (Java emits shortest-round-trip
 # doubles; the reader parses them back bit-identically).
-_CSV_CACHE: dict[tuple[str, str], str] = {}
+_CSV_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def _ratings_source_fingerprint(sf_dir: str) -> str:
@@ -227,12 +227,17 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     import tempfile
     import uuid
 
-    key = (os.path.abspath(sf_dir), fmt)
+    # The fingerprint is part of the CACHE KEY, not just the directory
+    # name: it is a cheap metadata read, and recomputing it per call means
+    # testdata regenerated WITHIN one process immediately misses the
+    # in-memory cache instead of serving the pre-regeneration text copy
+    # (ADVICE r8).
+    fp = _ratings_source_fingerprint(sf_dir)
+    key = (os.path.abspath(sf_dir), fmt, fp)
     cached = _CSV_CACHE.get(key)
     if cached is not None:
         return cached
     slug = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
-    fp = _ratings_source_fingerprint(sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_csv", slug, f"{fmt}-{fp}"
     )
@@ -256,9 +261,20 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         try:
             os.rename(staging, path)
         except OSError:
-            # A concurrent writer published first: its copy is complete
-            # (rename is atomic), ours is redundant.
+            # A concurrent writer racing us may have published first — but
+            # rename can also fail for unrelated reasons (permissions, a
+            # partial/foreign directory squatting on the path), so VERIFY
+            # the published copy is complete before trusting it: a
+            # rename-published Spark output always carries _SUCCESS
+            # (ADVICE r8 — don't let the two graded CSV queries silently
+            # read wrong or missing data).
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"materialize_ratings_text: rename to {path!r} failed "
+                    "and the occupant is not a complete published copy "
+                    "(no _SUCCESS marker)"
+                )
     _CSV_CACHE[key] = path
     return path
 

@@ -93,17 +93,28 @@ def main() -> None:
             )
             t_total = round(time.monotonic() - t0, 3)
             marks.append(time.monotonic())
-            per_batch = [
+            samples = [
                 round(marks[i + 1] - marks[i], 3) for i in range(len(marks) - 1)
             ]
+            # The final sample spans from the last on_batch callback to
+            # AFTER awaitTermination, so it includes the stream's commit +
+            # teardown overhead — report it separately instead of letting
+            # it overstate the last batch in the 'per-batch cost tracks
+            # batch size' evidence (ADVICE r8).  on_batch itself stays a
+            # start-of-batch hook: it doubles as the crash-injection point
+            # in tests/test_streaming_resume.py, so moving it after the
+            # write would change what 'crash at batch k' means.
+            per_batch = samples[:-1]
+            last_incl_teardown = samples[-1] if samples else None
 
             streamed_rows = spark.read.parquet(index_path).count()
             oneshot_rows = spark.read.parquet(oneshot_dir).count()
             results[n] = {
                 "oneshot_build_sec": t_oneshot,
                 "ingest_total_sec": t_total,
-                "ingest_batches": len(per_batch),
+                "ingest_batches": len(samples),
                 "per_batch_sec": per_batch,
+                "last_batch_sec_incl_teardown": last_incl_teardown,
                 "rows_match": streamed_rows == oneshot_rows == n,
             }
             print(f"n={n}: {json.dumps(results[n])}", flush=True)
