@@ -1445,3 +1445,222 @@ if q_dedup_spans.__doc__:  # absent under python -OO
     q_dedup_spans.__doc__ = q_dedup_spans.__doc__.format(
         min=_SPAN_MIN_TOKENS, k=_SPAN_K, cap=_SPAN_DF_CAP
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring REMOVAL (round 9) — the rewrite pass the span report
+# exists to feed (VERDICT r8 "what's missing" #1).  Lee et al. 2021's
+# pipeline ends by CUTTING each duplicated span from every occurrence but
+# one and re-emitting the corpus; q_dedup_spans only reported.
+# ---------------------------------------------------------------------------
+
+# Interval-merge CTEs shared by the rewrite and audit oracles, appended
+# after the span report.  Concatenated, never .format()ed — the span CTEs
+# upstream may grow regex/brace content (the export-oracle lesson,
+# code-review r8).
+_SPAN_IV_CTES = """
+iv AS (
+    -- Non-keeper removal intervals: the report guarantees doc_a < doc_b,
+    -- so doc_a IS the min-doc_id keeper (the curation keeper convention)
+    -- and the cut lands on doc_b's occurrence.  1-based, inclusive.
+    SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens - 1 AS e
+    FROM spans
+),
+marked AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_max
+    FROM iv
+),
+islands AS (
+    -- Overlap merge (gaps-and-islands on the running max end): a doc's
+    -- intervals can overlap when it duplicates several keepers, and
+    -- cutting token positions is idempotent — merged measure, not sum.
+    SELECT doc_id, s, e,
+           sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS g
+    FROM marked
+),
+merged AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e
+    FROM islands GROUP BY doc_id, g
+)
+"""
+
+_SPAN_REWRITE_ORACLE = (
+    f"WITH spans AS ({_SPANS_ORACLE}),"
+    + _SPAN_IV_CTES
+    + """,
+per_doc AS (
+    SELECT doc_id,
+           list(struct_pack(s := s, e := e)) AS ivs,
+           count(*) AS spans_merged,
+           sum(e - s + 1) AS tokens_removed
+    FROM merged GROUP BY doc_id
+),
+docs_t AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+kept AS (
+    SELECT d.doc_id, p.spans_merged, p.tokens_removed,
+           list_transform(
+               list_filter(
+                   list_transform(generate_series(1, len(d.t)),
+                                  i -> struct_pack(pos := i, tok := d.t[i])),
+                   q -> len(list_filter(p.ivs,
+                                        v -> v.s <= q.pos AND q.pos <= v.e)) = 0
+               ),
+               q -> q.tok
+           ) AS kt
+    FROM docs_t d JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id,
+       CAST(spans_merged AS BIGINT) AS spans_merged,
+       CAST(tokens_removed AS BIGINT) AS tokens_removed,
+       CAST(len(kt) AS BIGINT) AS new_tokens,
+       -- DuckDB's array_to_string yields NULL for the empty list; the
+       -- rewritten text of a fully-cut doc is the empty STRING (what a
+       -- re-emitted corpus stores), matching Spark's concat_ws.
+       coalesce(array_to_string(kt, ' '), '') AS new_text
+FROM kept
+"""
+)
+
+
+def _span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per raw non-keeper removal interval with its merge-island
+    id — memo-persisted because the rewrite consumes its merge while the
+    audit also counts its raw rows, and both graded queries share it."""
+    from pyspark.sql import Window
+
+    def build() -> DataFrame:
+        spans = q_dedup_spans(spark, sf_dir)
+        iv = spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens") - 1).alias("e"),
+        )
+        w_prev = (
+            Window.partitionBy("doc_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_run = (
+            Window.partitionBy("doc_id")
+            .orderBy("s", "e")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            iv.withColumn("prev_max", F.max("e").over(w_prev))
+            .withColumn(
+                "g",
+                F.sum(
+                    F.when(
+                        F.col("prev_max").isNull()
+                        | (F.col("s") > F.col("prev_max")),
+                        1,
+                    ).otherwise(0)
+                ).over(w_run),
+            )
+            .drop("prev_max")
+        )
+
+    return memo_persist(spark, "span_rewrite_islands", sf_dir, build)
+
+
+@register("q_dedup_span_rewrite", oracle=_SPAN_REWRITE_ORACLE)
+def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring REMOVAL — the rewrite pass that consumes the
+    ``q_dedup_spans`` report and actually deduplicates the corpus, the
+    step a training-data pipeline ships (Lee et al. 2021: cut each
+    duplicated span from every occurrence except one).  Keeper = the
+    min-doc_id side of each reported pair (``doc_a`` by the report's
+    ``doc_a < doc_b`` construction — the same convention as the curation
+    keeper), so the cut always lands on ``doc_b``'s occurrence; one doc
+    may collect intervals from MANY pairs, which are overlap-merged
+    (gaps-and-islands on the running max end) before cutting so removal
+    is a set measure, not a double-counting sum.  Emits one row per
+    TOUCHED doc: merged-interval count, tokens removed, and the
+    rewritten text (tokens outside every merged interval, original
+    order).  Untouched docs pass through a real export unchanged — the
+    inner join keeps the graded relation report-sized.
+
+    Scale: the interval relation is span-report-sized (bounded by the
+    occurrence cap, never corpus pairs); windows partition per doc_id
+    over per-doc interval counts; the merged per-doc interval lists
+    broadcast to the documents scan, so the corpus is touched by exactly
+    one pass — a scan-side array filter per doc, no explode of the
+    corpus into tokens.  All-integer positions — bit-identical
+    cross-engine, including the all-tokens-removed edge (empty string in
+    both engines)."""
+    islands = _span_islands(spark, sf_dir)
+    merged = islands.groupBy("doc_id", "g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("ivs"),
+        F.count(F.lit(1)).cast("long").alias("spans_merged"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    joined = docs.join(F.broadcast(per_doc), "doc_id")
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("ivs"),
+            lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        "spans_merged",
+        "tokens_removed",
+        F.size(kept).cast("long").alias("new_tokens"),
+        F.concat_ws(" ", kept).alias("new_text"),
+    )
+
+
+_SPAN_AUDIT_ORACLE = (
+    f"WITH spans AS ({_SPANS_ORACLE}),"
+    + _SPAN_IV_CTES
+    + """
+SELECT CAST((SELECT count(DISTINCT doc_id) FROM merged) AS BIGINT)
+           AS docs_touched,
+       CAST((SELECT count(*) FROM iv) AS BIGINT) AS spans_raw,
+       CAST((SELECT count(*) FROM merged) AS BIGINT) AS spans_merged,
+       CAST((SELECT coalesce(sum(e - s + 1), 0) FROM merged) AS BIGINT)
+           AS tokens_removed
+"""
+)
+
+
+@register("q_dedup_span_rewrite_audit", oracle=_SPAN_AUDIT_ORACLE)
+def q_dedup_span_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite pass's one-row audit — what a pipeline run logs:
+    docs touched, raw non-keeper span occurrences, merged intervals
+    actually cut, and total tokens removed (merged measure; equals the
+    per-doc ``tokens_removed`` sum of ``q_dedup_span_rewrite`` by
+    construction — the conservation property pinned in
+    tests/test_span_rewrite.py).  Shares the memoized island relation
+    with the rewrite, so grading both costs one span-report
+    computation."""
+    islands = _span_islands(spark, sf_dir)
+    merged = islands.groupBy("doc_id", "g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    m = merged.agg(
+        F.countDistinct("doc_id").cast("long").alias("docs_touched"),
+        F.count(F.lit(1)).cast("long").alias("spans_merged"),
+        F.coalesce(F.sum(F.col("e") - F.col("s") + 1), F.lit(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
+    r = islands.agg(F.count(F.lit(1)).cast("long").alias("spans_raw"))
+    return m.crossJoin(r).select(
+        "docs_touched", "spans_raw", "spans_merged", "tokens_removed"
+    )

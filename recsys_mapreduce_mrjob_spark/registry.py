@@ -41,80 +41,17 @@ ORACLES: dict[str, str] = {}
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-5: NEW round 8 — the pipe-format and quoted-CSV source
-    #    queries (VERDICT r7 "what's missing" #1: the readers were
-    #    pytest-green but no graded query exercised the text input path)
-    #    and the foreachBatch-maintained IVF index (#2) --
-    "q_scan_csv_ratings",
-    "q_scan_csv_quoted",
-    "q_stream_ann_index_exec",
-    # -- late round 8: exact substring-SPAN dedup (Lee et al. 2021 layer;
-    #    its slot comes from q_agg_cube, deferred below — the
-    #    grouping-sets family keeps two fresh prefix rows) --
-    "q_dedup_spans",
-    # -- slots 6-7: CHANGED round 8 — near-dup cluster keeper is now the
-    #    min GATE-SURVIVOR doc_id (plan + oracle together; both graded
-    #    hashes move, so both re-grade in the birth round of the change) --
-    "q_corpus_curation",
-    "q_export_manifest",
-    # -- slots 8-18: the full stale queue VERDICT r7 #1 named — the 11
-    #    rows displaced from the r7 prefix, all r4-data-era --
-    "q_recommend_als",
-    "q_union_all",
-    "q_cond_funcs",
-    "q_join_salted_skew",
-    "q_dedup_near_exact",
-    "q_scan_pruned",
-    "q_map_funcs",
-    "q_filter_compound",
-    "q_topn_orders",
-    "q_window_rank",
-    "q_histogram",
-    # -- slots 19-50: the round-5 data-era cohort (stalest remaining),
-    #    32 of 46 --
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_agg_rollup",
-    "q_agg_salted_twophase",
-    "q_audit_constraints",
-    "q_dedup_embedding",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_item_cooccurrence",
-    "q_item_rater_counts",
-    "q_item_similarity",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_fuzzy_names",
-    "q_join_left",
-    "q_join_selfpair",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_pairwise_stats",
-    "q_pivot_events",
-    "q_ratings_matrix",
-    "q_recommend_topn",
-    "q_stateful_dedup_events",
-    "q_text_repetition",
-    "q_topk_similar_dimsum_exact",
-    "q_user_stats",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_topk_per_group",
-    "q_window_tumbling",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 14 r5-era names the
-    # prefix could not fit — each deferred because a fresher-graded
-    # sibling covers its shape this round (q_scan_parquet: three fresh
-    # r8 scan rows; the scalar packs: q_cond_funcs/q_map_funcs/
-    # q_histogram in prefix; q_agg_stats/q_agg_string_agg: six agg
-    # siblings in prefix; setops: q_union_all in prefix; the window/
-    # events rows: rank/topn/lag_lead/range_frame/topk/tumbling all in
-    # prefix).  They lead the round-9 stale queue.  Then the round-6-
-    # graded cohort, then the round-7-graded cohort (freshest).
-    # ------------------------------------------------------------------
+    # -- slots 2-5: NEW round 9, all needing their FIRST driver row —
+    #    the exact substring-REMOVAL pass + its one-row audit (VERDICT r8
+    #    "what's missing" #1: q_dedup_spans reported but nothing consumed
+    #    the report), the ingest→COMPACT→probe ANN lifecycle (#2), and
+    #    the watermark-driven-null left-outer attribution join (#6) --
+    "q_dedup_span_rewrite",
+    "q_dedup_span_rewrite_audit",
+    "q_stream_ann_compact_exec",
+    "q_stream_attribution_outer_exec",
+    # -- slots 6-19: the 14 r5-era names the r8 prefix deferred (the
+    #    stale queue VERDICT r8 #3 named; freshness floor rises to r6) --
     "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
@@ -129,7 +66,9 @@ GRADING_ORDER: list[str] = [
     "q_window_running",
     "q_window_sliding",
     "q_late_data_filter",
-    # -- round-6-graded cohort --
+    # -- slots 20-50: the round-6-graded cohort, 31 of 46 (stalest
+    #    remaining era).  The 15 deferred below each leave a
+    #    fresher-graded sibling in or near the prefix --
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
     "q_stream_session_exec",
@@ -140,29 +79,14 @@ GRADING_ORDER: list[str] = [
     "q_pagerank_exact",
     "q_kmeans_exact",
     "q_stream_sink_parquet_exec",
-    "q_window_ntile",
-    "q_window_first_last",
-    "q_topk_similar_dimsum",
-    "q_agg_approx_distinct",
     "q_knn_cosine",
     "q_dedup_components_twostar",
-    "q_dedup_components",
     "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_simhash",
     "q_embedding_label_stats",
-    "q_kmeans_embeddings",
     "q_knn_cosine_ivf",
-    "q_knn_cosine_lsh",
     "q_knn_per_label",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pagerank_items",
     "q_sample_reservoir_per_lang",
-    "q_sample_split",
-    "q_sample_weighted",
     "q_sketch_countmin",
-    "q_string_funcs",
     "q_text_bigrams",
     "q_text_bpe_tokens",
     "q_text_doc_stats",
@@ -176,7 +100,31 @@ GRADING_ORDER: list[str] = [
     "q_mixture_resample",
     "q_pack_blocks",
     "q_stream_incremental_stats_exec",
-    # -- round-7-graded cohort (freshest — verified last round) --
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix.  First the 15 r6-era names the
+    # prefix could not fit — 8 are rows-only variants whose EXACT twins
+    # grade in-prefix this round (components/near/simhash/kmeans/lsh/
+    # pagerank/dimsum; approx_distinct holds a bounded-error pytest pin),
+    # the window/scalar/multimodal/sampling rest have r7/r8-graded
+    # family siblings.  They lead the round-10 stale queue.  Then the
+    # round-7-graded cohort, then the round-8-graded cohort (freshest).
+    # ------------------------------------------------------------------
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
+    "q_dedup_components",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_lsh",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pagerank_items",
+    "q_sample_split",
+    "q_sample_weighted",
+    "q_string_funcs",
+    # -- round-7-graded cohort --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
     "q_dedup_containment",
@@ -225,6 +173,56 @@ GRADING_ORDER: list[str] = [
     "q_text_unigram_lm",
     "q_udf_reg_corr",
     "q_window_session",
+    # -- round-8-graded cohort (freshest — verified last round) --
+    "q_scan_csv_ratings",
+    "q_scan_csv_quoted",
+    "q_stream_ann_index_exec",
+    "q_dedup_spans",
+    "q_corpus_curation",
+    "q_export_manifest",
+    "q_recommend_als",
+    "q_union_all",
+    "q_cond_funcs",
+    "q_join_salted_skew",
+    "q_dedup_near_exact",
+    "q_scan_pruned",
+    "q_map_funcs",
+    "q_filter_compound",
+    "q_topn_orders",
+    "q_window_rank",
+    "q_histogram",
+    "q_agg_distinct",
+    "q_agg_grouping_sets",
+    "q_agg_percentiles",
+    "q_agg_rollup",
+    "q_agg_salted_twophase",
+    "q_audit_constraints",
+    "q_dedup_embedding",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_item_cooccurrence",
+    "q_item_rater_counts",
+    "q_item_similarity",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_fuzzy_names",
+    "q_join_left",
+    "q_join_selfpair",
+    "q_join_semi",
+    "q_join_theta_range",
+    "q_pairwise_stats",
+    "q_pivot_events",
+    "q_ratings_matrix",
+    "q_recommend_topn",
+    "q_stateful_dedup_events",
+    "q_text_repetition",
+    "q_topk_similar_dimsum_exact",
+    "q_user_stats",
+    "q_window_lag_lead",
+    "q_window_range_frame",
+    "q_window_topk_per_group",
+    "q_window_tumbling",
 ]
 
 

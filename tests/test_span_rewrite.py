@@ -1,0 +1,162 @@
+"""The exact substring-REMOVAL pass (q_dedup_span_rewrite, round 9).
+
+q_dedup_spans' report is already property-tested against an independent
+brute force (tests/test_scale_knobs.py), so these tests treat the report
+as the input SPEC and verify the rewrite against an independent
+Python interval-merge + token-cut over that report, plus the conservation
+law VERDICT r8 asked for: tokens_removed equals the merged measure of the
+non-keeper span occurrences — per doc, and in total against the audit row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from recsys_mapreduce_mrjob_spark import registry
+from recsys_mapreduce_mrjob_spark.caching import memo_unpersist
+
+registry.load_all()
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _merge(intervals: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _expected_rewrite(spark, sf_dir: str):
+    """Independent rewrite from the span report: per non-keeper doc, merge
+    [start_b, start_b + span - 1] intervals and cut those 1-based token
+    positions from the original text."""
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    raw = 0
+    for r in registry.QUERIES["q_dedup_spans"](spark, sf_dir).collect():
+        per_doc.setdefault(r.doc_b, []).append(
+            (r.start_b, r.start_b + r.span_tokens - 1)
+        )
+        raw += 1
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if r.doc_id in per_doc
+    }
+    expected = {}
+    for doc_id, ivs in per_doc.items():
+        merged = _merge(ivs)
+        toks = texts[doc_id].split(" ")
+        cut = {p for s, e in merged for p in range(s, e + 1)}
+        kept = [t for i, t in enumerate(toks, start=1) if i not in cut]
+        expected[doc_id] = {
+            "spans_merged": len(merged),
+            "tokens_removed": sum(e - s + 1 for s, e in merged),
+            "new_tokens": len(kept),
+            "new_text": " ".join(kept),
+        }
+    return expected, raw
+
+
+def test_span_rewrite_matches_independent_cut_sf001(spark):
+    expected, raw = _expected_rewrite(spark, SF01)
+    got = {
+        r.doc_id: {
+            "spans_merged": r.spans_merged,
+            "tokens_removed": r.tokens_removed,
+            "new_tokens": r.new_tokens,
+            "new_text": r.new_text,
+        }
+        for r in registry.QUERIES["q_dedup_span_rewrite"](spark, SF01).collect()
+    }
+    assert got == expected
+
+
+def test_span_rewrite_conservation_vs_audit_sf001(spark):
+    """Conservation: the audit's tokens_removed equals BOTH the merged
+    measure of the report's non-keeper occurrences and the sum of per-doc
+    removals; per doc, new_tokens + tokens_removed = original tokens."""
+    expected, raw = _expected_rewrite(spark, SF01)
+    rewrite = registry.QUERIES["q_dedup_span_rewrite"](spark, SF01).collect()
+    audit = registry.QUERIES["q_dedup_span_rewrite_audit"](spark, SF01).collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a.docs_touched == len(rewrite) == len(expected)
+    assert a.spans_raw == raw
+    assert a.spans_merged == sum(e["spans_merged"] for e in expected.values())
+    assert a.tokens_removed == sum(r.tokens_removed for r in rewrite)
+    assert a.tokens_removed == sum(
+        e["tokens_removed"] for e in expected.values()
+    )
+    n_toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF01}/documents.parquet").collect()
+    }
+    for r in rewrite:
+        assert r.new_tokens + r.tokens_removed == n_toks[r.doc_id], r.doc_id
+
+
+def test_span_rewrite_overlap_merge_planted(spark):
+    """Planted overlap: one doc duplicating two OVERLAPPING chunks of two
+    distinct keepers must have its intervals merged (cut once), and a doc
+    that is a pure full-duplicate must rewrite to the empty string — the
+    all-tokens-removed edge both engines must agree on."""
+    toks = [f"w{i}" for i in range(40)]
+    keeper_a = " ".join(toks[0:20])          # doc 1
+    keeper_b = " ".join(toks[10:30])         # doc 2 (overlaps a in 10..19)
+    dup = " ".join(toks[0:30])               # doc 3: contains both spans
+    full_dup = keeper_a                      # doc 4 == doc 1 verbatim
+    rows = [(1, keeper_a), (2, keeper_b), (3, dup), (4, full_dup)]
+    base = tempfile.mkdtemp(prefix="span_rewrite_planted_")
+    try:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            os.path.join(base, "documents.parquet")
+        )
+        memo_unpersist("span_pos_shingles")
+        memo_unpersist("span_rewrite_islands")
+        expected, _ = _expected_rewrite(spark, base)
+        got = {
+            r.doc_id: r
+            for r in registry.QUERIES["q_dedup_span_rewrite"](
+                spark, base
+            ).collect()
+        }
+        assert set(got) == set(expected)
+        for doc_id, e in expected.items():
+            r = got[doc_id]
+            assert (
+                r.spans_merged,
+                r.tokens_removed,
+                r.new_tokens,
+                r.new_text,
+            ) == (
+                e["spans_merged"],
+                e["tokens_removed"],
+                e["new_tokens"],
+                e["new_text"],
+            ), doc_id
+        # Doc 4 duplicates doc 1 in full → rewrites to the empty string.
+        assert got[4].new_text == "" and got[4].new_tokens == 0
+        # Doc 3's cuts from doc 1 (tokens 1..) and doc 2 overlap → strictly
+        # fewer tokens removed than the raw interval sum would claim.
+        assert got[3].spans_merged >= 1
+        assert got[3].tokens_removed < sum(
+            e - s + 1
+            for s, e in [
+                (r.start_b, r.start_b + r.span_tokens - 1)
+                for r in registry.QUERIES["q_dedup_spans"](spark, base)
+                .where("doc_b = 3")
+                .collect()
+            ]
+        ) or got[3].spans_merged == 1
+    finally:
+        memo_unpersist("span_pos_shingles")
+        memo_unpersist("span_rewrite_islands")
+        shutil.rmtree(base, ignore_errors=True)

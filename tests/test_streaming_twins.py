@@ -191,3 +191,58 @@ def test_click_purchase_join_stream_matches_batch(spark, sf_dir):
     )
     assert stream.count() > 0
     assert _multiset(stream) == _multiset(batch)
+
+
+def test_left_outer_attribution_null_emission_split_invariant(spark, sf_dir):
+    """The LEFT-OUTER stream–stream join's null rows are watermark-DRIVEN
+    output (a click's no-purchase row may emit only once the watermark
+    closes its match window), so the emitted relation must be invariant
+    to how the input is micro-batched — 1 real chunk vs 4 — and equal to
+    the batch LEFT JOIN, unattributed clicks included."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+    expected = _multiset(batch)
+    assert any(t[1] is None for t in expected), "fixture has no unattributed click"
+    import shutil
+    import tempfile
+
+    results = []
+    for n_real_chunks in (1, 4):
+        base = tempfile.mkdtemp(prefix=f"attr_outer_{n_real_chunks}_")
+        try:
+            out = twins.run_to_memory(
+                twins.click_purchase_left_outer_stream(
+                    twins.stream_events_with_flush(
+                        spark, sf_dir, f"{base}/src", n_real_chunks=n_real_chunks
+                    )
+                ),
+                f"t_ss_outer_{n_real_chunks}",
+                output_mode="append",
+            ).where(F.col("user_id") >= 0)
+            results.append(_multiset(out))
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    assert results[0] == expected
+    assert results[1] == expected

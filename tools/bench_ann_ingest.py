@@ -18,7 +18,16 @@ Reports, per corpus size:
     (the flat sequence IS the claim), and index-content row parity vs
     the one-shot build.
 
+Round 9 adds the COMPACTION rung (`--compact`): ingest one fixed-size
+corpus as B micro-batches for growing B, probe the batch-partitioned
+layout and the compacted layout (streaming/twins.py compact_ivf_index),
+and report probe wall + files-opened per layout.  The claim under grade:
+pre-compaction probe cost grows with batch count (one small file per
+batch × probed cell), post-compaction it is FLAT — the lifecycle gap
+VERDICT r8 named.
+
 Usage: python tools/bench_ann_ingest.py [n_vectors ...] (default 200000)
+       python tools/bench_ann_ingest.py --compact [n_vectors] (default 100000)
 """
 
 from __future__ import annotations
@@ -40,12 +49,88 @@ from recsys_mapreduce_mrjob_spark.operators.embeddings import (
     centroid_rows,
 )
 from recsys_mapreduce_mrjob_spark.session import session_builder
-from recsys_mapreduce_mrjob_spark.streaming.twins import incremental_ivf_index
+from recsys_mapreduce_mrjob_spark.streaming.twins import (
+    compact_ivf_index,
+    incremental_ivf_index,
+    write_embedding_chunks,
+)
 
 N_CHUNKS = 8
 
 
+def _time_probe(spark, base: str, index_path: str, reps: int = 3) -> dict:
+    """Median wall of the full pruned probe (driver probe ranking +
+    pruned scan + exact re-rank + top-10) against ``index_path``, plus
+    how many data files the probed cells expose in that layout."""
+    import glob as _glob
+
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import _ivf_probe
+    from recsys_mapreduce_mrjob_spark.streaming.queries import _probe_ivf_table
+
+    probe_cids = _ivf_probe(spark, base)[0]
+    files = [
+        p
+        for cid in probe_cids
+        for p in _glob.glob(
+            f"{index_path}/**/cid={cid}/*.parquet", recursive=True
+        )
+        + _glob.glob(f"{index_path}/cid={cid}/*.parquet")
+    ]
+    walls = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        _probe_ivf_table(spark, base, index_path).collect()
+        walls.append(time.monotonic() - t0)
+    walls.sort()
+    return {
+        "probe_sec_med": round(walls[len(walls) // 2], 3),
+        "probed_cell_files": len(set(files)),
+    }
+
+
+def run_compact_rung(spark, n: int) -> None:
+    """Probe wall vs batch count, pre/post compaction, fixed corpus."""
+    results = {}
+    for n_batches in (4, 16, 64):
+        base = tempfile.mkdtemp(prefix=f"ann_compact_{n_batches}_")
+        try:
+            build_corpus(spark, n, base)
+            cents = centroid_rows(spark, base)
+            src, state = f"{base}/src", f"{base}/state"
+            write_embedding_chunks(spark, base, src, n_chunks=n_batches)
+            index = incremental_ivf_index(spark, src, state, cents)
+            pre = _time_probe(spark, base, index)
+            t0 = time.monotonic()
+            compact_ivf_index(spark, index)
+            t_compact = round(time.monotonic() - t0, 3)
+            post = _time_probe(spark, base, index)
+            results[n_batches] = {
+                "pre": pre,
+                "post": post,
+                "compact_sec": t_compact,
+            }
+            print(f"batches={n_batches}: {json.dumps(results[n_batches])}",
+                  flush=True)
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({"mode": "compact", "n_vectors": n, "rungs": results}))
+
+
 def main() -> None:
+    if sys.argv[1:] and sys.argv[1] == "--compact":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+        spark = (
+            session_builder(
+                master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+                shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            )
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        run_compact_rung(spark, n)
+        spark.stop()
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [200_000]
     spark = (
         session_builder(

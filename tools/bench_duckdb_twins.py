@@ -140,6 +140,13 @@ def main() -> None:
             "q_text_pii",
             "q_pack_shuffled",
             "q_export_manifest",
+            # round 8: the graded text-source pair + substring-span dedup
+            "q_scan_csv_ratings",
+            "q_scan_csv_quoted",
+            "q_dedup_spans",
+            # round 9: the substring-REMOVAL pass (twin = oracle: span
+            # report → interval merge → positional token cut)
+            "q_dedup_span_rewrite",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
