@@ -50,7 +50,8 @@ GRADING_ORDER: list[str] = [
     "q_dedup_span_rewrite_audit",
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
-    # -- slots 6-19: the 14 r5-era names the r8 prefix deferred (the
+    "q_stream_attribution_full_exec",
+    # -- slots 7-20: the 14 r5-era names the r8 prefix deferred (the
     #    stale queue VERDICT r8 #3 named; freshness floor rises to r6) --
     "q_agg_cube",
     "q_scan_parquet",
@@ -66,8 +67,8 @@ GRADING_ORDER: list[str] = [
     "q_window_running",
     "q_window_sliding",
     "q_late_data_filter",
-    # -- slots 20-50: the round-6-graded cohort, 31 of 46 (stalest
-    #    remaining era).  The 15 deferred below each leave a
+    # -- slots 21-50: the round-6-graded cohort, 30 of 46 (stalest
+    #    remaining era).  The 16 deferred below each leave a
     #    fresher-graded sibling in or near the prefix --
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
@@ -87,7 +88,6 @@ GRADING_ORDER: list[str] = [
     "q_knn_per_label",
     "q_sample_reservoir_per_lang",
     "q_sketch_countmin",
-    "q_text_bigrams",
     "q_text_bpe_tokens",
     "q_text_doc_stats",
     "q_text_langid",
@@ -101,7 +101,7 @@ GRADING_ORDER: list[str] = [
     "q_pack_blocks",
     "q_stream_incremental_stats_exec",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 15 r6-era names the
+    # Past the 50-slot grading prefix.  First the 16 r6-era names the
     # prefix could not fit — 8 are rows-only variants whose EXACT twins
     # grade in-prefix this round (components/near/simhash/kmeans/lsh/
     # pagerank/dimsum; approx_distinct holds a bounded-error pytest pin),
@@ -124,6 +124,7 @@ GRADING_ORDER: list[str] = [
     "q_sample_split",
     "q_sample_weighted",
     "q_string_funcs",
+    "q_text_bigrams",
     # -- round-7-graded cohort --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",

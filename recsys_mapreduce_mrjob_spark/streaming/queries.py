@@ -247,6 +247,51 @@ def q_stream_attribution_outer_exec(spark: SparkSession, sf_dir: str) -> DataFra
     return sink.where(F.col("user_id") >= 0)
 
 
+# FULL-outer attribution oracle: unattributed clicks AND orphan purchases.
+_ATTRIBUTION_FULL_ORACLE = f"""
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       coalesce(c.user_id, p.user_id) AS user_id,
+       {_epoch('c.ts')} AS click_epoch,
+       {_epoch('p.ts')} AS purchase_epoch
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("q_stream_attribution_full_exec", oracle=_ATTRIBUTION_FULL_ORACLE)
+def q_stream_attribution_full_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream FULL-OUTER attribution join — the third and last
+    eviction shape next to the inner and left-outer forms: orphan
+    PURCHASES (no click in the preceding hour) emit too, with null click
+    columns.  Each side's null emission waits on the OTHER side's
+    watermark clearing its candidate window, so this exercises
+    two-directional watermark-driven finalization in one state store.
+    Same flush-feed harness as the left-outer form (sentinels on both
+    sides force all real emissions inside data batches); graded against
+    the batch FULL JOIN on the untouched events table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .twins import click_purchase_full_outer_stream, stream_events_with_flush
+
+    base = tempfile.mkdtemp(prefix="spark_attr_full_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stream = click_purchase_full_outer_stream(
+        stream_events_with_flush(spark, sf_dir, f"{base}/src")
+    )
+    sink = run_to_memory(
+        stream,
+        f"q_stream_attribution_full_exec_{next(_SINK_SEQ)}",
+        output_mode="append",
+    )
+    return sink.where(F.col("user_id") >= 0)
+
+
 @register(
     "q_stream_sink_parquet_exec",
     oracle=_ATTRIBUTION_ORACLE,

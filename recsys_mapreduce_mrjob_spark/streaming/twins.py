@@ -315,6 +315,42 @@ def incremental_item_stats(
     q.awaitTermination()
 
 
+def prune_state_versions(state_dir: str, keep: int = 2) -> list[int]:
+    """Retention for the versioned-state twins (``incremental_item_stats``
+    / ``incremental_scd2`` write ``{state_dir}/v{batch_id}`` per
+    micro-batch and never delete — unbounded version accumulation, the
+    same lifecycle gap the IVF ``batch=`` subtrees had before
+    ``compact_ivf_index``): drop all but the newest ``keep`` COMPLETE
+    versions (a version is complete iff Spark's ``_SUCCESS`` commit
+    marker exists; an in-flight or crashed write is never counted toward
+    ``keep`` and never deleted — the writer's overwrite owns it).
+
+    Crash-safe by ordering alone: deletion proceeds OLDEST-first and the
+    newest complete version is never touched, so a pruner killed mid-run
+    leaves a strictly smaller but still-valid version set; re-running is
+    idempotent.  Readers take the max version (both twins do), which the
+    pruner preserves by construction.  In production this is checkpoint/
+    snapshot retention (e.g. a lakehouse VACUUM); the file protocol here
+    is the same idea on bare parquet version dirs.  Returns the sorted
+    list of pruned version numbers."""
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError(f"prune_state_versions: keep must be >= 1, got {keep}")
+    complete = sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v")
+        and d[1:].isdigit()
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+    )
+    doomed = complete[:-keep] if keep < len(complete) else []
+    for v in doomed:  # oldest-first: a mid-run kill still leaves the tail
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    return doomed
+
+
 def enriched_stream(spark: SparkSession, events: DataFrame, sf_dir: str) -> DataFrame:
     """Stream–static enrichment join: the unbounded event stream joined to
     the static ``customer`` dimension — the standard streaming ETL shape
@@ -431,6 +467,50 @@ def click_purchase_left_outer_stream(events: DataFrame) -> DataFrame:
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+
+
+def click_purchase_full_outer_stream(events: DataFrame) -> DataFrame:
+    """FULL-outer twin of the attribution join — the third eviction
+    shape: unattributed CLICKS emit null purchase columns (as the left
+    join) AND orphan PURCHASES (no click in the preceding hour) emit
+    null click columns.  A purchase's null row may emit only once the
+    click-side watermark passes its whole candidate window
+    [purchase_ts − 1 h, purchase_ts), so BOTH sides' emissions are
+    watermark-driven; the flush-feed harness forces both before the
+    drain ends.  ``user_id`` coalesces across sides (exactly one is
+    non-null on a null row)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
         F.unix_timestamp("click_ts").alias("click_epoch"),
         F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
     )

@@ -3,12 +3,12 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-8: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-9 contract (VERDICT r8 "Next
-round" #1-#3, #6): the prefix first-grades the four queries NEW this
+round" #1-#3, #6): the prefix first-grades the five queries NEW this
 round (the substring-removal pass + audit, the ANN compaction lifecycle,
-the left-outer attribution join), then the ENTIRE 14-name r5-era stale
-queue the r8 verdict listed, then 31 of the 46-name round-6-graded
+the left- and full-outer attribution joins), then the ENTIRE 14-name r5-era stale
+queue the r8 verdict listed, then 30 of the 46-name round-6-graded
 cohort — after this round no query's latest grade is older than round 6.
-The 15 r6 names that did not fit lead the post-prefix queue for round 10
+The 16 r6 names that did not fit lead the post-prefix queue for round 10
 (DEFERRED_R6 below): 8 are rows-only variants whose EXACT twins grade
 in-prefix this round, the rest have r7/r8-graded family siblings.
 """
@@ -25,6 +25,7 @@ NEW_R9 = {
     "q_dedup_span_rewrite_audit",
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
+    "q_stream_attribution_full_exec",
 }
 
 # The full r5-era stale queue VERDICT r8 #3 named (the 14 names the r8
@@ -46,7 +47,7 @@ STALE_R5 = {
     "q_late_data_filter",
 }
 
-# The round-6-graded cohort members that FIT the remaining 31 slots.
+# The round-6-graded cohort members that FIT the remaining 30 slots.
 R6_IN_PREFIX = {
     "q_stream_tumbling_exec",
     "q_stream_user_counter_exec",
@@ -66,7 +67,6 @@ R6_IN_PREFIX = {
     "q_knn_per_label",
     "q_sample_reservoir_per_lang",
     "q_sketch_countmin",
-    "q_text_bigrams",
     "q_text_bpe_tokens",
     "q_text_doc_stats",
     "q_text_langid",
@@ -81,7 +81,7 @@ R6_IN_PREFIX = {
     "q_stream_incremental_stats_exec",
 }
 
-# The 15 r6-era names the 50-slot prefix could not fit — deferred because
+# The 16 r6-era names the 50-slot prefix could not fit — deferred because
 # 8 are rows-only variants whose exact twins grade IN-prefix this round
 # (components/near/simhash/kmeans/lsh/pagerank/dimsum, plus
 # approx_distinct's bounded-error pytest pin), and the window/scalar/
@@ -103,6 +103,7 @@ DEFERRED_R6 = {
     "q_sample_split",
     "q_sample_weighted",
     "q_string_funcs",
+    "q_text_bigrams",
 }
 
 
@@ -130,14 +131,14 @@ def test_flagship_is_first():
 
 
 def test_new_r9_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-5 — graded even if
+    """The never-graded new queries sit in slots 2-6 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R9)])
     assert head == NEW_R9
 
 
 def test_stale_r5_queue_precedes_r6_cohort():
-    """The 14 r5-era rows the r8 verdict named occupy slots 6-19, ahead
+    """The 14 r5-era rows the r8 verdict named occupy slots 7-20, ahead
     of the (one era fresher) r6 cohort."""
     names = _loaded_names()
     start = 1 + len(NEW_R9)
@@ -183,6 +184,7 @@ def test_every_deferred_r6_name_has_a_fresher_or_exact_sibling_in_prefix():
         "q_multimodal_resize": "q_sketch_countmin",
         "q_sample_split": "q_sample_reservoir_per_lang",
         "q_sample_weighted": "q_sample_reservoir_per_lang",
+        "q_text_bigrams": "q_text_token_stats",  # ngram/token family in prefix
     }
     assert set(sibling) == DEFERRED_R6
     prefix = set(_loaded_names()[:PREFIX])

@@ -1,0 +1,106 @@
+"""Version retention for the versioned-state streaming twins (round 9).
+
+`incremental_item_stats` / `incremental_scd2` write one `v{batch_id}`
+parquet dir per micro-batch and never delete — correct (the newest
+version is the state; old ones are snapshots) but unbounded.
+`prune_state_versions` is the retention pass: it must keep the newest
+`keep` COMPLETE versions, never count or touch incomplete ones, survive
+being killed mid-run (oldest-first deletion), and leave the reader's
+answer — the max version — bit-identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from collections import Counter
+
+import pytest
+
+from recsys_mapreduce_mrjob_spark.sources.readers import derive_ratings
+from recsys_mapreduce_mrjob_spark.streaming.twins import (
+    incremental_item_stats,
+    prune_state_versions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _versions(state_dir: str) -> list[int]:
+    return sorted(
+        int(d[1:])
+        for d in os.listdir(state_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def _final_state(spark, state_dir: str) -> Counter:
+    v = _versions(state_dir)[-1]
+    return Counter(
+        tuple(r) for r in spark.read.parquet(f"{state_dir}/v{v}").collect()
+    )
+
+
+@pytest.fixture()
+def stats_state(spark):
+    base = tempfile.mkdtemp(prefix="retention_")
+    src, state = f"{base}/src", f"{base}/state"
+    derive_ratings(spark, SF).repartition(4).write.parquet(src)
+    incremental_item_stats(spark, src, state)
+    yield spark, state
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prune_keeps_newest_and_preserves_reader_answer(stats_state):
+    spark, state = stats_state
+    before_versions = _versions(state)
+    assert len(before_versions) >= 3, "fixture needs a multi-batch run"
+    answer = _final_state(spark, state)
+    pruned = prune_state_versions(state, keep=2)
+    assert pruned == before_versions[:-2]
+    assert _versions(state) == before_versions[-2:]
+    assert _final_state(spark, state) == answer
+
+
+def test_prune_is_idempotent_and_respects_keep(stats_state):
+    spark, state = stats_state
+    prune_state_versions(state, keep=1)
+    assert prune_state_versions(state, keep=1) == []
+    assert len(_versions(state)) == 1
+
+
+def test_prune_never_counts_or_touches_incomplete_versions(stats_state):
+    """An in-flight write (no _SUCCESS) must neither satisfy `keep` nor
+    be deleted — the writer's overwrite owns it."""
+    spark, state = stats_state
+    versions = _versions(state)
+    inflight = f"{state}/v{versions[-1] + 1}"
+    os.makedirs(inflight)  # crashed/in-progress write: no _SUCCESS
+    with open(f"{inflight}/part-00000.parquet.tmp", "w") as fh:
+        fh.write("partial")
+    answer = _final_state_complete(spark, state, versions[-1])
+    prune_state_versions(state, keep=1)
+    kept = _versions(state)
+    # newest COMPLETE version kept, in-flight dir untouched
+    assert versions[-1] in kept and versions[-1] + 1 in kept
+    assert os.path.exists(f"{inflight}/part-00000.parquet.tmp")
+    assert (
+        Counter(
+            tuple(r)
+            for r in spark.read.parquet(f"{state}/v{versions[-1]}").collect()
+        )
+        == answer
+    )
+
+
+def _final_state_complete(spark, state_dir: str, v: int) -> Counter:
+    return Counter(
+        tuple(r) for r in spark.read.parquet(f"{state_dir}/v{v}").collect()
+    )
+
+
+def test_prune_keep_must_be_positive(stats_state):
+    _, state = stats_state
+    with pytest.raises(ValueError):
+        prune_state_versions(state, keep=0)

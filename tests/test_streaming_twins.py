@@ -246,3 +246,53 @@ def test_left_outer_attribution_null_emission_split_invariant(spark, sf_dir):
             shutil.rmtree(base, ignore_errors=True)
     assert results[0] == expected
     assert results[1] == expected
+
+
+def test_full_outer_attribution_matches_batch_both_directions(spark, sf_dir):
+    """FULL-outer: unattributed clicks AND orphan purchases must both
+    emit — two-directional watermark-driven finalization — and equal the
+    batch FULL JOIN."""
+    ev = load_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.unix_timestamp("click_ts").alias("click_epoch"),
+        F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+    )
+    expected = _multiset(batch)
+    assert any(t[1] is None for t in expected), "no unattributed click in fixture"
+    assert any(t[0] is None for t in expected), "no orphan purchase in fixture"
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="attr_full_")
+    try:
+        out = twins.run_to_memory(
+            twins.click_purchase_full_outer_stream(
+                twins.stream_events_with_flush(
+                    spark, sf_dir, f"{base}/src", n_real_chunks=3
+                )
+            ),
+            "t_ss_full_outer",
+            output_mode="append",
+        ).where(F.col("user_id") >= 0)
+        assert _multiset(out) == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -52,6 +52,10 @@ QUERIES = {
     # round-8-born: substring-span dedup — tagged copies keep shingle
     # vocabularies disjoint, so kept-shingle matches scale K×, never K².
     "q_dedup_spans": "documents",
+    # round-9-born: the substring-REMOVAL pass.  clearCache between runs
+    # means each timed run recomputes the FULL report → merge → cut
+    # chain (the honest end-to-end cost, same convention as its input).
+    "q_dedup_span_rewrite": "documents",
 }
 
 # Optional single-query focus: bench_r7ops_scale.py K ... --only name

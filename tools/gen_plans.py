@@ -160,6 +160,17 @@ ENTRIES = [
         "window over the match-sized (pair, diagonal) relation.",
     ),
     (
+        "q_dedup_span_rewrite",
+        "Exact substring REMOVAL (round 9): the interval merge runs two "
+        "windows + two aggregates over the span-report-sized island "
+        "relation (memoized — the audit query shares it); the per-doc "
+        "merged-interval lists then BROADCAST into the single documents "
+        "scan (BroadcastHashJoin — the corpus is touched exactly once), "
+        "and the cut is a scan-side positional array filter: no corpus "
+        "token explode, no corpus-keyed shuffle anywhere after the "
+        "report itself.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
