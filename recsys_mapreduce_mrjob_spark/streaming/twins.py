@@ -591,24 +591,34 @@ def stream_events_with_flush(
     )
 
 
-# One flush feed per (SparkContext, sf_dir) — the left- and full-outer
-# attribution queries read the IDENTICAL feed (the written files are a
-# pure function of the events table), so a grading sweep that runs both
-# pays the chunk writes once.  Checkpoints stay per-query (run_to_memory
-# uses a fresh temporary checkpoint per sink name), so two streams over
-# one source directory never share state.
-_FLUSH_FEED_DIRS: dict[tuple[str, str], str] = {}
+# One flush feed per (SparkContext, sf_dir, events fingerprint) — the
+# left- and full-outer attribution queries read the IDENTICAL feed (the
+# written files are a pure function of the events table), so a grading
+# sweep that runs both pays the chunk writes once.  Checkpoints stay
+# per-query (run_to_memory uses a fresh temporary checkpoint per sink
+# name), so two streams over one source directory never share state.
+# The events-parquet fingerprint in the key means testdata regenerated
+# within one process gets a fresh feed instead of a silently stale one
+# (the _CSV_CACHE lesson, ADVICE r8).
+_FLUSH_FEED_DIRS: dict[tuple[str, str, str], str] = {}
 
 
 def shared_flush_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``stream_events_with_flush`` with the written feed memoized per
-    (SparkContext, sf_dir); returns a fresh readStream over it."""
+    (SparkContext, sf_dir, source fingerprint); returns a fresh
+    readStream over it."""
     import atexit
+    import os
     import shutil
     import tempfile
 
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
+    try:
+        st = os.stat(os.path.join(sf_dir, "events.parquet"))
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "missing"
+    key = (app, sf_dir, fp)
     src = _FLUSH_FEED_DIRS.get(key)
     if src is None:
         for stale in [k for k in _FLUSH_FEED_DIRS if k[0] != app]:
