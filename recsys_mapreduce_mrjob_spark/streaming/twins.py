@@ -789,12 +789,26 @@ def incremental_ivf_index(
 
 def compact_ivf_index(spark: SparkSession, index_path: str) -> str:
     """Compact the incrementally-maintained IVF index: merge the
-    accumulated ``batch={id}/cid={k}`` subtrees into consolidated
-    ``cid={k}`` partitions, one file per cell (VERDICT r8 "what's
-    missing" #2 — after thousands of micro-batches the probe scan reads
-    thousands of small files per probed cell; compaction restores
-    one-shot-build file counts while the probe query stays byte-for-byte
-    identical, pinned by tests/test_ann_compaction.py).
+    accumulated ``batch={id}/cid={k}`` subtrees into ONE consolidated
+    subtree ``batch={max committed id}/cid={k}``, one file per cell
+    (VERDICT r8 "what's missing" #2 — after thousands of micro-batches
+    the probe scan reads thousands of small files per probed cell;
+    compaction restores one-shot-build file counts while the probe query
+    stays byte-for-byte identical, pinned by
+    tests/test_ann_compaction.py).
+
+    The ``batch=`` partition layer is PRESERVED, not dropped: a resumed
+    ingest stream appends ``batch={max+1}`` next to the compacted
+    subtree, and parquet partition discovery requires every leaf at the
+    same depth — a root-level ``cid=`` layout would poison the table for
+    the next micro-batch (round-9 regression test
+    ``test_ingest_resumes_after_compaction``; Spark raises
+    CONFLICTING_PARTITION_COLUMN_NAMES on the mixed layout).  Collapsing
+    into the LARGEST committed batch id cannot collide with future ids —
+    foreachBatch ids are checkpoint-monotone — and a re-run collapses
+    the single subtree onto itself (idempotent).  Run compaction in a
+    maintenance window (stream stopped): the swap below momentarily
+    renames the table away, which a concurrent upsert must not race.
 
     Crash-safe write-then-atomic-swap, the versioned-state discipline:
 
@@ -835,13 +849,15 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> str:
     shutil.rmtree(displaced, ignore_errors=True)
     index = spark.read.parquet(index_path)
     data_cols = [c for c in index.columns if c not in ("batch", "cid")]
+    max_batch = index.agg(F.max("batch")).collect()[0][0]
     # repartition on cid → each cell's rows land in one task, so the
-    # partitionBy write emits ONE consolidated file per cid directory.
+    # partitionBy write emits ONE consolidated file per cid directory
+    # (all under the single batch={max_batch} subtree).
     (
-        index.select(*data_cols, "cid")
+        index.select(*data_cols, F.lit(max_batch).alias("batch"), "cid")
         .repartition(F.col("cid"))
         .write.mode("overwrite")
-        .partitionBy("cid")
+        .partitionBy("batch", "cid")
         .parquet(staging)
     )
     os.rename(index_path, displaced)
