@@ -103,6 +103,51 @@ def test_span_rewrite_conservation_vs_audit_sf001(spark):
         assert r.new_tokens + r.tokens_removed == n_toks[r.doc_id], r.doc_id
 
 
+def _rewritten_corpus_dir(spark, sf_dir: str, out_dir: str) -> str:
+    """Materialize the post-rewrite corpus: every doc, with the rewritten
+    text where the pass touched it — the artifact a real pipeline ships."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rewrite = registry.QUERIES["q_dedup_span_rewrite"](spark, sf_dir).select(
+        "doc_id", "new_text"
+    )
+    out = (
+        docs.join(rewrite, "doc_id", "left")
+        .withColumn("text", F.coalesce(F.col("new_text"), F.col("text")))
+        .drop("new_text")
+    )
+    out.write.parquet(os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def test_span_rewrite_converges(spark):
+    """The Lee et al. convergence claim as a test: one rewrite pass must
+    strictly shrink the corpus's duplicated-span mass (Σ span_tokens of
+    a fresh report over the REWRITTEN corpus), and every originally
+    reported pair must be resolved — any residual span comes only from
+    new cut-seam adjacencies, never from a pair the pass claimed to fix
+    at the same positions."""
+    before = registry.QUERIES["q_dedup_spans"](spark, SF01).collect()
+    mass_before = sum(r.span_tokens for r in before)
+    assert mass_before > 0, "fixture has no spans to remove"
+    base = tempfile.mkdtemp(prefix="span_converge_")
+    try:
+        _rewritten_corpus_dir(spark, SF01, base)
+        memo_unpersist("span_pos_shingles")
+        memo_unpersist("span_rewrite_islands")
+        after = registry.QUERIES["q_dedup_spans"](spark, base).collect()
+        mass_after = sum(r.span_tokens for r in after)
+        assert mass_after < mass_before, (mass_before, mass_after)
+        resolved = {(r.doc_a, r.doc_b, r.start_a, r.start_b) for r in before}
+        for r in after:
+            assert (r.doc_a, r.doc_b, r.start_a, r.start_b) not in resolved, r
+    finally:
+        memo_unpersist("span_pos_shingles")
+        memo_unpersist("span_rewrite_islands")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_span_rewrite_overlap_merge_planted(spark):
     """Planted overlap: one doc duplicating two OVERLAPPING chunks of two
     distinct keepers must have its intervals merged (cut once), and a doc
