@@ -774,6 +774,35 @@ def _ivf_probe(spark: SparkSession, sf_dir: str):
     return [r["cid"] for r in probe_rows], [float(x) for x in probe_rows[0]["qvec"]]
 
 
+def probe_ivf(spark: SparkSession, sf_dir: str, index: DataFrame) -> DataFrame:
+    """The IVF query half shared by EVERY probe site — the one-shot
+    assignment (`q_knn_cosine_ivf`), the persisted index
+    (`q_knn_cosine_ivf_indexed`), and the two streamed-index lifecycle
+    queries (`q_stream_ann_index_exec` / `q_stream_ann_compact_exec`):
+    driver-side K-row probe ranking (:func:`_ivf_probe`), a cid filter
+    over ``index`` (partition-PRUNING wherever cid is a partition
+    column — the per-batch ``batch=/cid=`` layout, the compacted
+    ``batch=-1/cid=`` layout, and the one-shot ``cid=`` layout all
+    prune), exact-cosine re-rank, top-10.  ONE definition so the four
+    queries sharing the same exact oracle cannot drift (code-review
+    r9: the rank block existed in three copies)."""
+    probe = _ivf_probe(spark, sf_dir)
+    if probe is None:  # query vector absent → empty result, stable schema
+        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
+    probe_cids, qvec = probe
+    lit_q = F.array(*[F.lit(x) for x in qvec])
+    return (
+        index.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def _ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF coarse-quantizer assignment relation (vec_id → nearest of
     the K=16 deterministic centroids, round-6 argmax): the plan
@@ -894,22 +923,7 @@ def q_knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; kept eager because the probe list must be a literal
     for the filter to prune partitions in a persisted index.
     """
-    probe = _ivf_probe(spark, sf_dir)
-    if probe is None:  # query vector absent → empty result, stable schema
-        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
-    probe_cids, qvec = probe
-    lit_q = F.array(*[F.lit(x) for x in qvec])
-    assign = _ivf_assign(spark, sf_dir)
-    return (
-        assign.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            "label",
-            _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return probe_ivf(spark, sf_dir, _ivf_assign(spark, sf_dir))
 
 
 # Persisted-index directories, one per (SparkContext, sf_dir) — the index
@@ -972,21 +986,8 @@ def q_knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment pass + partitioned write); subsequent calls reuse it —
     mirroring a real pipeline where ingest writes the index and queries
     only read."""
-    probe = _ivf_probe(spark, sf_dir)
-    if probe is None:
-        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
-    probe_cids, qvec = probe
-    lit_q = F.array(*[F.lit(x) for x in qvec])
-    index = spark.read.parquet(ivf_index_dir(spark, sf_dir))
-    return (
-        index.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            F.col("label").cast("int").alias("label"),
-            _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
+    return probe_ivf(
+        spark, sf_dir, spark.read.parquet(ivf_index_dir(spark, sf_dir))
     )
 
 

@@ -360,34 +360,36 @@ def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFra
 from ..operators.embeddings import _IVF_ORACLE as _ANN_ORACLE  # noqa: E402
 
 
+def _ingest_ivf(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """The shared ingest harness of the two streamed-index queries: feed
+    the embeddings table as 4 chunks through the foreachBatch upsert
+    into a fresh session tempdir; returns the index table path
+    (code-review r9: the block existed verbatim in both queries)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.embeddings import centroid_rows
+    from .twins import incremental_ivf_index, write_embedding_chunks
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    write_embedding_chunks(spark, sf_dir, f"{base}/vec_src", n_chunks=4)
+    return incremental_ivf_index(
+        spark, f"{base}/vec_src", f"{base}/state", centroid_rows(spark, sf_dir)
+    )
+
+
 def _probe_ivf_table(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
-    """The query half shared by the streamed-index ANN queries —
-    identical to ``q_knn_cosine_ivf_indexed``: driver-side K-row probe
-    ranking, partition-PRUNED scan of the nprobe nearest cells (works
-    unchanged on the per-batch ``batch=/cid=`` layout and the compacted
-    ``cid=`` layout — the cid filter prunes either), exact-cosine
-    re-rank, top-10."""
-    from ..functions.vectors import cosine_sim
-    from ..operators.embeddings import _ivf_probe, _round5
+    """Path-taking thin wrapper over the ONE shared probe definition
+    (``operators.embeddings.probe_ivf`` — code-review r9 unified the
+    three copies of the rank block); kept here because the streamed
+    queries and tools/bench_ann_ingest.py address the index by PATH."""
+    from ..operators.embeddings import probe_ivf
 
-    probe = _ivf_probe(spark, sf_dir)
-    if probe is None:  # query vector absent → empty result, stable schema
-        return spark.createDataFrame([], "vec_id long, label int, cos_sim double")
-    probe_cids, qvec = probe
-    lit_q = F.array(*[F.lit(x) for x in qvec])
-    index = spark.read.parquet(index_path)
-    return (
-        index.where(F.col("cid").isin(probe_cids) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            F.col("label").cast("int").alias("label"),
-            _round5(cosine_sim(F.col("embedding"), lit_q)).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-        .limit(10)
-    )
+    return probe_ivf(spark, sf_dir, spark.read.parquet(index_path))
 
 
 @register("q_stream_ann_index_exec", oracle=_ANN_ORACLE)
@@ -408,22 +410,7 @@ def q_stream_ann_index_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 — and because assignment is row-local and the quantizer is
     pinned at stream start, the streamed index answers the SAME exact
     oracle bit-identically."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from ..operators.embeddings import centroid_rows
-    from .twins import incremental_ivf_index, write_embedding_chunks
-
-    base = tempfile.mkdtemp(prefix="spark_ann_ingest_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    src = f"{base}/vec_src"
-    state = f"{base}/state"
-    write_embedding_chunks(spark, sf_dir, src, n_chunks=4)
-    index_path = incremental_ivf_index(
-        spark, src, state, centroid_rows(spark, sf_dir)
-    )
-    return _probe_ivf_table(spark, sf_dir, index_path)
+    return _probe_ivf_table(spark, sf_dir, _ingest_ivf(spark, sf_dir, "spark_ann_ingest_"))
 
 
 @register("q_stream_ann_compact_exec", oracle=_ANN_ORACLE)
@@ -441,25 +428,9 @@ def q_stream_ann_compact_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe wall is flat in batch count (tools/bench_ann_ingest.py
     ``--compact`` rung) and the probe RESULT is bit-identical pre/post
     (tests/test_ann_compaction.py)."""
-    import atexit
-    import shutil
-    import tempfile
+    from .twins import compact_ivf_index
 
-    from ..operators.embeddings import centroid_rows
-    from .twins import (
-        compact_ivf_index,
-        incremental_ivf_index,
-        write_embedding_chunks,
-    )
-
-    base = tempfile.mkdtemp(prefix="spark_ann_compact_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
-    src = f"{base}/vec_src"
-    state = f"{base}/state"
-    write_embedding_chunks(spark, sf_dir, src, n_chunks=4)
-    index_path = incremental_ivf_index(
-        spark, src, state, centroid_rows(spark, sf_dir)
-    )
+    index_path = _ingest_ivf(spark, sf_dir, "spark_ann_compact_")
     return _probe_ivf_table(spark, sf_dir, compact_ivf_index(spark, index_path))
 
 

@@ -516,6 +516,29 @@ def click_purchase_full_outer_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# ONE copy of the raw events stream-read schema (code-review r9: the
+# literal appeared in stream_events_with_flush AND shared_flush_feed) and
+# of the explicit-mtime stamping discipline (the r7 lesson: write-time
+# mtimes tie on 1 s-granularity filesystems and the FileStreamSource's
+# tie-break is unspecified — every chunked-feed writer must stamp).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def _stamp_new_chunk_files(src_dir: str, seen: set, t: float) -> None:
+    """Give every not-yet-seen part file in ``src_dir`` the explicit
+    mtime ``t`` so the FileStreamSource's oldest-mtime-first order is
+    deterministic across filesystems."""
+    import os as _os
+
+    for name in _os.listdir(src_dir):
+        if name.startswith("part-") and name not in seen:
+            seen.add(name)
+            _os.utime(_os.path.join(src_dir, name), (t, t))
+
+
 def stream_events_with_flush(
     spark: SparkSession, sf_dir: str, src_dir: str, n_real_chunks: int = 1
 ) -> DataFrame:
@@ -532,7 +555,6 @@ def stream_events_with_flush(
     Consumers must filter ``user_id >= 0``.  Chunk order is pinned with
     explicit strictly-increasing mtimes (the write_ordered_event_chunks
     discipline).  Returns the readStream DataFrame."""
-    import os as _os
     import time as _time
 
     from pyspark.sql import Window
@@ -541,19 +563,12 @@ def stream_events_with_flush(
 
     ev = load_events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
-    schema = (
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string"
-    )
+    schema = EVENTS_STREAM_SCHEMA
     base_t = _time.time()
     seen: set[str] = set()
 
     def _stamp(k: int) -> None:
-        for name in _os.listdir(src_dir):
-            if name.startswith("part-") and name not in seen:
-                seen.add(name)
-                t = base_t + k
-                _os.utime(_os.path.join(src_dir, name), (t, t))
+        _stamp_new_chunk_files(src_dir, seen, base_t + k)
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     if n_real_chunks == 1:
@@ -629,12 +644,8 @@ def shared_flush_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream_events_with_flush(spark, sf_dir, src)
         _FLUSH_FEED_DIRS[key] = src
         return stream
-    schema = (
-        "event_id long, ts timestamp, user_id long, "
-        "event_type string, value double, props string"
-    )
     return (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -657,7 +668,6 @@ def write_ordered_event_chunks(
     on write-time mtimes breaks on filesystems with 1 s granularity —
     two chunks tie and the FileStreamSource's tie-break is unspecified,
     which would feed the SCD2 fold out of order)."""
-    import os as _os
     import time as _time
 
     from pyspark.sql import Window
@@ -679,11 +689,7 @@ def write_ordered_event_chunks(
             .write.mode("append")
             .parquet(src_dir)
         )
-        for name in _os.listdir(src_dir):
-            if name.startswith("part-") and name not in seen:
-                seen.add(name)
-                t = base_t + k  # chunk k strictly after chunk k-1
-                _os.utime(_os.path.join(src_dir, name), (t, t))
+        _stamp_new_chunk_files(src_dir, seen, base_t + k)  # k after k-1
 
 
 def write_embedding_chunks(
@@ -697,7 +703,6 @@ def write_embedding_chunks(
     row-local), so batch order never changes the final state — the
     stamping only makes the crash-injection test's "crash before batch k"
     land on the same rows every run."""
-    import os as _os
     import time as _time
 
     from ..sources.readers import load_table
@@ -712,11 +717,7 @@ def write_embedding_chunks(
             .write.mode("append")
             .parquet(src_dir)
         )
-        for name in _os.listdir(src_dir):
-            if name.startswith("part-") and name not in seen:
-                seen.add(name)
-                t = base_t + k
-                _os.utime(_os.path.join(src_dir, name), (t, t))
+        _stamp_new_chunk_files(src_dir, seen, base_t + k)
 
 
 def incremental_ivf_index(
@@ -787,36 +788,53 @@ def incremental_ivf_index(
     return index_path
 
 
-def compact_ivf_index(spark: SparkSession, index_path: str) -> str:
+def compact_ivf_index(
+    spark: SparkSession, index_path: str, checkpoint_dir: str | None = None
+) -> str:
     """Compact the incrementally-maintained IVF index: merge the
-    accumulated ``batch={id}/cid={k}`` subtrees into ONE consolidated
-    subtree ``batch={max committed id}/cid={k}``, one file per cell
-    (VERDICT r8 "what's missing" #2 — after thousands of micro-batches
-    the probe scan reads thousands of small files per probed cell;
-    compaction restores one-shot-build file counts while the probe query
-    stays byte-for-byte identical, pinned by
-    tests/test_ann_compaction.py).
+    COMMITTED ``batch={id}/cid={k}`` subtrees into ONE consolidated
+    subtree ``batch=-1/cid={k}``, one file per cell (VERDICT r8 "what's
+    missing" #2 — after thousands of micro-batches the probe scan reads
+    thousands of small files per probed cell; compaction restores
+    one-shot-build file counts while the probe query stays byte-for-byte
+    identical, pinned by tests/test_ann_compaction.py).
 
-    The ``batch=`` partition layer is PRESERVED, not dropped: a resumed
-    ingest stream appends ``batch={max+1}`` next to the compacted
-    subtree, and parquet partition discovery requires every leaf at the
-    same depth — a root-level ``cid=`` layout would poison the table for
-    the next micro-batch (round-9 regression test
-    ``test_ingest_resumes_after_compaction``; Spark raises
-    CONFLICTING_PARTITION_COLUMN_NAMES on the mixed layout).  Collapsing
-    into the LARGEST committed batch id cannot collide with future ids —
-    foreachBatch ids are checkpoint-monotone — and a re-run collapses
-    the single subtree onto itself (idempotent).  Run compaction in a
-    maintenance window (stream stopped): the swap below momentarily
-    renames the table away, which a concurrent upsert must not race.
+    Two invariants shape the target layout (both round-9 regression
+    lessons):
+
+    - **The ``batch=`` partition layer is PRESERVED**: a resumed ingest
+      appends ``batch={next id}`` next to the compacted subtree, and
+      parquet partition discovery requires every leaf at the same depth —
+      a root-level ``cid=`` layout poisons the table for the next
+      micro-batch (CONFLICTING_PARTITION_COLUMN_NAMES;
+      ``test_ingest_resumes_after_compaction``).
+    - **Only COMMITTED batches merge, into the RESERVED id −1.**  A
+      foreachBatch subtree can exist on disk for a batch whose
+      checkpoint commit never landed (crash between the write and the
+      commit); Structured Streaming REPLAYS that id on resume and the
+      upsert's ``mode("overwrite")`` of ``batch={id}`` is the very
+      idempotence mechanism — so consolidated data must never live
+      under a replayable id (code-review r9: collapsing into the max
+      DATA id would let the replay erase the whole index).  Committed
+      ids never replay, −1 is outside foreachBatch's id space entirely,
+      and uncommitted subtrees are carried into the new tree VERBATIM
+      for the replay to overwrite.  Committed = the integer entries of
+      ``{checkpoint_dir}/commits`` (default: the ``_checkpoint`` sibling
+      ``incremental_ivf_index`` pins); with no readable commits log the
+      newest data id is conservatively treated as uncommitted.
+
+    Run compaction in a maintenance window (stream stopped): the swap
+    below momentarily renames the table away, which a concurrent upsert
+    must not race.
 
     Crash-safe write-then-atomic-swap, the versioned-state discipline:
 
       1. recovery preamble — if ``index_path`` is MISSING, a prior
-         compaction died mid-swap: roll FORWARD (staging carries Spark's
-         ``_SUCCESS`` commit marker → it is the complete new index) or
-         BACK (the displaced old tree is still whole) — both restore a
-         readable index before anything else;
+         compaction died mid-swap: roll FORWARD (staging carries the
+         ``_COMPACT_PUBLISH_READY`` marker, written LAST — Spark's own
+         ``_SUCCESS`` is not enough once staging also receives verbatim
+         copies after the write) or BACK (the displaced old tree is
+         still whole) — both restore a readable index first;
       2. any stale staging/displaced tree is deleted and the staging
          tree rebuilt from scratch (idempotence by recomputation: a
          retried compaction never trusts a partial artifact);
@@ -824,19 +842,18 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> str:
          rename atomic; the only unreadable window is between them,
          which step 1 repairs), then drop the displaced tree.
 
-    Readers keep opening ``index_path`` as one partitioned table; the
-    ``batch`` partition column disappears, which no query depends on —
-    it exists only to make micro-batch retries idempotent.  At
-    production scale this is the lakehouse table-maintenance job (OPTIMIZE
-    / rewrite_data_files); the file protocol here is the same idea on
-    bare parquet directories.  Returns ``index_path``."""
+    At production scale this is the lakehouse table-maintenance job
+    (OPTIMIZE / rewrite_data_files) gated on the commit log; the file
+    protocol here is the same idea on bare parquet directories.
+    Returns ``index_path``."""
     import os
     import shutil
 
     staging = f"{index_path}.compact_staging"
     displaced = f"{index_path}.displaced"
+    marker = "_COMPACT_PUBLISH_READY"
     if not os.path.exists(index_path):
-        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        if os.path.exists(os.path.join(staging, marker)):
             os.rename(staging, index_path)  # roll forward
         elif os.path.exists(displaced):
             os.rename(displaced, index_path)  # roll back
@@ -847,19 +864,56 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> str:
             )
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(displaced, ignore_errors=True)
+
+    on_disk = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(index_path)
+        if d.startswith("batch=") and d.split("=", 1)[1].lstrip("-").isdigit()
+    )
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(os.path.dirname(index_path), "_checkpoint")
+    committed: set[int] | None = None
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    if os.path.isdir(commits_dir):
+        committed = {
+            int(f) for f in os.listdir(commits_dir) if f.lstrip("-").isdigit()
+        }
+    nonneg = [b for b in on_disk if b >= 0]
+    if committed is not None:
+        mergeable = [b for b in nonneg if b in committed]
+    else:
+        # No commits log: at most ONE written-but-uncommitted subtree can
+        # exist (foreachBatch is sequential) and it is the newest — leave
+        # it out conservatively.
+        mergeable = nonneg[:-1]
+    if -1 in on_disk:  # prior compaction output: always re-mergeable
+        mergeable = [-1] + mergeable
+    untouched = [b for b in on_disk if b not in set(mergeable)]
+    if not mergeable:
+        return index_path  # nothing safely mergeable — no-op
+
     index = spark.read.parquet(index_path)
     data_cols = [c for c in index.columns if c not in ("batch", "cid")]
-    max_batch = index.agg(F.max("batch")).collect()[0][0]
     # repartition on cid → each cell's rows land in one task, so the
     # partitionBy write emits ONE consolidated file per cid directory
-    # (all under the single batch={max_batch} subtree).
+    # (all under the reserved batch=-1 subtree).
     (
-        index.select(*data_cols, F.lit(max_batch).alias("batch"), "cid")
+        index.where(F.col("batch").isin(mergeable))
+        .select(*data_cols, F.lit(-1).alias("batch"), "cid")
         .repartition(F.col("cid"))
         .write.mode("overwrite")
         .partitionBy("batch", "cid")
         .parquet(staging)
     )
+    # Possibly-uncommitted subtrees ride along VERBATIM — the resume
+    # replay overwrites them in place inside the new tree.
+    for b in untouched:
+        shutil.copytree(
+            os.path.join(index_path, f"batch={b}"),
+            os.path.join(staging, f"batch={b}"),
+        )
+    with open(os.path.join(staging, marker), "w") as fh:
+        fh.write("")
     os.rename(index_path, displaced)
     os.rename(staging, index_path)
     shutil.rmtree(displaced, ignore_errors=True)

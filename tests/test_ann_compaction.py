@@ -68,11 +68,12 @@ def test_compaction_preserves_rows_and_consolidates(ingested):
     per_cid = Counter(os.path.dirname(p) for p in files_after)
     assert max(per_cid.values()) == 1
     assert len(files_after) < len(files_before)
-    # The batch partition layer is PRESERVED (single subtree = the max
-    # committed id) so a resumed ingest keeps the layout uniform.
+    # The batch partition layer is PRESERVED and everything merged into
+    # the RESERVED id -1 (the stream ended cleanly, so every batch is in
+    # the checkpoint commits log and is mergeable).
     compacted = spark.read.parquet(index)
     assert "batch" in compacted.columns
-    assert compacted.select("batch").distinct().count() == 1
+    assert [r.batch for r in compacted.select("batch").distinct().collect()] == [-1]
 
 
 def test_compaction_is_idempotent(ingested):
@@ -91,16 +92,18 @@ def test_compaction_rolls_forward_after_crash_between_renames(ingested):
     expected = _multiset(spark.read.parquet(index))
     staging = f"{index}.compact_staging"
     displaced = f"{index}.displaced"
-    # Reproduce the crash state by hand: staged full compaction, index
-    # displaced, process dies before staging → index.
+    # Reproduce the crash state by hand: staged full compaction (with
+    # the publish marker, written last), index displaced, process dies
+    # before staging → index.
     from pyspark.sql import functions as F
 
     idx_df = spark.read.parquet(index)
     data_cols = [c for c in idx_df.columns if c not in ("batch", "cid")]
-    maxb = idx_df.agg(F.max("batch")).collect()[0][0]
-    idx_df.select(*data_cols, F.lit(maxb).alias("batch"), "cid").repartition(
+    idx_df.select(*data_cols, F.lit(-1).alias("batch"), "cid").repartition(
         "cid"
     ).write.partitionBy("batch", "cid").parquet(staging)
+    with open(f"{staging}/_COMPACT_PUBLISH_READY", "w") as fh:
+        fh.write("")
     os.rename(index, displaced)
     compact_ivf_index(spark, index)
     assert _multiset(spark.read.parquet(index)) == expected
@@ -159,3 +162,56 @@ def test_ingest_resumes_after_compaction(spark, ingested):
     # (compacted subtree + new batch subtree) table.
     some_cid = spark.read.parquet(index2).select("cid").first().cid
     assert spark.read.parquet(index2).where(F.col("cid") == some_cid).count() > 0
+
+
+def test_compaction_never_merges_uncommitted_batches(ingested):
+    """Code-review r9 data-loss regression: a batch subtree whose
+    checkpoint commit never landed is REPLAYED on resume, and the
+    replay's mode('overwrite') of batch={id} must not be able to erase
+    consolidated data.  Compaction must leave the uncommitted subtree
+    verbatim, merge only committed ids into the reserved batch=-1, and
+    survive the replay."""
+    spark, index = ingested
+    state = os.path.dirname(index)
+    commits = f"{state}/_checkpoint/commits"
+    ids = sorted(int(f) for f in os.listdir(commits) if f.lstrip("-").isdigit())
+    maxb = ids[-1]
+    expected = _multiset(spark.read.parquet(index))
+    uncommitted_files = sorted(os.listdir(f"{index}/batch={maxb}"))
+    uncommitted_rows = _multiset(spark.read.parquet(f"{index}/batch={maxb}"))
+    os.remove(f"{commits}/{maxb}")  # simulate crash-before-commit
+    compact_ivf_index(spark, index)
+    # Full content preserved; uncommitted subtree untouched; the rest in -1.
+    assert _multiset(spark.read.parquet(index)) == expected
+    assert sorted(os.listdir(f"{index}/batch={maxb}")) == uncommitted_files
+    batches = {
+        int(d.split("=")[1]) for d in os.listdir(index) if d.startswith("batch=")
+    }
+    assert batches == {-1, maxb}
+    # Simulate the resume replay: overwrite batch={maxb} with its own
+    # rows (exactly what the foreachBatch upsert does) — the index must
+    # still be complete afterwards.
+    src = spark.read.parquet(f"{index}/batch={maxb}")
+    replay_rows, replay_schema = src.collect(), src.schema
+    spark.createDataFrame(replay_rows, replay_schema).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{index}/batch={maxb}")
+    assert _multiset(spark.read.parquet(index)) == expected
+    assert _multiset(spark.read.parquet(f"{index}/batch={maxb}")) == uncommitted_rows
+
+
+def test_compaction_without_commits_log_spares_newest(ingested):
+    """With no readable commits log the newest data id is conservatively
+    treated as uncommitted: merged = everything older, newest verbatim."""
+    import shutil as _shutil
+
+    spark, index = ingested
+    state = os.path.dirname(index)
+    _shutil.rmtree(f"{state}/_checkpoint/commits")
+    expected = _multiset(spark.read.parquet(index))
+    compact_ivf_index(spark, index)
+    assert _multiset(spark.read.parquet(index)) == expected
+    batches = {
+        int(d.split("=")[1]) for d in os.listdir(index) if d.startswith("batch=")
+    }
+    assert -1 in batches and len(batches) == 2

@@ -68,13 +68,14 @@ def _time_probe(spark, base: str, index_path: str, reps: int = 3) -> dict:
     from recsys_mapreduce_mrjob_spark.streaming.queries import _probe_ivf_table
 
     probe_cids = _ivf_probe(spark, base)[0]
+    # recursive '**' also matches zero directories, so this one pattern
+    # covers the per-batch, compacted, and flat one-shot layouts alike.
     files = [
         p
         for cid in probe_cids
         for p in _glob.glob(
             f"{index_path}/**/cid={cid}/*.parquet", recursive=True
         )
-        + _glob.glob(f"{index_path}/cid={cid}/*.parquet")
     ]
     walls = []
     for _ in range(reps):
