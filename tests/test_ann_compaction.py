@@ -215,3 +215,34 @@ def test_compaction_without_commits_log_spares_newest(ingested):
         int(d.split("=")[1]) for d in os.listdir(index) if d.startswith("batch=")
     }
     assert -1 in batches and len(batches) == 2
+
+
+def test_compaction_recovers_from_stale_staging_with_index_present(ingested):
+    """Crash window 1 of the swap matrix: staging written (even fully,
+    marker included) but the index was never renamed away.  A re-run
+    must DISCARD the stale staging (never trust a partial artifact —
+    the index may have gained batches since) and rebuild from scratch."""
+    spark, index = ingested
+    expected = _multiset(spark.read.parquet(index))
+    staging = f"{index}.compact_staging"
+    os.makedirs(staging)
+    with open(f"{staging}/_COMPACT_PUBLISH_READY", "w") as fh:
+        fh.write("")  # even a 'complete' marker must not be trusted here
+    compact_ivf_index(spark, index)
+    assert _multiset(spark.read.parquet(index)) == expected
+    assert not os.path.exists(staging)
+
+
+def test_compaction_recovers_from_leftover_displaced_tree(ingested):
+    """Crash window 4: swap finished but the displaced old tree was
+    never deleted.  A re-run must drop it and leave the index intact."""
+    spark, index = ingested
+    compact_ivf_index(spark, index)
+    expected = _multiset(spark.read.parquet(index))
+    displaced = f"{index}.displaced"
+    os.makedirs(displaced)
+    with open(f"{displaced}/leftover", "w") as fh:
+        fh.write("old tree remnant")
+    compact_ivf_index(spark, index)
+    assert _multiset(spark.read.parquet(index)) == expected
+    assert not os.path.exists(displaced)
