@@ -1530,6 +1530,13 @@ FROM kept
 )
 
 
+# Broadcast the rewrite's per-doc interval lists only while the raw
+# interval relation stays below this bound (~a few hundred MB of structs);
+# beyond it the shuffled hash join is the right plan for a heavily
+# duplicated corpus.  Equality of both join paths is pytest-pinned.
+_REWRITE_BROADCAST_MAX_INTERVALS = 5_000_000
+
+
 def _span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per raw non-keeper removal interval with its merge-island
     id — memo-persisted because the rewrite consumes its merge while the
@@ -1590,12 +1597,19 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the interval relation is span-report-sized (bounded by the
     occurrence cap, never corpus pairs); windows partition per doc_id
-    over per-doc interval counts; the merged per-doc interval lists
-    broadcast to the documents scan, so the corpus is touched by exactly
-    one pass — a scan-side array filter per doc, no explode of the
-    corpus into tokens.  All-integer positions — bit-identical
-    cross-engine, including the all-tokens-removed edge (empty string in
-    both engines)."""
+    over per-doc interval counts; the merged per-doc interval lists join
+    back to the documents scan so the corpus is touched by exactly one
+    pass — a scan-side array filter per doc, no explode of the corpus
+    into tokens.  The join-back is size-DISPATCHED (the same
+    data-dependent dispatch as the knn kernel / GEMM tile count): the
+    broadcast hint applies only while the merged-interval relation is
+    small (a metadata-cheap count on the memoized islands — one row per
+    raw interval bounds it from above); a heavily duplicated corpus
+    whose report outgrows :data:`_REWRITE_BROADCAST_MAX_INTERVALS` falls
+    back to the shuffled hash join, which is the correct plan when both
+    sides are big.  All-integer positions — bit-identical cross-engine,
+    including the all-tokens-removed edge (empty string in both
+    engines)."""
     islands = _span_islands(spark, sf_dir)
     merged = islands.groupBy("doc_id", "g").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
@@ -1608,7 +1622,11 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
-    joined = docs.join(F.broadcast(per_doc), "doc_id")
+    # islands is memoized/persisted, so this upper-bound count is a
+    # cheap cache scan, not a recompute of the span pipeline.
+    if islands.count() <= _REWRITE_BROADCAST_MAX_INTERVALS:
+        per_doc = F.broadcast(per_doc)
+    joined = docs.join(per_doc, "doc_id")
     kept = F.filter(
         F.col("t"),
         lambda tok, i: ~F.exists(

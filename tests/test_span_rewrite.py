@@ -121,6 +121,22 @@ def _rewritten_corpus_dir(spark, sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def test_span_rewrite_join_paths_agree(spark, monkeypatch):
+    """The size dispatch must be a pure PLAN choice: forcing the shuffled
+    hash join (threshold 0) yields row-identical results to the
+    broadcast path at bench scale."""
+    from recsys_mapreduce_mrjob_spark.operators import dedup as d
+
+    broadcast_rows = sorted(
+        map(tuple, registry.QUERIES["q_dedup_span_rewrite"](spark, SF01).collect())
+    )
+    monkeypatch.setattr(d, "_REWRITE_BROADCAST_MAX_INTERVALS", -1)
+    shuffled_rows = sorted(
+        map(tuple, registry.QUERIES["q_dedup_span_rewrite"](spark, SF01).collect())
+    )
+    assert shuffled_rows == broadcast_rows and len(broadcast_rows) > 0
+
+
 def test_span_rewrite_converges(spark):
     """The Lee et al. convergence claim as a test: one rewrite pass must
     strictly shrink the corpus's duplicated-span mass (Σ span_tokens of
