@@ -1578,6 +1578,24 @@ def _span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_persist(spark, "span_rewrite_islands", sf_dir, build)
 
 
+_ISLANDS_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _span_islands_count(spark: SparkSession, sf_dir: str) -> int:
+    """Row count of the memoized island relation, cached per
+    (applicationId, sf_dir) so the rewrite's broadcast size dispatch
+    costs ONE cache-scan job per session instead of one per query build
+    (round-10 hygiene for the only dispatch site without a
+    metadata-only ``parquet_num_rows`` path — the relation is derived,
+    not a parquet file)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ISLANDS_COUNT_CACHE.get(key)
+    if hit is None:
+        hit = _span_islands(spark, sf_dir).count()
+        _ISLANDS_COUNT_CACHE[key] = hit
+    return hit
+
+
 @register("q_dedup_span_rewrite", oracle=_SPAN_REWRITE_ORACLE)
 def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring REMOVAL — the rewrite pass that consumes the
@@ -1615,24 +1633,43 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s").alias("s"), F.max("e").alias("e")
     )
     per_doc = merged.groupBy("doc_id").agg(
-        F.collect_list(F.struct("s", "e")).alias("ivs"),
+        # Sorted so the cut below can slice the GAPS between intervals —
+        # collect_list order is partition-arrival order, not positional.
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
         F.count(F.lit(1)).cast("long").alias("spans_merged"),
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("tokens_removed"),
     )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
-    # islands is memoized/persisted, so this upper-bound count is a
-    # cheap cache scan, not a recompute of the span pipeline.
-    if islands.count() <= _REWRITE_BROADCAST_MAX_INTERVALS:
+    # Size dispatch: the upper-bound count is a deliberate (tiny) Spark
+    # job — a scan of the memoized island cache, run once per session via
+    # _span_islands_count, never a recompute of the span pipeline.
+    if _span_islands_count(spark, sf_dir) <= _REWRITE_BROADCAST_MAX_INTERVALS:
         per_doc = F.broadcast(per_doc)
     joined = docs.join(per_doc, "doc_id")
-    kept = F.filter(
-        F.col("t"),
-        lambda tok, i: ~F.exists(
-            F.col("ivs"),
-            lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"]),
-        ),
+    # Cut in O(tokens + intervals): the merged intervals are DISJOINT and
+    # sorted, so the kept tokens are exactly the concatenation of the k+1
+    # gap slices t[1..s1-1], t[e1+1..s2-1], …, t[ek+1..n] — replacing the
+    # r9 per-token F.exists scan of the interval list (O(tokens·intervals),
+    # the one ladder whose ratio grew with K; BASELINE.md r9).
+    n = F.size(F.col("t"))
+    gap_starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(F.col("ivs"), lambda v: v["e"] + 1),
+    )
+    gap_ends = F.concat(
+        F.transform(F.col("ivs"), lambda v: v["s"] - 1),
+        F.array(n),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda a, b: F.slice(
+                F.col("t"), a, F.greatest(b - a + 1, F.lit(0))
+            ),
+        )
     )
     return joined.select(
         "doc_id",

@@ -348,6 +348,22 @@ def prune_state_versions(state_dir: str, keep: int = 2) -> list[int]:
     doomed = complete[:-keep] if keep < len(complete) else []
     for v in doomed:  # oldest-first: a mid-run kill still leaves the tail
         shutil.rmtree(os.path.join(state_dir, f"v{v}"))
+    # A pruner killed mid-rmtree can strip a version's _SUCCESS before its
+    # data files, leaving an incomplete dir that the complete-version scan
+    # above never counts and the writer never overwrites (ADVICE r9).
+    # Incomplete dirs STRICTLY OLDER than the oldest kept complete version
+    # can never be a writer's in-flight batch (batch_ids are monotonic),
+    # so they are orphans — collect them too.
+    if complete:
+        oldest_kept = complete[-keep] if keep <= len(complete) else complete[0]
+        for d in os.listdir(state_dir):
+            if (
+                d.startswith("v")
+                and d[1:].isdigit()
+                and int(d[1:]) < oldest_kept
+                and not os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
+            ):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
     return doomed
 
 
@@ -563,6 +579,23 @@ def stream_events_with_flush(
 
     ev = load_events(spark, sf_dir)
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # An empty events table would otherwise surface as an opaque
+        # TypeError on the flush_ts arithmetic below (ADVICE r9).
+        raise ValueError(
+            f"stream_events_with_flush: events table at {sf_dir} is empty — "
+            "no max ts to anchor the sentinel flush chunks"
+        )
+    if not ev.where(F.col("user_id") < 0).isEmpty():
+        # The sentinel convention reserves negative user_ids; consumers
+        # filter `user_id >= 0`, which would SILENTLY drop real rows on a
+        # source that legitimately uses them (VERDICT r9 wrong-list #4).
+        raise ValueError(
+            "stream_events_with_flush: events source contains negative "
+            "user_ids, which collide with the sentinel flush convention "
+            "(consumers filter user_id >= 0) — tag sentinels differently "
+            "for this source"
+        )
     schema = EVENTS_STREAM_SCHEMA
     base_t = _time.time()
     seen: set[str] = set()

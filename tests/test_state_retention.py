@@ -104,3 +104,48 @@ def test_prune_keep_must_be_positive(stats_state):
     _, state = stats_state
     with pytest.raises(ValueError):
         prune_state_versions(state, keep=0)
+
+
+def test_prune_collects_stale_incomplete_orphans(stats_state):
+    """A pruner killed mid-rmtree can delete _SUCCESS before the data
+    files, leaving an incomplete dir OLDER than every kept version that
+    no writer will ever overwrite (ADVICE r9).  Such orphans must be
+    collected; incomplete dirs at-or-newer than the oldest kept complete
+    version stay untouched (they may be a writer's in-flight batch)."""
+    spark, state = stats_state
+    versions = _versions(state)
+    assert len(versions) >= 3
+    # Simulate the half-deleted oldest version: strip its _SUCCESS.
+    orphan = f"{state}/v{versions[0]}"
+    os.remove(f"{orphan}/_SUCCESS")
+    # And a legitimately in-flight NEWER write (no _SUCCESS either).
+    inflight = f"{state}/v{versions[-1] + 1}"
+    os.makedirs(inflight)
+    prune_state_versions(state, keep=2)
+    assert not os.path.exists(orphan), "stale incomplete orphan not collected"
+    assert os.path.exists(inflight), "in-flight newer write must survive"
+
+
+def test_flush_feed_rejects_negative_user_ids(spark):
+    """The sentinel flush convention reserves negative user_ids; a source
+    that legitimately uses them must fail fast instead of having real
+    rows silently dropped by the consumers' `user_id >= 0` filter
+    (VERDICT r9 wrong-list #4)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        stream_events_with_flush,
+    )
+
+    base = tempfile.mkdtemp(prefix="negid_")
+    try:
+        bad_sf = f"{base}/sf"
+        os.makedirs(bad_sf)
+        load_events(spark, SF).limit(50).withColumn(
+            "user_id", -F.col("user_id") - 1
+        ).write.parquet(f"{bad_sf}/events.parquet")
+        with pytest.raises(ValueError, match="negative"):
+            stream_events_with_flush(spark, bad_sf, f"{base}/src")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -67,7 +67,16 @@ def _time_probe(spark, base: str, index_path: str, reps: int = 3) -> dict:
     from recsys_mapreduce_mrjob_spark.operators.embeddings import _ivf_probe
     from recsys_mapreduce_mrjob_spark.streaming.queries import _probe_ivf_table
 
-    probe_cids = _ivf_probe(spark, base)[0]
+    probe = _ivf_probe(spark, base)
+    if probe is None:
+        # Every operator-side probe site guards this; the bench must too
+        # (ADVICE r9) — a missing query vector should read as a clear
+        # message, not a TypeError subscript.
+        raise RuntimeError(
+            f"_time_probe: query vector absent from {base}/embeddings.parquet"
+            " — cannot rank probe cells for this rung"
+        )
+    probe_cids = probe[0]
     # recursive '**' also matches zero directories, so this one pattern
     # covers the per-batch, compacted, and flat one-shot layouts alike.
     files = [
