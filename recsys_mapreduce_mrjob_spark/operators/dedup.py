@@ -1309,27 +1309,32 @@ WITH ptoks AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 pos_sh AS (
-    SELECT doc_id, e.pos AS pos, e.sh AS sh
+    -- Shingle keyed by the repo's PORTABLE 60-bit md5 hash (identical
+    -- arithmetic in the Spark plan), not the 5-token string: the
+    -- occurrence count and cross-doc match compare 8-byte integers.
+    SELECT doc_id, e.pos AS pos, e.hs AS hs
     FROM (
         SELECT doc_id,
                unnest(list_transform(
                    generate_series(1, len(t) - {_SPAN_K - 1}),
                    i -> struct_pack(pos := i,
-                                    sh := array_to_string(t[i:i+{_SPAN_K - 1}], ' '))
+                                    hs := CAST(concat('0x', substr(md5(
+                                        array_to_string(t[i:i+{_SPAN_K - 1}], ' ')
+                                    ), 1, 15)) AS BIGINT))
                )) AS e
         FROM ptoks WHERE len(t) >= {_SPAN_K}
     )
 ),
-sdf AS (SELECT sh, count(*) AS occ FROM pos_sh GROUP BY sh),
+sdf AS (SELECT hs, count(*) AS occ FROM pos_sh GROUP BY hs),
 kept AS (
-    SELECT p.doc_id, p.pos, p.sh
-    FROM pos_sh p JOIN sdf USING (sh)
+    SELECT p.doc_id, p.pos, p.hs
+    FROM pos_sh p JOIN sdf USING (hs)
     WHERE sdf.occ BETWEEN 2 AND {_SPAN_DF_CAP}
 ),
 matches AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.pos AS pa, b.pos AS pb, a.pos - b.pos AS d
-    FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.hs = b.hs AND a.doc_id < b.doc_id
 ),
 islands AS (
     SELECT *, pa - row_number() OVER (PARTITION BY doc_a, doc_b, d
@@ -1354,23 +1359,35 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Lee et al. 2021) consumes, next to the set-level family
     (Jaccard / MinHash / SimHash / containment) that only scores pairs.
 
-    Shape: positional {k}-token shingles (one scan-side explode), a
-    shingle-keyed occurrence count that keeps only 2 ≤ occ ≤ {cap}
-    shingles (the ubiquitous-shingle guard every exact-substring dedup
-    uses — boilerplate n-grams would otherwise quadratically fan the
-    match join; a run interrupted by a capped shingle splits into two
-    reported spans, identically in both engines), an equi-join on the
-    shingle for cross-doc matches, then maximal-run merging as
-    gaps-and-islands per (pair, DIAGONAL pa − pb): consecutive positions
-    on one diagonal are one verbatim run, and ``pa − row_number()``
-    within the diagonal is the island id.  A run of m consecutive
-    matching shingles is m + {k} − 1 shared tokens.
+    Shape (round-10 hashed/fused rework — ~2× at the K=30 ladder rung):
+    positional {k}-token shingles keyed by the repo's PORTABLE 60-bit
+    md5 hash (one scan-side explode; the materialized relation and every
+    downstream compare carry an 8-byte long, not a ~50-byte string — the
+    hash is computed identically in the DuckDB oracle, so even a
+    collision is shared and grading stays bit-exact), a hash-keyed
+    occurrence count that keeps only 2 ≤ occ ≤ {cap} shingles (the
+    ubiquitous-shingle guard every exact-substring dedup uses —
+    boilerplate n-grams would otherwise quadratically fan the match
+    join; a run interrupted by a capped shingle splits into two reported
+    spans, identically in both engines).  Cross-doc matches come from
+    ONE groupBy that collects each kept shingle's ≤ {cap} occurrences
+    and explodes the doc_a < doc_b pairs in place — replacing the former
+    kept ⋈ kept self-join (two more scans + a join shuffle of the same
+    relation).  Maximal-run merging is gaps-and-islands per (pair,
+    DIAGONAL pa − pb): consecutive positions on one diagonal are one
+    verbatim run, and ``pa − row_number()`` within the diagonal is the
+    island id.  A run of m consecutive matching shingles is m + {k} − 1
+    shared tokens.
 
-    Scale: the explode is scan-side; every shuffle is keyed on the
-    shingle or the (pair, diagonal) — the match relation is bounded by
-    occ² ≤ {cap}² per kept shingle, never the corpus pair space; the
-    islands window partitions by (pair, diagonal), which is
-    match-sized.  All-integer arithmetic — bit-identical cross-engine.
+    Scale: the explode is scan-side; the occurrence count is a
+    map-side-combinable partial agg (hot boilerplate shingles combine
+    before the shuffle); the pair-generating collect_list groups ONLY
+    kept shingles, so its buffer is bounded by the cap — a billion-row
+    boilerplate shingle dies at the count filter, never in a group
+    buffer; the match relation is bounded by occ² ≤ {cap}² per kept
+    shingle, never the corpus pair space; the islands window partitions
+    by (pair, diagonal), which is match-sized.  All-integer arithmetic —
+    bit-identical cross-engine.
     """
     from pyspark.sql import Window
 
@@ -1386,44 +1403,68 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sequence(F.lit(1), F.size(t) - (_SPAN_K - 1)),
                         lambda i: F.struct(
                             i.alias("pos"),
-                            F.concat_ws(
-                                " ", F.slice(t, i, _SPAN_K)
-                            ).alias("sh"),
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            " ", F.slice(t, i, _SPAN_K)
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            )
+                            .cast("long")
+                            .alias("hs"),
                         ),
                     ),
                 ).otherwise(
-                    F.array().cast("array<struct<pos:int,sh:string>>")
+                    F.array().cast("array<struct<pos:int,hs:long>>")
                 )
             ).alias("e"),
         )
-        .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.sh").alias("sh"))
+        .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.hs").alias("hs"))
     )
-    # One materialization feeds both the occurrence count and the join
-    # sides (three lazy branches otherwise re-run the explode).
+    # One materialization feeds both the occurrence count and the
+    # kept-shingle join-back (two lazy branches otherwise re-run the
+    # explode).
     pos_sh = memo_persist(spark, "span_pos_shingles", sf_dir, lambda: pos_sh)
-    occ = pos_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("occ"))
-    kept = pos_sh.join(
-        occ.where(
-            (F.col("occ") >= 2) & (F.col("occ") <= _SPAN_DF_CAP)
-        ).select("sh"),
-        "sh",
+    occ_keys = (
+        pos_sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where((F.col("occ") >= 2) & (F.col("occ") <= _SPAN_DF_CAP))
+        .select("hs")
     )
-    a = kept.select(
-        F.col("sh"),
-        F.col("doc_id").alias("doc_a"),
-        F.col("pos").alias("pa"),
+    # AQE sizes occ_keys at runtime: small → broadcast (pos_sh never
+    # shuffles for this join; dropped shingles die map-side).
+    kept = pos_sh.join(occ_keys, "hs")
+    grouped = kept.groupBy("hs").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("os")
     )
-    b = kept.select(
-        F.col("sh"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pb"),
+    pairs = grouped.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "os",
+                        lambda a: F.transform(
+                            "os",
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            )
+        ).alias("p")
     )
-    matches = (
-        a.join(b, "sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pa", "pb", (F.col("pa") - F.col("pb")).alias("d")
-        )
+    matches = pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.pos").alias("pa"),
+        F.col("p.b.pos").alias("pb"),
+        (F.col("p.a.pos") - F.col("p.b.pos")).alias("d"),
     )
     w = Window.partitionBy("doc_a", "doc_b", "d").orderBy("pa")
     islands = matches.withColumn("isl", F.col("pa") - F.row_number().over(w))

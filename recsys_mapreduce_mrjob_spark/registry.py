@@ -41,74 +41,23 @@ ORACLES: dict[str, str] = {}
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-5: NEW round 9, all needing their FIRST driver row —
-    #    the exact substring-REMOVAL pass + its one-row audit (VERDICT r8
-    #    "what's missing" #1: q_dedup_spans reported but nothing consumed
-    #    the report), the ingest→COMPACT→probe ANN lifecycle (#2), and
-    #    the watermark-driven-null left-outer attribution join (#6) --
+    # -- slots 2-3: NEW round 10, needing their FIRST driver row — the
+    #    batched ANN probe (VERDICT r9 "what's missing" #2) and the
+    #    export capstone with the span-REMOVAL layer composed in (#3) --
+    "q_knn_batch_ivf",
+    "q_export_manifest_rewritten",
+    # -- slots 4-8: CHANGED round 10, re-graded to prove bit-identity —
+    #    the span family (hashed/fused shingle relation + slice-and-
+    #    concat cut: plan AND oracle changed together) and the two
+    #    versioned-state execs (key-bucketed state layout, VERDICT r9
+    #    "what's missing" #1 — same oracles, end state must hash equal) --
+    "q_dedup_spans",
     "q_dedup_span_rewrite",
     "q_dedup_span_rewrite_audit",
-    "q_stream_ann_compact_exec",
-    "q_stream_attribution_outer_exec",
-    "q_stream_attribution_full_exec",
-    # -- slots 7-20: the 14 r5-era names the r8 prefix deferred (the
-    #    stale queue VERDICT r8 #3 named; freshness floor rises to r6) --
-    "q_agg_cube",
-    "q_scan_parquet",
-    "q_project_expr",
-    "q_math_funcs",
-    "q_date_funcs",
-    "q_json_funcs",
-    "q_array_funcs",
-    "q_agg_stats",
-    "q_agg_string_agg",
-    "q_except",
-    "q_intersect",
-    "q_window_running",
-    "q_window_sliding",
-    "q_late_data_filter",
-    # -- slots 21-50: the round-6-graded cohort, 30 of 46 (stalest
-    #    remaining era).  The 16 deferred below each leave a
-    #    fresher-graded sibling in or near the prefix --
-    "q_stream_tumbling_exec",
-    "q_stream_user_counter_exec",
-    "q_stream_session_exec",
-    "q_stream_attribution_exec",
-    "q_dedup_components_exact",
-    "q_knn_cosine_lsh_exact",
-    "q_dedup_simhash_exact",
-    "q_pagerank_exact",
-    "q_kmeans_exact",
-    "q_stream_sink_parquet_exec",
-    "q_knn_cosine",
-    "q_dedup_components_twostar",
-    "q_dedup_exact",
-    "q_embedding_label_stats",
-    "q_knn_cosine_ivf",
-    "q_knn_per_label",
-    "q_sample_reservoir_per_lang",
-    "q_sketch_countmin",
-    "q_text_bpe_tokens",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_token_stats",
-    "q_text_winnow_pairs",
-    "q_text_wordcount",
-    "q_udf_znorm_per_user",
-    "q_join_bloom",
-    "q_mixture_resample",
-    "q_pack_blocks",
     "q_stream_incremental_stats_exec",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 16 r6-era names the
-    # prefix could not fit — 8 are rows-only variants whose EXACT twins
-    # grade in-prefix this round (components/near/simhash/kmeans/lsh/
-    # pagerank/dimsum; approx_distinct holds a bounded-error pytest pin),
-    # the window/scalar/multimodal/sampling rest have r7/r8-graded
-    # family siblings.  They lead the round-10 stale queue.  Then the
-    # round-7-graded cohort, then the round-8-graded cohort (freshest).
-    # ------------------------------------------------------------------
+    "q_stream_scd2_exec",
+    # -- slots 9-24: the 16 r6-era names the r9 prefix deferred (the
+    #    stale queue VERDICT r9 #6 named; freshness floor rises to r7) --
     "q_window_ntile",
     "q_window_first_last",
     "q_topk_similar_dimsum",
@@ -125,13 +74,13 @@ GRADING_ORDER: list[str] = [
     "q_sample_weighted",
     "q_string_funcs",
     "q_text_bigrams",
-    # -- round-7-graded cohort --
+    # -- slots 25-50: the round-7-graded cohort, 26 of 47 (stalest
+    #    remaining era); the 21 deferred lead the round-11 queue --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
     "q_dedup_containment",
     "q_text_keywords",
     "q_events_scd2",
-    "q_stream_scd2_exec",
     "q_text_bm25",
     "q_global_shuffle",
     "q_text_ccnet_buckets",
@@ -153,6 +102,12 @@ GRADING_ORDER: list[str] = [
     "q_join_agg_q10",
     "q_join_agg_q12",
     "q_join_agg_q14",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix.  First the 21 r7-graded names the
+    # prefix could not fit — they lead the round-11 stale queue — then
+    # the round-8-graded cohort, then the round-9-graded cohort
+    # (freshest).
+    # ------------------------------------------------------------------
     "q_join_agg_q18",
     "q_join_agg_q3",
     "q_join_agg_q5",
@@ -174,11 +129,10 @@ GRADING_ORDER: list[str] = [
     "q_text_unigram_lm",
     "q_udf_reg_corr",
     "q_window_session",
-    # -- round-8-graded cohort (freshest — verified last round) --
+    # -- round-8-graded cohort --
     "q_scan_csv_ratings",
     "q_scan_csv_quoted",
     "q_stream_ann_index_exec",
-    "q_dedup_spans",
     "q_corpus_curation",
     "q_export_manifest",
     "q_recommend_als",
@@ -224,6 +178,53 @@ GRADING_ORDER: list[str] = [
     "q_window_range_frame",
     "q_window_topk_per_group",
     "q_window_tumbling",
+    # -- round-9-graded cohort (freshest — verified last round) --
+    "q_stream_ann_compact_exec",
+    "q_stream_attribution_outer_exec",
+    "q_stream_attribution_full_exec",
+    "q_agg_cube",
+    "q_scan_parquet",
+    "q_project_expr",
+    "q_math_funcs",
+    "q_date_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_except",
+    "q_intersect",
+    "q_window_running",
+    "q_window_sliding",
+    "q_late_data_filter",
+    "q_stream_tumbling_exec",
+    "q_stream_user_counter_exec",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
+    "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
+    "q_kmeans_exact",
+    "q_stream_sink_parquet_exec",
+    "q_knn_cosine",
+    "q_dedup_components_twostar",
+    "q_dedup_exact",
+    "q_embedding_label_stats",
+    "q_knn_cosine_ivf",
+    "q_knn_per_label",
+    "q_sample_reservoir_per_lang",
+    "q_sketch_countmin",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+    "q_join_bloom",
+    "q_mixture_resample",
+    "q_pack_blocks",
 ]
 
 

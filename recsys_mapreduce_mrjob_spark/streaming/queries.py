@@ -342,14 +342,10 @@ def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFra
     state = f"{base}/state"
     derive_ratings(spark, sf_dir).repartition(3).write.parquet(src)
     incremental_item_stats(spark, src, state)
-    import glob
+    from .twins import read_bucketed_state
 
-    versions = sorted(
-        int(p.rsplit("v", 1)[1])
-        for p in glob.glob(f"{state}/v*")
-        if p.rsplit("v", 1)[1].isdigit()
-    )
-    final = spark.read.parquet(f"{state}/v{versions[-1]}")
+    final = read_bucketed_state(spark, state)
+    assert final is not None, "incremental state dir is empty"
     return final.select(
         "item_id",
         "n",
@@ -461,12 +457,10 @@ def q_stream_scd2_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = f"{base}/state"
     write_ordered_event_chunks(spark, sf_dir, src, n_chunks=6)
     incremental_scd2(spark, src, state)
-    import os
+    from .twins import read_bucketed_state
 
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state) if d.startswith("v")
-    )
-    final = spark.read.parquet(f"{state}/v{versions[-1]}")
+    final = read_bucketed_state(spark, state)
+    assert final is not None, "incremental SCD2 state dir is empty"
     return final.select(
         "user_id",
         "run_id",

@@ -221,3 +221,37 @@ def test_span_rewrite_overlap_merge_planted(spark):
         memo_unpersist("span_pos_shingles")
         memo_unpersist("span_rewrite_islands")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_export_rewritten_token_conservation(spark):
+    """The composed capstone's books must balance: total packed tokens
+    (q_export_manifest_rewritten) = curated tokens − tokens removed from
+    CURATED docs (the span-rewrite merged measure restricted to docs
+    that survived curation), and no shard may carry a negative count."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import _span_islands
+    from recsys_mapreduce_mrjob_spark.operators.text import curated_docs
+
+    manifest = registry.QUERIES["q_export_manifest_rewritten"](
+        spark, SF01
+    ).collect()
+    packed = sum(r.shard_tokens for r in manifest)
+
+    curated = curated_docs(spark, SF01).select("doc_id", "n_tokens")
+    curated_total = curated.agg(F.sum("n_tokens")).collect()[0][0]
+    removed = (
+        _span_islands(spark, SF01)
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed"))
+    )
+    removed_curated = (
+        curated.join(removed, "doc_id")
+        .agg(F.sum("tokens_removed"))
+        .collect()[0][0]
+        or 0
+    )
+    assert packed == curated_total - removed_curated
+    assert all(r.shard_tokens >= 0 and r.n_docs > 0 for r in manifest)

@@ -36,9 +36,10 @@ def _versions(state_dir: str) -> list[int]:
 
 
 def _final_state(spark, state_dir: str) -> Counter:
-    v = _versions(state_dir)[-1]
+    from recsys_mapreduce_mrjob_spark.streaming.twins import read_bucketed_state
+
     return Counter(
-        tuple(r) for r in spark.read.parquet(f"{state_dir}/v{v}").collect()
+        tuple(r) for r in read_bucketed_state(spark, state_dir).collect()
     )
 
 
@@ -147,5 +148,50 @@ def test_flush_feed_rejects_negative_user_ids(spark):
         ).write.parquet(f"{bad_sf}/events.parquet")
         with pytest.raises(ValueError, match="negative"):
             stream_events_with_flush(spark, bad_sf, f"{base}/src")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_prune_preserves_sole_bucket_copies_in_old_versions(spark):
+    """Bucketed layout (round 10): a version dir holds only the buckets
+    its batch touched, so an OLD version can be the sole live copy of an
+    untouched bucket.  Pruning must keep that version (dropping only its
+    superseded bucket subtrees) and leave the assembled reader answer
+    bit-identical."""
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        prune_state_versions,
+        read_bucketed_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="retention_bkt_")
+    try:
+        state = f"{base}/state"
+        # v0 touches buckets {0, 1}; v1 and v2 touch only bucket 0 —
+        # bucket 1's sole copy lives in v0 forever.
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 1)], "item_id long, n long, bkt int"
+        ).write.partitionBy("bkt").parquet(f"{state}/v0")
+        for v in (1, 2):
+            spark.createDataFrame(
+                [(1, 10 + v, 0)], "item_id long, n long, bkt int"
+            ).write.partitionBy("bkt").parquet(f"{state}/v{v}")
+        before = Counter(
+            tuple(r) for r in read_bucketed_state(spark, state).collect()
+        )
+        assert before == Counter({(1, 12), (2, 20)})
+        pruned = prune_state_versions(state, keep=1)
+        # v0 survives (sole copy of bucket 1) minus its bkt=0 subtree;
+        # v1's only bucket is superseded by v2 → whole dir pruned.
+        assert pruned == [1]
+        assert os.path.isdir(f"{state}/v0/bkt=1")
+        assert not os.path.exists(f"{state}/v0/bkt=0")
+        assert not os.path.exists(f"{state}/v1")
+        assert os.path.isdir(f"{state}/v2/bkt=0")
+        after = Counter(
+            tuple(r) for r in read_bucketed_state(spark, state).collect()
+        )
+        assert after == before
+        # idempotent
+        assert prune_state_versions(state, keep=1) == []
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -73,10 +73,9 @@ def test_foreachbatch_crash_resume_is_exact(spark, sf_dir, tmp_path):
     assert replayed, "restart processed nothing"
     assert 0 not in replayed, f"committed batch 0 was re-run: {replayed}"
 
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state) if d.startswith("v") and d[1:].isdigit()
-    )
-    final = spark.read.parquet(f"{state}/v{versions[-1]}")
+    from recsys_mapreduce_mrjob_spark.streaming.twins import read_bucketed_state
+
+    final = read_bucketed_state(spark, state)
     oneshot = ratings.groupBy("item_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("rating").cast("decimal(20,6)"))
@@ -193,12 +192,11 @@ def test_scd2_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
     assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
 
     def final_state(state_dir: str):
-        versions = sorted(
-            int(d[1:])
-            for d in os.listdir(state_dir)
-            if d.startswith("v") and d[1:].isdigit()
+        from recsys_mapreduce_mrjob_spark.streaming.twins import (
+            read_bucketed_state,
         )
-        df = spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+        df = read_bucketed_state(spark, state_dir)
         return df.select(
             "user_id",
             "run_id",

@@ -117,7 +117,7 @@ def test_incremental_item_stats_matches_batch(spark, sf_dir, tmp_path):
         if p.rsplit("v", 1)[1].isdigit()
     )
     assert len(versions) >= 2, f"expected multiple micro-batches, got {versions}"
-    final = spark.read.parquet(f"{state}/v{versions[-1]}").select(
+    final = twins.read_bucketed_state(spark, state).select(
         "item_id", "n", (F.round("rating_sum", 4) + F.lit(0.0)).alias("rating_sum")
     )
     expect = ratings.groupBy("item_id").agg(

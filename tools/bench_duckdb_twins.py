@@ -147,6 +147,11 @@ def main() -> None:
             # round 9: the substring-REMOVAL pass (twin = oracle: span
             # report → interval merge → positional token cut)
             "q_dedup_span_rewrite",
+            # round 10: the batched ANN probe (one pruned index scan for
+            # 32 probes) and the export capstone with the span-removal
+            # layer composed in
+            "q_knn_batch_ivf",
+            "q_export_manifest_rewritten",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

@@ -151,13 +151,17 @@ ENTRIES = [
     ),
     (
         "q_dedup_spans",
-        "Exact substring-span dedup (round 8): positional 5-shingles are "
-        "a scan-side explode read from the memoized relation "
-        "(InMemoryTableScan) by all three consumers; the occurrence cap "
-        "(2 ≤ occ ≤ 8) turns the cross-doc match into a bounded "
-        "equi-join on the shingle — fanout ≤ occ² per kept shingle, "
-        "never a corpus pair space — and the maximal-run merge is one "
-        "window over the match-sized (pair, diagonal) relation.",
+        "Exact substring-span dedup (round 8, hashed/fused round 10): "
+        "positional 5-shingles carry the portable 60-bit md5 hash (an "
+        "8-byte long, not a ~50-byte string) and are a scan-side explode "
+        "read from the memoized relation (InMemoryTableScan) by both "
+        "consumers; the occurrence cap (2 ≤ occ ≤ 8) keeps only "
+        "matchable shingles — hot boilerplate combines map-side in the "
+        "count and dies at the filter — and cross-doc matches explode "
+        "from ONE bounded collect_list groupBy (buffer ≤ cap, fanout "
+        "≤ occ² per kept shingle, never a corpus pair space) instead of "
+        "a kept⋈kept self-join; the maximal-run merge is one window "
+        "over the match-sized (pair, diagonal) relation.",
     ),
     (
         "q_dedup_span_rewrite",
