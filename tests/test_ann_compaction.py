@@ -246,3 +246,28 @@ def test_compaction_recovers_from_leftover_displaced_tree(ingested):
     compact_ivf_index(spark, index)
     assert _multiset(spark.read.parquet(index)) == expected
     assert not os.path.exists(displaced)
+
+
+def test_batch_probe_identical_across_index_layouts(ingested):
+    """The round-10 batched probe must answer identically from the
+    streamed per-batch layout, the compacted layout, and the one-shot
+    session index — the layouts differ only in file arrangement, never
+    in the relation (the invariant the single-probe queries already pin,
+    extended to the multi-probe path)."""
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+        batch_probe_ivf,
+        ivf_index_dir,
+    )
+
+    spark, index = ingested
+
+    def rows(path: str):
+        return sorted(
+            map(tuple, batch_probe_ivf(spark, SF, spark.read.parquet(path), 8).collect())
+        )
+
+    streamed = rows(index)
+    assert streamed, "batched probe returned nothing"
+    compact_ivf_index(spark, index)
+    assert rows(index) == streamed
+    assert rows(ivf_index_dir(spark, SF)) == streamed
