@@ -178,6 +178,27 @@ ENTRIES = [
         "itself.",
     ),
     (
+        "q_knn_batch_ivf",
+        "Batched ANN (round 10): ONE partition-pruned scan of the "
+        "persisted IVF index answers all 32 probes — the scan's "
+        "PartitionFilters carries the union-of-covered-cells literal, "
+        "the probe map arrives as a BroadcastHashJoin side (probe "
+        "norms hoisted once per probe, index-row norms once per row, "
+        "only the dot fold runs per candidate pair), and the per-probe "
+        "top-10 is a two-phase WindowGroupLimit partitioned by qid.  "
+        "No N-fold index scan, no driver round-trip per probe.",
+    ),
+    (
+        "q_export_manifest_rewritten",
+        "Export capstone with the span-removal layer composed in "
+        "(round 10): the curated relation LEFT-joins the span-report-"
+        "sized per-doc removal measure (broadcast — report-sized, never "
+        "corpus-sized), then the same bucket-parallel two-phase rank + "
+        "rank-keyed prefix sum as q_export_manifest; every corpus-sized "
+        "window stays PARTITIONED and the only unpartitioned windows "
+        "run over <=256-row bucket metadata.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
@@ -307,6 +328,10 @@ def render(spark, sf_dir: str) -> str:
         plan = re.sub(
             r"^(Arguments: )\d+$", r"\1x", plan, flags=re.MULTILINE
         )
+        # RDD ids are a session-global counter too: the two-star
+        # components localCheckpoint scan renders MapPartitionsRDD[320]
+        # vs [321] depending on what ran earlier in the session.
+        plan = re.sub(r"RDD\[\d+\]", "RDD[x]", plan)
         out.append(f"## `{name}`")
         out.append("")
         out.append(note)
