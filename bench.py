@@ -154,6 +154,14 @@ def main() -> None:
         # span-REMOVAL layer composed in (curate → cut → shuffle → pack).
         "q_knn_batch_ivf",
         "q_export_manifest_rewritten",
+        # round 10 (later session), benched from birth: the semantic
+        # keep-one composition (GEMM pairs → two-star components → drop
+        # list).  q_sample_source_cap is deliberately NOT benched: its
+        # 8 ms DuckDB twin is pure scheduling floor at this scale (the
+        # q_skew_profile class), so a wall ratio would measure the
+        # local-mode constant, not the operator — correctness row +
+        # two_phase_rank's measured rank ladder already cover it.
+        "q_dedup_semantic",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -208,6 +216,7 @@ def main() -> None:
         # round-10 twins (same contract; BASELINE.md round-10 table)
         "q_knn_batch_ivf": 0.090,
         "q_export_manifest_rewritten": 12.056,
+        "q_dedup_semantic": 23.026,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

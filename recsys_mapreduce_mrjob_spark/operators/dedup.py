@@ -1760,3 +1760,81 @@ def q_dedup_span_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.crossJoin(r).select(
         "docs_touched", "spans_raw", "spans_merged", "tokens_removed"
     )
+
+
+_SEMANTIC_ORACLE = """
+WITH RECURSIVE epairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+          / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                     list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+             * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                                       list_transform(b.embedding, x -> CAST(x AS DOUBLE)))))
+          >= 0.45
+),
+eedges AS (
+    SELECT vec_a AS src, vec_b AS dst FROM epairs
+    UNION ALL
+    SELECT vec_b, vec_a FROM epairs
+),
+ewalk(id, label) AS (
+    SELECT src, src FROM eedges
+    UNION
+    SELECT e.dst, w.label FROM ewalk w JOIN eedges e ON e.src = w.id
+),
+elabels AS (SELECT id, min(label) AS label FROM ewalk GROUP BY id),
+ekeep AS (
+    SELECT label, min(id) AS keeper, count(*) AS cluster_size
+    FROM elabels GROUP BY label
+)
+SELECT l.id AS vec_id,
+       k.keeper AS keeper_vec_id,
+       CAST(k.cluster_size AS BIGINT) AS cluster_size
+FROM elabels l JOIN ekeep k USING (label)
+WHERE l.id <> k.keeper
+"""
+
+
+@register("q_dedup_semantic", oracle=_SEMANTIC_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup keep-one — the composition a pipeline actually
+    ships from the embedding rung (round 10): the cos ≥ 0.45 pair
+    report (:func:`q_dedup_embedding`, blocked float64 GEMM tiles)
+    feeds the two-star connected-components fixpoint, each semantic
+    cluster keeps its min vec_id, and the emitted relation is the DROP
+    LIST — one row per non-keeper with its keeper and cluster size,
+    exactly what the corpus export anti-joins against (the same
+    keeper convention as the MinHash curation stage, applied to the
+    paraphrase clusters shingle methods cannot see).
+
+    Scale: pairs are tile-blocked (never a Catalyst pair relation),
+    components contract in O(log² n) rounds over the pair-sized edge
+    set, and every relation past the GEMM is pair-endpoint-sized —
+    vertices are pair ENDPOINTS only (a vector in no pair keeps itself
+    trivially and never enters the fixpoint).  Exact oracle: the same
+    pair predicate, then the recursive-CTE reachability walk (label =
+    min reachable id — exactly the two-star fixpoint)."""
+    pairs = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    endpoints = (
+        pairs.select(F.col("vec_a").alias("id"))
+        .unionByName(pairs.select(F.col("vec_b").alias("id")))
+        .distinct()
+    )
+    labels = connected_components_twostar(
+        endpoints,
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
+    )
+    keepers = labels.groupBy("label").agg(
+        F.min("id").alias("keeper_vec_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return (
+        labels.join(keepers, "label")
+        .where(F.col("id") != F.col("keeper_vec_id"))
+        .select(
+            F.col("id").alias("vec_id"), "keeper_vec_id", "cluster_size"
+        )
+    )

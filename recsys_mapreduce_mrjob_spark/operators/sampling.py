@@ -625,3 +625,62 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if q_global_shuffle.__doc__:  # absent under python -OO
     q_global_shuffle.__doc__ = q_global_shuffle.__doc__.format(shard=_SHARD_DOCS)
+
+
+_SOURCE_CAP = 15
+
+
+@register(
+    "q_sample_source_cap",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, source,
+           md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+    FROM h
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_SOURCE_CAP}
+""",
+)
+def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap — the "source mixing" gate a corpus
+    pipeline runs before training: no single source (domain, crawl
+    host, feed) may contribute more than {cap} documents, with the kept
+    subset chosen by the SEEDED deterministic hash order (the same
+    ``md5(seed:doc_id)`` permutation as the global training shuffle, so
+    retries, speculative tasks and re-runs keep the identical docs — a
+    ``rand()`` cap would re-sample per attempt).  Emits the kept
+    relation (doc_id, source, within-source rank) — the thing the next
+    pipeline stage joins against.
+
+    Scale: the per-source rank does NOT run one window per source (a
+    corpus-dominating source would single-reducer) — it is
+    ``two_phase_rank`` partitioned by source over the 256 hash-prefix
+    buckets: within-(source, bucket) windows run in parallel, the only
+    unpartitioned window touches the per-bucket counts (metadata), and
+    ``rank = base + within`` equals the single window exactly.  The cap
+    filter then prunes everything past {cap} per source before anything
+    downstream is touched."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ranked = two_phase_rank(
+        seeded_shuffle_key(docs),
+        partition_cols=["source"],
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="rk",
+    )
+    return (
+        ranked.where(F.col("rk") <= _SOURCE_CAP)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+if q_sample_source_cap.__doc__:  # absent under python -OO
+    q_sample_source_cap.__doc__ = q_sample_source_cap.__doc__.format(
+        cap=_SOURCE_CAP
+    )

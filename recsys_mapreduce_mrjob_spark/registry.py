@@ -41,12 +41,16 @@ ORACLES: dict[str, str] = {}
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-3: NEW round 10, needing their FIRST driver row — the
-    #    batched ANN probe (VERDICT r9 "what's missing" #2) and the
-    #    export capstone with the span-REMOVAL layer composed in (#3) --
+    # -- slots 2-5: NEW round 10, needing their FIRST driver row — the
+    #    batched ANN probe (VERDICT r9 "what's missing" #2), the export
+    #    capstone with the span-REMOVAL layer composed in (#3), the
+    #    semantic-dedup keep-one composition, and the per-source
+    #    frequency cap --
     "q_knn_batch_ivf",
     "q_export_manifest_rewritten",
-    # -- slots 4-8: CHANGED round 10, re-graded to prove bit-identity —
+    "q_dedup_semantic",
+    "q_sample_source_cap",
+    # -- slots 6-10: CHANGED round 10, re-graded to prove bit-identity —
     #    the span family (hashed/fused shingle relation + slice-and-
     #    concat cut: plan AND oracle changed together) and the two
     #    versioned-state execs (key-bucketed state layout, VERDICT r9
@@ -56,7 +60,7 @@ GRADING_ORDER: list[str] = [
     "q_dedup_span_rewrite_audit",
     "q_stream_incremental_stats_exec",
     "q_stream_scd2_exec",
-    # -- slots 9-24: the 16 r6-era names the r9 prefix deferred (the
+    # -- slots 11-26: the 16 r6-era names the r9 prefix deferred (the
     #    stale queue VERDICT r9 #6 named; freshness floor rises to r7) --
     "q_window_ntile",
     "q_window_first_last",
@@ -74,8 +78,8 @@ GRADING_ORDER: list[str] = [
     "q_sample_weighted",
     "q_string_funcs",
     "q_text_bigrams",
-    # -- slots 25-50: the round-7-graded cohort, 26 of 47 (stalest
-    #    remaining era); the 21 deferred lead the round-11 queue --
+    # -- slots 27-50: the round-7-graded cohort, 24 of 47 (stalest
+    #    remaining era); the 23 deferred lead the round-11 queue --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
     "q_dedup_containment",
@@ -100,14 +104,14 @@ GRADING_ORDER: list[str] = [
     "q_events_anomaly",
     "q_graph_degree_stats",
     "q_join_agg_q10",
-    "q_join_agg_q12",
-    "q_join_agg_q14",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 21 r7-graded names the
+    # Past the 50-slot grading prefix.  First the 23 r7-graded names the
     # prefix could not fit — they lead the round-11 stale queue — then
     # the round-8-graded cohort, then the round-9-graded cohort
     # (freshest).
     # ------------------------------------------------------------------
+    "q_join_agg_q12",
+    "q_join_agg_q14",
     "q_join_agg_q18",
     "q_join_agg_q3",
     "q_join_agg_q5",

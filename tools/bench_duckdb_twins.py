@@ -152,6 +152,10 @@ def main() -> None:
             # layer composed in
             "q_knn_batch_ivf",
             "q_export_manifest_rewritten",
+            # round 10 (later session): semantic-dedup keep-one and the
+            # per-source frequency cap
+            "q_dedup_semantic",
+            "q_sample_source_cap",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
