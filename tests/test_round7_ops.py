@@ -274,3 +274,84 @@ def test_pii_positive_path_cross_engine(spark):
     assert want[want.text.str.startswith("clean")].red.iloc[0].startswith(
         "clean text"
     )
+
+
+def test_batch_ivf_recall_and_self_exclusion(spark):
+    """The 32-probe batched ANN: per-probe recall@10 vs the exact
+    brute-force top-10 stays high (nprobe=4 of K=16 cells), no probe
+    ever returns itself, and every probe with candidates yields exactly
+    10 rows on this corpus."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.functions.vectors import cosine_sim
+    from recsys_mapreduce_mrjob_spark.operators.embeddings import (
+        _BATCH_NQ,
+        batch_probe_ivf,
+        ivf_index_dir,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = defaultdict(set)
+    for r in batch_probe_ivf(
+        spark, sf, spark.read.parquet(ivf_index_dir(spark, sf)), _BATCH_NQ
+    ).collect():
+        assert r.vec_id != r.qid, "probe returned itself"
+        got[r.qid].add(r.vec_id)
+    assert set(got) == set(range(_BATCH_NQ))
+    assert all(len(v) == 10 for v in got.values())
+
+    emb = load_table(spark, sf, "embeddings")
+    probes = emb.where(F.col("vec_id") < _BATCH_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = (
+        emb.join(probes)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    truth = defaultdict(set)
+    for r in (
+        exact.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .collect()
+    ):
+        truth[r.qid].add(r.vec_id)
+    recalls = [
+        len(got[q] & truth[q]) / 10 for q in range(_BATCH_NQ)
+    ]
+    # Measured 0.725 mean / 0.8-0.9 typical at sf0.001 with nprobe=4 of
+    # K=16 cells; floors kept conservative against re-generated data
+    # (the same convention as the single-probe >=6/10 pin in
+    # tests/test_scale_knobs.py).
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # A single boundary-straddling probe can dip low at 500 vectors
+    # (measured min 0.2); per-probe the pin is only non-degeneracy.
+    assert min(recalls) >= 0.1, recalls
+
+
+def test_source_cap_is_deterministic_and_caps(spark):
+    """The per-source cap keeps the SAME docs on every evaluation (the
+    seeded permutation, not rand()) and never exceeds the cap."""
+    from collections import Counter
+
+    from recsys_mapreduce_mrjob_spark import registry
+
+    registry.load_all()
+    fn = registry.QUERIES["q_sample_source_cap"]
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, fn(spark, sf).collect()))
+    b = sorted(map(tuple, fn(spark, sf).collect()))
+    assert a == b and a, "cap selection must be deterministic"
+    per_source = Counter(src for _, src, _ in a)
+    assert all(n <= 15 for n in per_source.values())
+    assert all(n == 15 for n in per_source.values())  # 25 docs/source here
