@@ -1817,7 +1817,17 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     trivially and never enters the fixpoint).  Exact oracle: the same
     pair predicate, then the recursive-CTE reachability walk (label =
     min reachable id — exactly the two-star fixpoint)."""
-    pairs = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    # Memoized: the GEMM-backed pair report fans into THREE lazy
+    # branches (the edge set twostar checkpoints, the endpoint vertex
+    # relation, and the final labels join) — unpersisted, each collect
+    # would recompute the tile pass; the report itself is pair-sized
+    # (144 rows at sf0.1), so the persist is free.
+    pairs = memo_persist(
+        spark,
+        "semantic_pairs",
+        sf_dir,
+        lambda: q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b"),
+    )
     endpoints = (
         pairs.select(F.col("vec_a").alias("id"))
         .unionByName(pairs.select(F.col("vec_b").alias("id")))

@@ -997,6 +997,12 @@ def q_knn_cosine_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cells over a 16-cell quantizer guarantees shared cells).
 _BATCH_NQ = 32
 
+# Broadcast the (probe → cell, qvec) map only while it stays small
+# (~500 MB of 64-float rows at this bound); beyond it the shuffled hash
+# join on cid is the right plan.  Equality of both join paths is
+# pytest-pinned (tests/test_round7_ops.py).
+_BATCH_BROADCAST_MAX_PROBE_ROWS = 1_000_000
+
 _BATCH_IVF_ORACLE = f"""
 WITH cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_IVF_K}),
 scored AS (
@@ -1093,10 +1099,18 @@ def batch_probe_ivf(
         return spark.createDataFrame(
             [], "qid long, vec_id long, label int, cos_sim double"
         )
+    # Size dispatch (the span-rewrite / GEMM convention): the probe map
+    # is (n_queries × nprobe) rows each carrying a 64-float qvec —
+    # broadcast only while that stays executor-memory-cheap; a
+    # production probe TABLE (millions of query vectors) falls back to
+    # the shuffled hash join on cid, which is the correct plan when both
+    # sides are big (the cid key is already the join/pruning key).
+    if n_queries * _IVF_NPROBE <= _BATCH_BROADCAST_MAX_PROBE_ROWS:
+        probe_cells = F.broadcast(probe_cells)
     cand = (
         index.where(F.col("cid").isin(covered))
         .withColumn("nrm", l2_norm(F.col("embedding")))
-        .join(F.broadcast(probe_cells), "cid")
+        .join(probe_cells, "cid")
         .where(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",

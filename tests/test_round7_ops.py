@@ -355,3 +355,17 @@ def test_source_cap_is_deterministic_and_caps(spark):
     per_source = Counter(src for _, src, _ in a)
     assert all(n <= 15 for n in per_source.values())
     assert all(n == 15 for n in per_source.values())  # 25 docs/source here
+
+
+def test_batch_ivf_join_paths_agree(spark, monkeypatch):
+    """The probe-map size dispatch must not change results: force the
+    shuffled-join path (bound = 0) and compare with the broadcast path
+    row-for-row."""
+    from recsys_mapreduce_mrjob_spark.operators import embeddings as E
+
+    sf = "/root/testdata/sf0.001"
+    idx = spark.read.parquet(E.ivf_index_dir(spark, sf))
+    broadcast = sorted(map(tuple, E.batch_probe_ivf(spark, sf, idx, 8).collect()))
+    monkeypatch.setattr(E, "_BATCH_BROADCAST_MAX_PROBE_ROWS", 0)
+    shuffled = sorted(map(tuple, E.batch_probe_ivf(spark, sf, idx, 8).collect()))
+    assert broadcast == shuffled and broadcast

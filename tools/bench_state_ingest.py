@@ -20,6 +20,10 @@ Two shapes per rung, same source, same end state (asserted):
 
 Usage: python tools/bench_state_ingest.py            (default ladder)
        python tools/bench_state_ingest.py 100000:64 400000:256
+       python tools/bench_state_ingest.py --scd2 200000:256 ...
+           (same ladder over incremental_scd2: seed = one event per
+           user, then 100-user CDC chunks whose timestamps postdate
+           every earlier chunk — the time-ordered contract)
 """
 
 from __future__ import annotations
@@ -67,13 +71,56 @@ def build_source(src: str, s_items: int) -> None:
         _write_chunk(f"{src}/chunk{i + 1:02d}.parquet", items, t0 + i + 1)
 
 
-def run_shape(spark, src: str, state: str, n_buckets: int) -> dict:
+def _write_event_chunk(
+    path: str, users: np.ndarray, chunk_idx: int, mtime: float
+) -> None:
+    """One event per user, timestamped AFTER every earlier chunk (the
+    incremental_scd2 CDC contract), statuses alternating per chunk so
+    runs genuinely extend/close."""
+    n = len(users)
+    base = np.datetime64("2024-01-01T00:00:00") + np.timedelta64(
+        chunk_idx * 3600, "s"
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(
+                chunk_idx * 100_000_000 + np.arange(n, dtype=np.int64)
+            ),
+            "ts": pa.array(base + np.arange(n, dtype="timedelta64[s]")),
+            "user_id": pa.array(users.astype(np.int64)),
+            "event_type": pa.array(
+                np.where((users + chunk_idx) % 2 == 0, "click", "view")
+            ),
+            "value": pa.array(np.ones(n)),
+            "props": pa.array([None] * n, type=pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def build_event_source(src: str, s_users: int) -> None:
+    os.makedirs(src)
+    t0 = time.time()
+    _write_event_chunk(f"{src}/chunk00.parquet", np.arange(s_users), 0, t0)
+    for i in range(N_SMALL):
+        users = (7919 * (i + 1) + 104729 * np.arange(BATCH_ITEMS)) % s_users
+        _write_event_chunk(
+            f"{src}/chunk{i + 1:02d}.parquet", np.unique(users), i + 1, t0 + i + 1
+        )
+
+
+def run_shape(
+    spark, src: str, state: str, n_buckets: int, mode: str = "stats"
+) -> dict:
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
         incremental_item_stats,
+        incremental_scd2,
     )
 
+    fn = incremental_item_stats if mode == "stats" else incremental_scd2
     stamps: list[tuple[int, float]] = []
-    incremental_item_stats(
+    fn(
         spark,
         src,
         state,
@@ -95,10 +142,13 @@ def run_shape(spark, src: str, state: str, n_buckets: int) -> dict:
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    mode = "stats"
+    if "--scd2" in args:
+        mode = "scd2"
+        args.remove("--scd2")
     rungs = (
-        [tuple(int(x) for x in a.split(":")) for a in sys.argv[1:]]
-        if len(sys.argv) > 1
-        else RUNGS
+        [tuple(int(x) for x in a.split(":")) for a in args] if args else RUNGS
     )
 
     from recsys_mapreduce_mrjob_spark.session import session_builder
@@ -121,12 +171,15 @@ def main() -> None:
         base = tempfile.mkdtemp(prefix=f"state_ingest_{s_items}_")
         try:
             src = f"{base}/src"
-            build_source(src, s_items)
-            out: dict[str, dict] = {}
+            if mode == "stats":
+                build_source(src, s_items)
+            else:
+                build_event_source(src, s_items)
+            out: dict[str, dict] = {"mode": mode}
             states = {}
             for label, nb in (("bucketed", n_buckets), ("full_rewrite", 1)):
                 state = f"{base}/state_{label}"
-                out[label] = run_shape(spark, src, state, nb)
+                out[label] = run_shape(spark, src, state, nb, mode)
                 out[label]["n_buckets"] = nb
                 states[label] = state
             a = read_bucketed_state(spark, states["bucketed"])
