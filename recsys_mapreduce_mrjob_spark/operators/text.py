@@ -1947,3 +1947,73 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_block"),
         )
     )
+
+
+_CHUNK_W = 256   # context-window width (tokens)
+_CHUNK_S = 192   # stride (64-token overlap between consecutive windows)
+
+_TEXT_CHUNKS_ORACLE = f"""
+WITH dt AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+c AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, (len(t) - 1) // {_CHUNK_S}),
+               i -> struct_pack(
+                   chunk_id := i,
+                   ct := t[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}]
+               )
+           )) AS e
+    FROM dt WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(e.chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(e.ct) AS BIGINT) AS n_tokens,
+       array_to_string(e.ct, ' ') AS chunk_text
+FROM c
+"""
+
+
+@register("q_text_chunks", oracle=_TEXT_CHUNKS_ORACLE)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the cutter that turns documents into
+    model-sized training windows: width {w} tokens, stride {s} (a
+    {ov}-token overlap so no span is ever split across a boundary
+    without also appearing whole in a neighbor — the standard LM data
+    prep next to block packing, which concatenates instead of
+    windowing).  Windows start at token 1, 1+{s}, 1+2·{s}, … while the
+    start is in range; the final window may run short.  Emits
+    (doc_id, chunk_id, n_tokens, chunk_text).
+
+    Scale: pure scan-side arithmetic — one ``transform`` over the
+    per-doc window starts, one explode, ZERO shuffles; a 100 TB corpus
+    chunks in one pass at scan parallelism.  All-integer positions,
+    bit-identical cross-engine (DuckDB's inclusive 1-based list slice
+    mirrors ``F.slice``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / _CHUNK_S).cast("int")),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.slice(t, i * _CHUNK_S + 1, _CHUNK_W).alias("ct"),
+        ),
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.explode(windows).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.chunk_id").alias("chunk_id"),
+            F.size("e.ct").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("e.ct")).alias("chunk_text"),
+        )
+    )
+
+
+if q_text_chunks.__doc__:  # absent under python -OO
+    q_text_chunks.__doc__ = q_text_chunks.__doc__.format(
+        w=_CHUNK_W, s=_CHUNK_S, ov=_CHUNK_W - _CHUNK_S
+    )

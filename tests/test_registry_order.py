@@ -3,15 +3,15 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-9: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-10 contract (VERDICT r9 "Next
-round" #1, #2, #4, #5, #6): the prefix first-grades the four queries NEW
+round" #1, #2, #4, #5, #6): the prefix first-grades the five queries NEW
 this round (the batched ANN probe, the span-rewritten export capstone, the
-semantic-dedup keep-one composition, and the per-source frequency
-cap), then the five queries whose plan/oracle/state-layout CHANGED
+semantic-dedup keep-one composition, the per-source frequency cap, and
+the context-window chunker), then the five queries whose plan/oracle/state-layout CHANGED
 this round (the hashed/fused span family and the two bucketed-state
 execs — same oracles, the hash must prove bit-identity), then the ENTIRE
-16-name r6-era stale queue the r9 verdict listed, then 24 of the 47-name
+16-name r6-era stale queue the r9 verdict listed, then 23 of the 47-name
 round-7-graded cohort — after this round no query's latest grade is
-older than round 7.  The 23 r7 names that did not fit lead the
+older than round 7.  The 24 r7 names that did not fit lead the
 post-prefix queue for round 11 (DEFERRED_R7 below).
 """
 
@@ -27,6 +27,7 @@ NEW_R10 = {
     "q_export_manifest_rewritten",
     "q_dedup_semantic",
     "q_sample_source_cap",
+    "q_text_chunks",
 }
 
 # Changed this round — re-graded to prove the rework is bit-identical.
@@ -59,7 +60,7 @@ STALE_R6 = {
     "q_text_bigrams",
 }
 
-# The round-7-graded cohort members that FIT the remaining 24 slots.
+# The round-7-graded cohort members that FIT the remaining 23 slots.
 R7_IN_PREFIX = {
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
@@ -83,14 +84,14 @@ R7_IN_PREFIX = {
     "q_dedup_jaccard_pairs",
     "q_embedding_quantize",
     "q_events_anomaly",
-    "q_graph_degree_stats",
     "q_join_agg_q10",
 }
 
-# The 23 r7-graded names the 50-slot prefix could not fit — every one is
+# The 24 r7-graded names the 50-slot prefix could not fit — every one is
 # a TPC-H/relational/multimodal shape whose family siblings grade in or
 # near the prefix; they lead the round-11 stale queue.
 DEFERRED_R7 = {
+    "q_graph_degree_stats",
     "q_join_agg_q12",
     "q_join_agg_q14",
     "q_join_agg_q18",
@@ -141,7 +142,7 @@ def test_flagship_is_first():
 
 
 def test_new_r10_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-5 — graded even if
+    """The never-graded new queries sit in slots 2-6 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R10)])
     assert head == NEW_R10
@@ -191,7 +192,10 @@ def test_every_deferred_r7_name_has_a_family_sibling_in_prefix():
     maps to a named sibling that IS in this round's prefix (the family
     query covering the same operator shape)."""
     sibling = {
-        # join+agg TPC-H shapes — q10/q12/q14 of the same family grade
+        # graph family: the pagerank fixpoint (exact twin) grades
+        # in-prefix via the r6 set
+        "q_graph_degree_stats": "q_pagerank_items",
+        # join+agg TPC-H shapes — q10 of the same family grades
         # in-prefix this round
         "q_join_agg_q12": "q_join_agg_q10",
         "q_join_agg_q14": "q_join_agg_q10",
