@@ -162,6 +162,7 @@ def main() -> None:
         # local-mode constant, not the operator — correctness row +
         # two_phase_rank's measured rank ladder already cover it.
         "q_dedup_semantic",
+        "q_text_chunks",
     ]
     # BASELINE.md's round-5 re-measured DuckDB sf0.1 twins (seconds):
     # each exact query's twin is its CURRENT registered oracle SQL, timed
@@ -217,6 +218,7 @@ def main() -> None:
         "q_knn_batch_ivf": 0.090,
         "q_export_manifest_rewritten": 12.056,
         "q_dedup_semantic": 23.026,
+        "q_text_chunks": 0.225,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

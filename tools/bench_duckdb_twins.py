@@ -156,6 +156,7 @@ def main() -> None:
             # per-source frequency cap
             "q_dedup_semantic",
             "q_sample_source_cap",
+            "q_text_chunks",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
