@@ -195,3 +195,29 @@ def test_prune_preserves_sole_bucket_copies_in_old_versions(spark):
         assert prune_state_versions(state, keep=1) == []
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_reader_ignores_incomplete_versions(spark):
+    """A crashed batch leaves a version dir without _SUCCESS; the
+    bucketed reader must resolve per-bucket latest over COMPLETE
+    versions only — the replayed batch will overwrite the partial."""
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        read_bucketed_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="retention_rd_")
+    try:
+        state = f"{base}/state"
+        spark.createDataFrame(
+            [(1, 10, 0)], "item_id long, n long, bkt int"
+        ).write.partitionBy("bkt").parquet(f"{state}/v0")
+        # Complete newer version for bucket 0, then strip its _SUCCESS:
+        # the reader must fall back to v0's copy.
+        spark.createDataFrame(
+            [(1, 99, 0)], "item_id long, n long, bkt int"
+        ).write.partitionBy("bkt").parquet(f"{state}/v1")
+        os.remove(f"{state}/v1/_SUCCESS")
+        rows = [tuple(r) for r in read_bucketed_state(spark, state).collect()]
+        assert rows == [(1, 10)], rows
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
