@@ -267,15 +267,17 @@ def bucket_latest_paths(
     feed its replay) and to a ``buckets`` subset (the upsert reads only
     the buckets the batch touches).  A version dir with no ``bkt=``
     subdirs (the pre-bucketing layout) registers as pseudo-bucket −1
-    mapping to the version dir itself, so readers and retention handle
-    both layouts."""
+    mapping to the version dir itself, so a PURE old-layout dir stays
+    readable; a dir MIXING both layouts raises — reconciling them needs
+    the writer's bucket count, which the reader does not have, so
+    migrate by rewriting into a fresh dir, never in place."""
     import os
 
-    out: dict[int, str] = {}
+    latest: dict[int, tuple[int, str]] = {}
     try:
         names = os.listdir(state_dir)
     except OSError:
-        return out
+        return {}
     versions = sorted(
         int(d[1:]) for d in names if d.startswith("v") and d[1:].isdigit()
     )
@@ -288,13 +290,26 @@ def bucket_latest_paths(
         subs = [d for d in os.listdir(vdir) if d.startswith("bkt=")]
         if not subs:
             if buckets is None or -1 in buckets:
-                out[-1] = vdir
+                latest[-1] = (v, vdir)
             continue
         for d in subs:
             b = int(d.split("=", 1)[1])
             if buckets is None or b in buckets:
-                out[b] = os.path.join(vdir, d)
-    return out
+                latest[b] = (v, os.path.join(vdir, d))
+    # Mixed-history guard: a full-layout version holds the WHOLE state
+    # while bucketed versions hold per-bucket slices — any union of the
+    # two double-counts some keys, and reconciling them needs the
+    # writer's bucket count, which the reader does not have.  Fail fast:
+    # migrate a pre-bucketing state by REWRITING it (read old → write
+    # through the bucketed ingest into a fresh dir), never in place.
+    if -1 in latest and len(latest) > 1:
+        raise ValueError(
+            f"bucket_latest_paths: {state_dir} mixes a pre-bucketing "
+            "full-layout version with bucketed versions — unreadable "
+            "without double-counting; migrate by rewriting the state "
+            "into a fresh directory"
+        )
+    return {b: p for b, (v, p) in latest.items()}
 
 
 def read_bucketed_state(spark: SparkSession, state_dir: str) -> DataFrame | None:

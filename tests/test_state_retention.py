@@ -221,3 +221,34 @@ def test_reader_ignores_incomplete_versions(spark):
         assert rows == [(1, 10)], rows
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_reader_handles_pure_old_layout_and_rejects_mixed(spark):
+    """A PRE-bucketing state dir (versions with no bkt= subdirs) stays
+    readable — newest complete full version wins — while a dir MIXING
+    both layouts raises: reconciling a full snapshot with per-bucket
+    slices needs the writer's bucket count, so any silent union would
+    double-count keys."""
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        read_bucketed_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="retention_mix_")
+    try:
+        state = f"{base}/state"
+        spark.createDataFrame(
+            [(1, 10)], "item_id long, n long"
+        ).write.parquet(f"{state}/v0")
+        spark.createDataFrame(
+            [(1, 11)], "item_id long, n long"
+        ).write.parquet(f"{state}/v1")
+        assert [tuple(r) for r in read_bucketed_state(spark, state).collect()] == [
+            (1, 11)
+        ]
+        spark.createDataFrame(
+            [(2, 20, 0)], "item_id long, n long, bkt int"
+        ).write.partitionBy("bkt").parquet(f"{state}/v2")
+        with pytest.raises(ValueError, match="mixes"):
+            read_bucketed_state(spark, state)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
