@@ -369,3 +369,44 @@ def test_batch_ivf_join_paths_agree(spark, monkeypatch):
     monkeypatch.setattr(E, "_BATCH_BROADCAST_MAX_PROBE_ROWS", 0)
     shuffled = sorted(map(tuple, E.batch_probe_ivf(spark, sf, idx, 8).collect()))
     assert broadcast == shuffled and broadcast
+
+
+def test_text_chunks_reconstruct_documents(spark):
+    """Chunking must lose nothing: with width 256 / stride 192 the
+    overlap is 64 tokens, so chunk 0 plus every later chunk minus its
+    64-token overlap re-concatenates to exactly the original token
+    sequence — checked for every sf0.001 document."""
+    from collections import defaultdict
+
+    from recsys_mapreduce_mrjob_spark import registry
+    from recsys_mapreduce_mrjob_spark.operators.text import _CHUNK_S, _CHUNK_W
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    overlap = _CHUNK_W - _CHUNK_S
+    chunks = defaultdict(dict)
+    for r in registry.QUERIES["q_text_chunks"](spark, sf).collect():
+        chunks[r.doc_id][r.chunk_id] = r.chunk_text.split(" ")
+    texts = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    assert set(chunks) == set(texts)
+    for doc_id, by_id in chunks.items():
+        ids = sorted(by_id)
+        assert ids == list(range(len(ids)))
+        rebuilt = list(by_id[0])
+        for i in ids[1:]:
+            assert by_id[i][:overlap] == rebuilt[-overlap:] or len(
+                by_id[i]
+            ) < overlap, (doc_id, i)
+            rebuilt.extend(by_id[i][overlap:] if len(by_id[i]) >= overlap else [])
+        # Short tails: a final window shorter than the overlap adds no
+        # new tokens (it is a suffix of the previous window) — rebuilt
+        # must still be a prefix-complete reconstruction.
+        assert rebuilt == texts[doc_id][: len(rebuilt)]
+        assert len(rebuilt) >= len(texts[doc_id]) - overlap
+        if len(texts[doc_id]) > 0 and ids:
+            # the last chunk always reaches the document's end
+            last = by_id[ids[-1]]
+            assert texts[doc_id][-len(last):] == last
