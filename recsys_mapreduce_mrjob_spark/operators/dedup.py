@@ -1097,6 +1097,27 @@ def connected_components_twostar(
     )
 
 
+def pair_component_labels(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """(id, label) over a pair relation's ENDPOINTS only — the
+    endpoints-distinct vertex set feeding the two-star fixpoint.  ONE
+    definition for every keep-one consumer (the curation ladder, the
+    semantic dedup): an item in no pair is trivially its own keeper and
+    never enters the fixpoint, and a future change to that rule must
+    move every consumer at once (code-review r10; the same
+    single-definition discipline as probe_ivf / seeded_shuffle_key)."""
+    endpoints = (
+        pairs.select(F.col(a).alias("id"))
+        .unionByName(pairs.select(F.col(b).alias("id")))
+        .distinct()
+    )
+    return connected_components_twostar(
+        endpoints,
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst")),
+    )
+
+
 @register("q_dedup_components")  # rows-only: iterative graph algorithm
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: the transitive closure of the MinHash-LSH
@@ -1629,12 +1650,35 @@ def _span_islands_count(spark: SparkSession, sf_dir: str) -> int:
     (round-10 hygiene for the only dispatch site without a
     metadata-only ``parquet_num_rows`` path — the relation is derived,
     not a parquet file)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from ..caching import _CACHE as _MEMO_CACHE
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    # Invalidate when the memoized relation itself was dropped
+    # (memo_unpersist) — a rebuilt report may cross the broadcast bound
+    # in either direction, and a stale count would pick the wrong join
+    # strategy (code-review r10; plan choice only, results unaffected).
+    if (app, "span_rewrite_islands", sf_dir) not in _MEMO_CACHE:
+        _ISLANDS_COUNT_CACHE.pop(key, None)
     hit = _ISLANDS_COUNT_CACHE.get(key)
     if hit is None:
         hit = _span_islands(spark, sf_dir).count()
         _ISLANDS_COUNT_CACHE[key] = hit
     return hit
+
+
+def _span_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlap-MERGED removal intervals — one row per (doc_id,
+    island) with its [s, e] hull.  ONE definition for every consumer of
+    the merge rule (the rewrite, its audit, and the rewritten export
+    capstone): the token-conservation pin in tests/test_span_rewrite.py
+    holds only while all three compute the identical merge
+    (code-review r10: the aggregate existed in three copies)."""
+    return (
+        _span_islands(spark, sf_dir)
+        .groupBy("doc_id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
 
 
 @register("q_dedup_span_rewrite", oracle=_SPAN_REWRITE_ORACLE)
@@ -1669,10 +1713,7 @@ def q_dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides are big.  All-integer positions — bit-identical cross-engine,
     including the all-tokens-removed edge (empty string in both
     engines)."""
-    islands = _span_islands(spark, sf_dir)
-    merged = islands.groupBy("doc_id", "g").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
+    merged = _span_merged(spark, sf_dir)
     per_doc = merged.groupBy("doc_id").agg(
         # Sorted so the cut below can slice the GAPS between intervals —
         # collect_list order is partition-arrival order, not positional.
@@ -1746,9 +1787,7 @@ def q_dedup_span_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the rewrite, so grading both costs one span-report
     computation."""
     islands = _span_islands(spark, sf_dir)
-    merged = islands.groupBy("doc_id", "g").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
-    )
+    merged = _span_merged(spark, sf_dir)
     m = merged.agg(
         F.countDistinct("doc_id").cast("long").alias("docs_touched"),
         F.count(F.lit(1)).cast("long").alias("spans_merged"),
@@ -1828,15 +1867,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b"),
     )
-    endpoints = (
-        pairs.select(F.col("vec_a").alias("id"))
-        .unionByName(pairs.select(F.col("vec_b").alias("id")))
-        .distinct()
-    )
-    labels = connected_components_twostar(
-        endpoints,
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
-    )
+    labels = pair_component_labels(pairs, a="vec_a", b="vec_b")
     keepers = labels.groupBy("label").agg(
         F.min("id").alias("keeper_vec_id"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),

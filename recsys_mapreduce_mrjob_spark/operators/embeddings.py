@@ -1089,6 +1089,12 @@ def batch_probe_ivf(
         .where(F.col("rn") <= _IVF_NPROBE)
         .select("qid", "cid", "qvec", "qnrm")
     )
+    # Persisted: the probe map feeds TWO consumers — the covered-cells
+    # collect below and the candidate join — and unpersisted each would
+    # recompute the probes × K scored join + per-qid WindowGroupLimit
+    # (code-review r10: at a million-probe set that is a full extra
+    # window pass).  Bounded by n_queries × nprobe rows.
+    probe_cells = probe_cells.persist()
     # The union of covered cells is bounded by K (=16) — constant-size
     # index metadata, same collect class as _ivf_probe: it must be a
     # LITERAL for the scan's PartitionFilters to prune index files.

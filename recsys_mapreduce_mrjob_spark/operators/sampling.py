@@ -477,6 +477,7 @@ def two_phase_rank(
     bucket_col: str,
     order_cols: list,
     rank_col: str = "rnk",
+    broadcast_base: bool = True,
 ) -> DataFrame:
     """Row-number over a (possibly global) total order WITHOUT a
     single-reducer sort — the rank-shaped sibling of
@@ -498,7 +499,9 @@ def two_phase_rank(
     relation broadcast assumes |partitions| × |buckets| stays
     metadata-sized (both callers keep buckets ≤ 256 and partitions at
     none / languages); a caller with a high-cardinality partition key
-    should drop the F.broadcast hint and let the join shuffle.
+    should pass ``broadcast_base=False`` and let the join shuffle
+    (code-review r10: the hint used to be hard-coded, so the documented
+    escape hatch did not actually exist).
 
     NOTE: ``df`` fans into TWO lazy branches here (the within-bucket
     window and the bucket-counts aggregate) — a caller whose input is
@@ -525,8 +528,10 @@ def two_phase_rank(
         bucket_col,
         F.coalesce(F.sum("__n").over(w_b), F.lit(0).cast("long")).alias("__base"),
     )
+    if broadcast_base:
+        base = F.broadcast(base)
     return (
-        within.join(F.broadcast(base), [*partition_cols, bucket_col])
+        within.join(base, [*partition_cols, bucket_col])
         .withColumn(rank_col, F.col("__base") + F.col("__r_in"))
         .drop("__r_in", "__base")
     )
@@ -665,7 +670,10 @@ def q_sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window touches the per-bucket counts (metadata), and
     ``rank = base + within`` equals the single window exactly.  The cap
     filter then prunes everything past {cap} per source before anything
-    downstream is touched."""
+    downstream is touched.  At web-crawl host cardinality the
+    |sources|×256 base relation outgrows a broadcast — pass
+    ``broadcast_base=False`` to two_phase_rank there; at this corpus's
+    source cardinality the broadcast is the right plan."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ranked = two_phase_rank(
         seeded_shuffle_key(docs),

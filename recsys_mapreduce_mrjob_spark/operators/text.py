@@ -430,7 +430,7 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old rule dropped an entire cluster whenever its global-min
     keeper had already failed an upstream gate.  Plan and oracle changed
     together, so the graded hash moved with the semantic."""
-    from .dedup import connected_components_twostar, q_dedup_near_exact
+    from .dedup import pair_component_labels, q_dedup_near_exact
 
     def build_survivors() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -460,21 +460,11 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, "curation_survivors", sf_dir, build_survivors
         )
         pairs = q_dedup_near_exact(spark, sf_dir)
-        # Vertices = pair ENDPOINTS only (code-review r6): a doc in no
-        # pair is trivially its own component keeper, so labeling the
-        # full corpus paid a corpus-sized scan + join just to discard
-        # every label==id row.  The endpoint relation is pair-sized.
-        endpoints = (
-            pairs.select(F.col("doc_a").alias("id"))
-            .unionByName(pairs.select(F.col("doc_b").alias("id")))
-            .distinct()
-        )
-        labels = connected_components_twostar(
-            endpoints,
-            pairs.select(
-                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-            ),
-        )
+        # Vertices = pair ENDPOINTS only (code-review r6, shared helper
+        # r10): a doc in no pair is trivially its own component keeper,
+        # so labeling the full corpus paid a corpus-sized scan + join
+        # just to discard every label==id row.
+        labels = pair_component_labels(pairs)
         # Keeper = min SURVIVING doc_id per cluster.  All three relations
         # here are pair-endpoint-sized, not corpus-sized.
         lab_surv = labels.join(
@@ -1898,15 +1888,13 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the memoized island relation is shared with
     `q_dedup_span_rewrite`/`_audit`, so grading all three costs one span
     computation."""
-    from .dedup import _span_islands
+    from .dedup import _span_merged
     from .sampling import seeded_shuffle_key, two_phase_rank
 
     def build_ranked() -> DataFrame:
         curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
-        islands = _span_islands(spark, sf_dir)
         removed = (
-            islands.groupBy("doc_id", "g")
-            .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+            _span_merged(spark, sf_dir)
             .groupBy("doc_id")
             .agg(
                 F.sum(F.col("e") - F.col("s") + 1).alias("tokens_removed")

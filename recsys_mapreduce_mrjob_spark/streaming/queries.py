@@ -345,7 +345,8 @@ def q_stream_incremental_stats_exec(spark: SparkSession, sf_dir: str) -> DataFra
     from .twins import read_bucketed_state
 
     final = read_bucketed_state(spark, state)
-    assert final is not None, "incremental state dir is empty"
+    if final is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("incremental state dir is empty after the drain")
     return final.select(
         "item_id",
         "n",
@@ -460,7 +461,8 @@ def q_stream_scd2_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .twins import read_bucketed_state
 
     final = read_bucketed_state(spark, state)
-    assert final is not None, "incremental SCD2 state dir is empty"
+    if final is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("incremental SCD2 state dir is empty after the drain")
     return final.select(
         "user_id",
         "run_id",

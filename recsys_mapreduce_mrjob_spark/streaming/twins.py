@@ -402,9 +402,20 @@ def incremental_item_stats(
             }
             if not touched:
                 return  # empty batch: every bucket keeps its version
+            # -1 included so a pre-bucketing FULL-layout version fails
+            # fast HERE (the mixed-layout ValueError) instead of being
+            # silently skipped by the bucket filter — merging from empty
+            # state would commit a corrupted version before any reader
+            # noticed (code-review r10).
             prev_paths = bucket_latest_paths(
-                state_dir, below=batch_id, buckets=touched
+                state_dir, below=batch_id, buckets=touched | {-1}
             )
+            if -1 in prev_paths:
+                raise ValueError(
+                    f"incremental_item_stats: {state_dir} holds a "
+                    "pre-bucketing full-layout version — migrate by "
+                    "rewriting into a fresh state dir before resuming"
+                )
             base = batch_agg.drop("bkt")
             if prev_paths:
                 base = s.read.parquet(*sorted(prev_paths.values())).unionByName(
@@ -1181,9 +1192,18 @@ def incremental_scd2(
         }
         if not touched:
             return  # empty batch: every bucket keeps its version
+        # -1 included for the same write-path fail-fast as
+        # incremental_item_stats (a skipped full-layout version would
+        # silently fold from empty state).
         prev_paths = bucket_latest_paths(
-            state_dir, below=batch_id, buckets=touched
+            state_dir, below=batch_id, buckets=touched | {-1}
         )
+        if -1 in prev_paths:
+            raise ValueError(
+                f"incremental_scd2: {state_dir} holds a pre-bucketing "
+                "full-layout version — migrate by rewriting into a "
+                "fresh state dir before resuming"
+            )
         prev = (
             s.read.parquet(*sorted(prev_paths.values())) if prev_paths else None
         )

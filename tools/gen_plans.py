@@ -182,11 +182,14 @@ ENTRIES = [
         "Batched ANN (round 10): ONE partition-pruned scan of the "
         "persisted IVF index answers all 32 probes — the scan's "
         "PartitionFilters carries the union-of-covered-cells literal, "
-        "the probe map arrives as a BroadcastHashJoin side (probe "
-        "norms hoisted once per probe, index-row norms once per row, "
-        "only the dot fold runs per candidate pair), and the per-probe "
-        "top-10 is a two-phase WindowGroupLimit partitioned by qid.  "
-        "No N-fold index scan, no driver round-trip per probe.",
+        "the PERSISTED probe map (InMemoryTableScan — it feeds both the "
+        "covered-cells collect and this join, so the probes x K ranking "
+        "runs once) arrives as a BroadcastHashJoin side below the "
+        "size-dispatch bound (probe norms hoisted once per probe, "
+        "index-row norms once per row, only the dot fold runs per "
+        "candidate pair), and the per-probe top-10 is a two-phase "
+        "WindowGroupLimit partitioned by qid.  No N-fold index scan, "
+        "no driver round-trip per probe.",
     ),
     (
         "q_export_manifest_rewritten",
