@@ -26,14 +26,14 @@ ORACLES: dict[str, str] = {}
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
 # 2–9: exactly the first 50), so registration order is the lever that decides
 # which operators get a driver correctness row.  Round-10 rotation (VERDICT
-# r9 "Next round" #1/#2/#4/#5/#6): flagship first, then the five queries NEW
+# r9 "Next round" #1/#2/#4/#5/#6): flagship first, then the seven queries NEW
 # this round (batched ANN probe, span-rewritten export capstone, semantic
-# keep-one, per-source cap, context-window chunking), then the five whose
-# plan/oracle/state layout
+# keep-one, per-source cap, context-window chunking, triangle counting,
+# ingestion dedup), then the five whose plan/oracle/state layout
 # CHANGED (the hashed/fused span family; the two bucketed-state execs —
 # same oracles, the hash proves bit-identity), then the ENTIRE 16-name
-# r6-era stale queue VERDICT r9 named, then 23 of the 47-name r7-graded
-# cohort.  The 24 deferred r7 names (each with a family sibling in or near
+# r6-era stale queue VERDICT r9 named, then 21 of the 47-name r7-graded
+# cohort.  The 26 deferred r7 names (each with a family sibling in or near
 # the prefix — see tests/test_registry_order.py's auditable sibling map)
 # lead the post-prefix queue for round 11.  After this round no query's
 # latest grade is older than r7.  tests/test_registry_order.py pins this.
@@ -41,17 +41,21 @@ ORACLES: dict[str, str] = {}
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-6: NEW round 10, needing their FIRST driver row — the
+    # -- slots 2-8: NEW round 10, needing their FIRST driver row — the
     #    batched ANN probe (VERDICT r9 "what's missing" #2), the export
     #    capstone with the span-REMOVAL layer composed in (#3), the
     #    semantic-dedup keep-one composition, the per-source frequency
-    #    cap, and the context-window chunker --
+    #    cap, the context-window chunker, degree-oriented triangle
+    #    counting, and the streaming ingestion dedup (the third
+    #    bucketed-state fold) --
     "q_knn_batch_ivf",
     "q_export_manifest_rewritten",
     "q_dedup_semantic",
     "q_sample_source_cap",
     "q_text_chunks",
-    # -- slots 7-11: CHANGED round 10, re-graded to prove bit-identity —
+    "q_graph_triangles",
+    "q_stream_dedup_docs_exec",
+    # -- slots 9-13: CHANGED round 10, re-graded to prove bit-identity —
     #    the span family (hashed/fused shingle relation + slice-and-
     #    concat cut: plan AND oracle changed together) and the two
     #    versioned-state execs (key-bucketed state layout, VERDICT r9
@@ -61,7 +65,7 @@ GRADING_ORDER: list[str] = [
     "q_dedup_span_rewrite_audit",
     "q_stream_incremental_stats_exec",
     "q_stream_scd2_exec",
-    # -- slots 12-27: the 16 r6-era names the r9 prefix deferred (the
+    # -- slots 14-29: the 16 r6-era names the r9 prefix deferred (the
     #    stale queue VERDICT r9 #6 named; freshness floor rises to r7) --
     "q_window_ntile",
     "q_window_first_last",
@@ -79,8 +83,8 @@ GRADING_ORDER: list[str] = [
     "q_sample_weighted",
     "q_string_funcs",
     "q_text_bigrams",
-    # -- slots 28-50: the round-7-graded cohort, 23 of 47 (stalest
-    #    remaining era); the 24 deferred lead the round-11 queue --
+    # -- slots 30-50: the round-7-graded cohort, 21 of 47 (stalest
+    #    remaining era); the 26 deferred lead the round-11 queue --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
     "q_dedup_containment",
@@ -101,15 +105,17 @@ GRADING_ORDER: list[str] = [
     "q_corr_min_q2",
     "q_corr_scalar_q17",
     "q_dedup_jaccard_pairs",
-    "q_embedding_quantize",
-    "q_events_anomaly",
     "q_join_agg_q10",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 23 r7-graded names the
-    # prefix could not fit — they lead the round-11 stale queue — then
-    # the round-8-graded cohort, then the round-9-graded cohort
-    # (freshest).
+    # Past the 50-slot grading prefix.  First the 26 r7-graded names the
+    # prefix could not fit (q_embedding_quantize and q_events_anomaly
+    # ceded their slots to the two late round-10 queries; their family
+    # siblings q_knn_cosine_ivf_indexed / q_events_scd2 grade in-prefix)
+    # — they lead the round-11 stale queue — then the round-8-graded
+    # cohort, then the round-9-graded cohort (freshest).
     # ------------------------------------------------------------------
+    "q_embedding_quantize",
+    "q_events_anomaly",
     "q_graph_degree_stats",
     "q_join_agg_q12",
     "q_join_agg_q14",

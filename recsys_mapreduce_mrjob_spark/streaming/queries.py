@@ -472,3 +472,52 @@ def q_stream_scd2_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to_ts").isNull().alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "q_stream_dedup_docs_exec",
+    oracle="""
+SELECT content_hash, doc_id AS keeper_doc_id, lang, source
+FROM (
+    SELECT md5(text) AS content_hash, doc_id, lang, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+    FROM documents
+)
+WHERE doc_id = first_id
+""",
+)
+def q_stream_dedup_docs_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AT INGESTION, driver-graded — the production corpus
+    lifecycle the one-shot ``q_dedup_exact`` assumes away: documents
+    arrive in micro-batches, each batch's content hashes probe the
+    accumulated seen-hash state, first occurrences merge in, duplicates
+    die at the gate.  The harness feeds the documents table as 4 chunk
+    files; each ``foreachBatch`` folds a per-hash MIN over
+    ``struct(doc_id, lang, source)`` into bucket-versioned parquet state
+    (``streaming/twins.py incremental_doc_dedup`` — the third consumer
+    of the round-10 key-bucketed state layout, so per-batch work is
+    O(touched buckets), never O(|seen hashes|)).  The min-fold is
+    associative, commutative, and idempotent, so the end state is
+    bit-identical to the batch keep-first for any chunking and the
+    batch SQL oracle grades the streaming execution exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .twins import incremental_doc_dedup, read_bucketed_state, write_doc_chunks
+
+    base = tempfile.mkdtemp(prefix="spark_doc_dedup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/docs_src"
+    state = f"{base}/state"
+    write_doc_chunks(spark, sf_dir, src, n_chunks=4)
+    incremental_doc_dedup(spark, src, state)
+    final = read_bucketed_state(spark, state)
+    if final is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("doc-dedup state dir is empty after the drain")
+    return final.select(
+        "content_hash",
+        F.col("doc_id").alias("keeper_doc_id"),
+        "lang",
+        "source",
+    )

@@ -921,6 +921,155 @@ def write_embedding_chunks(
         _stamp_new_chunk_files(src_dir, seen, base_t + k)
 
 
+def write_doc_chunks(
+    spark: SparkSession, sf_dir: str, src_dir: str, n_chunks: int = 4
+) -> None:
+    """Simulate a document-ingest feed: the documents table split into
+    ``n_chunks`` deterministic files (``doc_id % n_chunks``), appended one
+    write job at a time with strictly-increasing mtimes so the
+    FileStreamSource (``maxFilesPerTrigger=1``) consumes each chunk as
+    one micro-batch in a stable order.  The ingestion-dedup fold is a
+    per-hash MIN (order-invariant), so batch order never changes the
+    final state — the stamping only pins which rows the crash-injection
+    test's "crash before batch k" lands on."""
+    import time as _time
+
+    from ..sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base_t = _time.time()
+    seen: set[str] = set()
+    for k in range(n_chunks):
+        (
+            docs.where(F.pmod(F.col("doc_id"), F.lit(n_chunks)) == k)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+        _stamp_new_chunk_files(src_dir, seen, base_t + k)
+
+
+def incremental_doc_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    on_batch=None,
+    n_buckets: int = _STATE_BUCKETS,
+) -> None:
+    """Exact dedup AT INGESTION via ``foreachBatch`` — the production
+    shape for a corpus that keeps growing: each arriving micro-batch of
+    documents checks its content hashes against the accumulated
+    seen-hash state and only first occurrences survive, so downstream
+    consumers never re-process a duplicate and the dedup cost per batch
+    is O(batch + touched state buckets), never a full-corpus re-scan
+    (the third consumer of the round-10 bucketed-state layout, after
+    the item-stats and SCD2 folds — the layout is a primitive, not a
+    one-off).
+
+    State rows are ``(content_hash, doc_id, lang, source)`` — one row
+    per distinct md5(text), carrying the keeper (minimum doc_id) row's
+    metadata — bucketed by ``pmod(xxhash64(content_hash), B)`` and
+    versioned per micro-batch (``{state_dir}/v{batch_id}/bkt={b}``,
+    written only for buckets the batch touched).  The fold is a
+    per-hash MIN over ``struct(doc_id, lang, source)``: associative,
+    commutative, and IDEMPOTENT, so the end state is bit-identical to
+    the one-shot batch keep-first for ANY chunking of the corpus (the
+    split-invariance pytest pins it) and a crash-replayed batch merges
+    to the same rows (versions strictly below the batch id feed the
+    replay, as in :func:`incremental_item_stats`).
+
+    The graded result is the state itself: keepers join back to the
+    corpus by (hash, doc_id), so the batch SQL oracle — keep the
+    min-doc_id row per md5(text) — grades the streaming execution
+    exactly.  ``on_batch(batch_id)`` is the crash-injection hook shared
+    with the other two folds.
+    """
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        s = batch_df.sparkSession
+        batch_first = (
+            batch_df.select(
+                F.md5(F.col("text").cast("binary")).alias("content_hash"),
+                F.struct("doc_id", "lang", "source").alias("first"),
+            )
+            .groupBy("content_hash")
+            .agg(F.min("first").alias("first"))
+            .select(
+                "content_hash",
+                F.col("first.doc_id").alias("doc_id"),
+                F.col("first.lang").alias("lang"),
+                F.col("first.source").alias("source"),
+            )
+            .withColumn("bkt", _bucket_expr(F.col("content_hash"), n_buckets))
+        ).persist()
+        try:
+            touched = {
+                r["bkt"] for r in batch_first.select("bkt").distinct().collect()
+            }
+            if not touched:
+                return  # empty batch: every bucket keeps its version
+            # -1 included for the same write-path fail-fast as the other
+            # two folds (a skipped full-layout version would silently
+            # fold from empty state).
+            prev_paths = bucket_latest_paths(
+                state_dir, below=batch_id, buckets=touched | {-1}
+            )
+            if -1 in prev_paths:
+                raise ValueError(
+                    f"incremental_doc_dedup: {state_dir} holds a "
+                    "pre-bucketing full-layout version — migrate by "
+                    "rewriting into a fresh state dir before resuming"
+                )
+            base = batch_first.drop("bkt")
+            if prev_paths:
+                base = s.read.parquet(*sorted(prev_paths.values())).unionByName(
+                    base
+                )
+            merged = (
+                base.select(
+                    "content_hash",
+                    F.struct("doc_id", "lang", "source").alias("first"),
+                )
+                .groupBy("content_hash")
+                .agg(F.min("first").alias("first"))
+                .select(
+                    "content_hash",
+                    F.col("first.doc_id").alias("doc_id"),
+                    F.col("first.lang").alias("lang"),
+                    F.col("first.source").alias("source"),
+                )
+                .withColumn(
+                    "bkt", _bucket_expr(F.col("content_hash"), n_buckets)
+                )
+            )
+            # One file per touched bucket, not tasks × buckets (see
+            # incremental_item_stats).
+            merged.repartition(len(touched), "bkt").write.mode(
+                "overwrite"
+            ).partitionBy("bkt").parquet(f"{state_dir}/v{batch_id}")
+        finally:
+            batch_first.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_ivf_index(
     spark: SparkSession,
     src_dir: str,

@@ -3,15 +3,16 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-9: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-10 contract (VERDICT r9 "Next
-round" #1, #2, #4, #5, #6): the prefix first-grades the five queries NEW
+round" #1, #2, #4, #5, #6): the prefix first-grades the seven queries NEW
 this round (the batched ANN probe, the span-rewritten export capstone, the
-semantic-dedup keep-one composition, the per-source frequency cap, and
-the context-window chunker), then the five queries whose plan/oracle/state-layout CHANGED
+semantic-dedup keep-one composition, the per-source frequency cap, the
+context-window chunker, degree-oriented triangle counting, and the
+streaming ingestion dedup), then the five queries whose plan/oracle/state-layout CHANGED
 this round (the hashed/fused span family and the two bucketed-state
 execs — same oracles, the hash must prove bit-identity), then the ENTIRE
-16-name r6-era stale queue the r9 verdict listed, then 23 of the 47-name
+16-name r6-era stale queue the r9 verdict listed, then 21 of the 47-name
 round-7-graded cohort — after this round no query's latest grade is
-older than round 7.  The 24 r7 names that did not fit lead the
+older than round 7.  The 26 r7 names that did not fit lead the
 post-prefix queue for round 11 (DEFERRED_R7 below).
 """
 
@@ -28,6 +29,8 @@ NEW_R10 = {
     "q_dedup_semantic",
     "q_sample_source_cap",
     "q_text_chunks",
+    "q_graph_triangles",
+    "q_stream_dedup_docs_exec",
 }
 
 # Changed this round — re-graded to prove the rework is bit-identical.
@@ -60,7 +63,7 @@ STALE_R6 = {
     "q_text_bigrams",
 }
 
-# The round-7-graded cohort members that FIT the remaining 23 slots.
+# The round-7-graded cohort members that FIT the remaining 21 slots.
 R7_IN_PREFIX = {
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
@@ -82,15 +85,17 @@ R7_IN_PREFIX = {
     "q_corr_min_q2",
     "q_corr_scalar_q17",
     "q_dedup_jaccard_pairs",
-    "q_embedding_quantize",
-    "q_events_anomaly",
     "q_join_agg_q10",
 }
 
-# The 24 r7-graded names the 50-slot prefix could not fit — every one is
-# a TPC-H/relational/multimodal shape whose family siblings grade in or
-# near the prefix; they lead the round-11 stale queue.
+# The 26 r7-graded names the 50-slot prefix could not fit — every one is
+# a TPC-H/relational/multimodal/embedding/events shape whose family
+# siblings grade in or near the prefix; they lead the round-11 stale
+# queue.  q_embedding_quantize and q_events_anomaly ceded their slots to
+# the two late round-10 additions.
 DEFERRED_R7 = {
+    "q_embedding_quantize",
+    "q_events_anomaly",
     "q_graph_degree_stats",
     "q_join_agg_q12",
     "q_join_agg_q14",
@@ -192,6 +197,10 @@ def test_every_deferred_r7_name_has_a_family_sibling_in_prefix():
     maps to a named sibling that IS in this round's prefix (the family
     query covering the same operator shape)."""
     sibling = {
+        # embeddings family: the persisted-IVF query grades in-prefix
+        "q_embedding_quantize": "q_knn_cosine_ivf_indexed",
+        # events family: the SCD2 compaction grades in-prefix
+        "q_events_anomaly": "q_events_scd2",
         # graph family: the pagerank fixpoint (exact twin) grades
         # in-prefix via the r6 set
         "q_graph_degree_stats": "q_pagerank_items",

@@ -623,6 +623,47 @@ def test_degree_stats_consistent_with_edge_list(spark, sf_dir):
     assert abs(stats.avg_degree * stats.n_nodes - 2 * stats.n_edges) < 1e-2
 
 
+def test_triangles_match_bruteforce_and_handshake(spark, smoke_dir):
+    """The degree-oriented wedge closure counts exactly the triangles an
+    independent adjacency-set brute force finds (per node, not just in
+    total — orientation bugs typically miscredit vertices while keeping
+    the global count plausible), and the clustering coefficient obeys
+    its bounds: 0 ≤ c ≤ 1, with c = 0 forced wherever degree < 2 or no
+    triangle exists."""
+    from recsys_mapreduce_mrjob_spark.operators.graph import _TRI_MIN_SUPPORT
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        item_cooccurrence,
+    )
+
+    edges = [
+        (r.item_x, r.item_y)
+        for r in item_cooccurrence(
+            _cached_ratings(spark, smoke_dir), min_support=_TRI_MIN_SUPPORT
+        ).collect()
+    ]
+    assert edges, "smoke graph is empty — the test would pass vacuously"
+    adj: dict[int, set[int]] = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    # A triangle {a,b,c} is seen once per edge, at the opposite vertex —
+    # (a,b) credits c, (a,c) credits b, (b,c) credits a — so this tally
+    # IS the per-vertex triangle count.
+    expected = {v: 0 for v in adj}
+    for x, y in edges:
+        for z in adj[x] & adj[y]:
+            expected[z] += 1
+    rows = registry.QUERIES["q_graph_triangles"](spark, smoke_dir).collect()
+    got = {r.item_id: r.n_triangles for r in rows}
+    assert got == expected
+    for r in rows:
+        assert len(adj[r.item_id]) == r.degree
+        assert 0.0 <= r.clustering <= 1.0, r
+        if r.degree < 2 or r.n_triangles == 0:
+            assert r.clustering == 0.0, r
+
+
 def test_anomaly_alerts_exceed_threshold(spark, sf_dir):
     """Every emitted alert satisfies the |z| ≥ 2.5 contract, and alerts
     are a small fraction of the bucket space (an alarm that fires on

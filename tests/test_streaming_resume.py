@@ -219,6 +219,67 @@ def test_scd2_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
     assert _multiset(final_state(st1)) == resumed
 
 
+def test_doc_dedup_crash_resume_and_invariance(spark, smoke_dir, tmp_path):
+    """The ingestion-dedup fold under the exactly-once hazard plus its
+    two invariance claims: a crash after batch 0 commits (restart must
+    skip the committed batch and land on the batch keep-first answer),
+    micro-batch split invariance (1 chunk ≡ 4 chunks — the min-fold is
+    order-invariant, stronger than the SCD2 fold's time-ordered
+    contract), and bucket-layout invariance (n_buckets=1 reproduces the
+    full-rewrite shape bit-for-bit)."""
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_doc_dedup,
+        read_bucketed_state,
+        write_doc_chunks,
+    )
+
+    src4 = str(tmp_path / "docs4")
+    st4 = str(tmp_path / "state4")
+    write_doc_chunks(spark, smoke_dir, src4, n_chunks=4)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_doc_dedup(spark, src4, st4, on_batch=crash_on_second)
+    assert os.path.isdir(f"{st4}/v0"), "batch 0 state version missing"
+
+    replayed: list[int] = []
+    incremental_doc_dedup(spark, src4, st4, on_batch=replayed.append)
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    resumed = _multiset(read_bucketed_state(spark, st4))
+
+    # Batch keep-first twin: min doc_id row per content hash.
+    docs = load_table(spark, smoke_dir, "documents")
+    oneshot = (
+        docs.select(
+            F.md5(F.col("text").cast("binary")).alias("content_hash"),
+            F.struct("doc_id", "lang", "source").alias("first"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("first").alias("first"))
+        .select(
+            "content_hash", "first.doc_id", "first.lang", "first.source"
+        )
+    )
+    assert resumed == _multiset(oneshot)
+
+    # Split invariance: the whole corpus in ONE micro-batch.
+    src1 = str(tmp_path / "docs1")
+    st1 = str(tmp_path / "state1")
+    write_doc_chunks(spark, smoke_dir, src1, n_chunks=1)
+    incremental_doc_dedup(spark, src1, st1)
+    assert _multiset(read_bucketed_state(spark, st1)) == resumed
+
+    # Bucket-layout invariance: one bucket (the old full-rewrite shape).
+    stb = str(tmp_path / "state_b1")
+    incremental_doc_dedup(spark, src4, stb, n_buckets=1)
+    assert _multiset(read_bucketed_state(spark, stb)) == resumed
+
+
 def test_ann_index_crash_resume_and_pruning(spark, smoke_dir, tmp_path):
     """The streaming IVF index ingest under the exactly-once hazard plus
     its scale contract: crash after batch 0 commits → restart skips the

@@ -157,6 +157,8 @@ def main() -> None:
             "q_dedup_semantic",
             "q_sample_source_cap",
             "q_text_chunks",
+            # round 10 (late): degree-oriented triangle counting
+            "q_graph_triangles",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

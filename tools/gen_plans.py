@@ -178,6 +178,20 @@ ENTRIES = [
         "itself.",
     ),
     (
+        "q_graph_triangles",
+        "Degree-oriented triangle counting (round 10): the node-sized "
+        "degree relation BROADCASTS into the edge orientation (no "
+        "edge-keyed shuffle to learn degrees), the wedge stage is one "
+        "equi-self-join of the persisted oriented relation on the pivot "
+        "(InMemoryTableScan feeds both join sides AND the closing edge "
+        "lookup — one orientation pass, three consumers), and the "
+        "closing join is an equi-join on the oriented (b, c) pair — "
+        "never a neighbor-list collect, so the hottest vertex "
+        "contributes O(sqrt(m)) wedges instead of deg^2 and the 'last "
+        "reducer' cannot form.  Per-vertex credit is an explode + "
+        "hash aggregate.",
+    ),
+    (
         "q_knn_batch_ivf",
         "Batched ANN (round 10): ONE partition-pruned scan of the "
         "persisted IVF index answers all 32 probes — the scan's "
