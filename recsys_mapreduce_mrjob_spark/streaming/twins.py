@@ -19,6 +19,8 @@ for each operator.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -255,6 +257,19 @@ def _bucket_expr(key, n_buckets: int):
     return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
 
 
+# Version-dir name → batch id.  ``v-1`` is the RESERVED migration slot
+# (see migrate_state_to_bucketed): every replay guard reads versions
+# strictly below its batch id, and real batch ids start at 0, so -1 is
+# the one id a resumed stream can never replay-overwrite — the same
+# discipline as the IVF compaction's reserved ``batch=-1`` subtree.
+_VERSION_RE = re.compile(r"^v(-1|\d+)$")
+
+
+def _version_of(name: str) -> int | None:
+    m = _VERSION_RE.match(name)
+    return int(m.group(1)) if m else None
+
+
 def bucket_latest_paths(
     state_dir: str,
     below: int | None = None,
@@ -279,7 +294,7 @@ def bucket_latest_paths(
     except OSError:
         return {}
     versions = sorted(
-        int(d[1:]) for d in names if d.startswith("v") and d[1:].isdigit()
+        v for v in (_version_of(d) for d in names) if v is not None
     )
     for v in versions:  # ascending: later versions overwrite dict slots
         if below is not None and v >= below:
@@ -306,7 +321,7 @@ def bucket_latest_paths(
         raise ValueError(
             f"bucket_latest_paths: {state_dir} mixes a pre-bucketing "
             "full-layout version with bucketed versions — unreadable "
-            "without double-counting; migrate by rewriting the state "
+            "without double-counting; migrate_state_to_bucketed rewrites it "
             "into a fresh directory"
         )
     return {b: p for b, (v, p) in latest.items()}
@@ -413,8 +428,8 @@ def incremental_item_stats(
             if -1 in prev_paths:
                 raise ValueError(
                     f"incremental_item_stats: {state_dir} holds a "
-                    "pre-bucketing full-layout version — migrate by "
-                    "rewriting into a fresh state dir before resuming"
+                    "pre-bucketing full-layout version — run "
+                    "migrate_state_to_bucketed into a fresh dir first"
                 )
             base = batch_agg.drop("bkt")
             if prev_paths:
@@ -484,10 +499,9 @@ def prune_state_versions(state_dir: str, keep: int = 2) -> list[int]:
     if keep < 1:
         raise ValueError(f"prune_state_versions: keep must be >= 1, got {keep}")
     complete = sorted(
-        int(d[1:])
+        v
         for d in os.listdir(state_dir)
-        if d.startswith("v")
-        and d[1:].isdigit()
+        if (v := _version_of(d)) is not None
         and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
     )
     # bucket -> ascending versions containing it (pseudo-bucket -1 for a
@@ -525,14 +539,71 @@ def prune_state_versions(state_dir: str, keep: int = 2) -> list[int]:
     if survivors:
         oldest_kept = survivors[0]
         for d in os.listdir(state_dir):
+            dv = _version_of(d)
             if (
-                d.startswith("v")
-                and d[1:].isdigit()
-                and int(d[1:]) < oldest_kept
+                dv is not None
+                and dv < oldest_kept
                 and not os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
             ):
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
     return doomed
+
+
+def migrate_state_to_bucketed(
+    spark: SparkSession,
+    old_dir: str,
+    new_dir: str,
+    key: str,
+    n_buckets: int = _STATE_BUCKETS,
+) -> None:
+    """One-shot migration of a PRE-BUCKETING versioned state dir (each
+    ``v{batch}`` holds the WHOLE state, no ``bkt=`` subdirs) into the
+    bucketed layout — the rewrite every mixed-layout guard in this
+    module points at ("migrate by rewriting into a fresh dir, never in
+    place").
+
+    Reads the newest COMPLETE old-layout version and rewrites it into
+    ``{new_dir}/v-1/bkt={pmod(xxhash64(key), B)}``.  The RESERVED id -1
+    is what makes the migrated state consumable by a RESUMED ingest: a
+    fresh stream's batch ids restart at 0 and every fold merges from
+    versions strictly below its own id, so batch 0 sees ``v-1`` (and
+    can never replay-overwrite it — the IVF compaction's ``batch=-1``
+    discipline applied to folding state).  The new dir must not exist;
+    the old dir is never touched, so a failed migration is re-runnable
+    and readers of the old layout keep working until the cutover.
+    """
+    import os
+
+    if os.path.exists(new_dir):
+        raise ValueError(
+            f"migrate_state_to_bucketed: {new_dir} already exists — "
+            "migrate into a FRESH directory (a partial previous attempt "
+            "must be deleted, not merged into)"
+        )
+    complete: list[tuple[int, str]] = []
+    for d in os.listdir(old_dir):
+        v = _version_of(d)
+        vdir = os.path.join(old_dir, d)
+        if v is None or not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            continue
+        if any(s.startswith("bkt=") for s in os.listdir(vdir)):
+            raise ValueError(
+                f"migrate_state_to_bucketed: {old_dir} already holds "
+                f"bucketed version v{v} — this helper only migrates the "
+                "pure pre-bucketing layout"
+            )
+        complete.append((v, vdir))
+    if not complete:
+        raise ValueError(
+            f"migrate_state_to_bucketed: no complete version in {old_dir}"
+        )
+    _, latest = max(complete)
+    state = spark.read.parquet(latest).withColumn(
+        "bkt", _bucket_expr(F.col(key), n_buckets)
+    )
+    state.repartition(n_buckets, "bkt").write.partitionBy("bkt").parquet(
+        f"{new_dir}/v-1"
+    )
 
 
 def enriched_stream(spark: SparkSession, events: DataFrame, sf_dir: str) -> DataFrame:
@@ -1028,8 +1099,8 @@ def incremental_doc_dedup(
             if -1 in prev_paths:
                 raise ValueError(
                     f"incremental_doc_dedup: {state_dir} holds a "
-                    "pre-bucketing full-layout version — migrate by "
-                    "rewriting into a fresh state dir before resuming"
+                    "pre-bucketing full-layout version — run "
+                    "migrate_state_to_bucketed into a fresh dir first"
                 )
             base = batch_first.drop("bkt")
             if prev_paths:
@@ -1350,8 +1421,8 @@ def incremental_scd2(
         if -1 in prev_paths:
             raise ValueError(
                 f"incremental_scd2: {state_dir} holds a pre-bucketing "
-                "full-layout version — migrate by rewriting into a "
-                "fresh state dir before resuming"
+                "full-layout version — run migrate_state_to_bucketed "
+                "into a fresh dir first"
             )
         prev = (
             s.read.parquet(*sorted(prev_paths.values())) if prev_paths else None

@@ -223,6 +223,65 @@ def test_reader_ignores_incomplete_versions(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_migrate_old_layout_then_resume_ingest(spark):
+    """The migration path every mixed-layout guard points at, end to
+    end: a pre-bucketing full-layout state rewrites into the bucketed
+    layout at the RESERVED version -1, a FRESH ingest stream (batch ids
+    restarting at 0) resumes against it — batch 0's replay guard reads
+    strictly-below-0, so it sees exactly the migrated state — and the
+    final merged state equals the one-shot aggregate over old + new
+    data.  Also pins the two refusals: migrating into an existing dir,
+    and migrating a dir that already holds bucketed versions."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        migrate_state_to_bucketed,
+        read_bucketed_state,
+    )
+
+    def stats(df):
+        return df.groupBy("item_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("rating").cast("decimal(20,6)"))
+            .cast("decimal(38,6)")
+            .alias("rating_sum"),
+        )
+
+    base = tempfile.mkdtemp(prefix="migrate_")
+    try:
+        ratings = derive_ratings(spark, SF)
+        part_a = ratings.where(F.col("item_id") % 3 == 0)
+        part_b = ratings.where(F.col("item_id") % 3 != 0)
+        old, new = f"{base}/old_state", f"{base}/new_state"
+        # Pre-bucketing layout: the whole state in one full version dir
+        # (arbitrary batch id — only the newest complete one migrates).
+        stats(part_a).write.parquet(f"{old}/v5")
+        migrate_state_to_bucketed(spark, old, new, key="item_id", n_buckets=8)
+        assert os.path.isdir(f"{new}/v-1/bkt=0")
+        migrated = Counter(
+            tuple(r) for r in read_bucketed_state(spark, new).collect()
+        )
+        assert migrated == Counter(tuple(r) for r in stats(part_a).collect())
+        # Resume: a fresh stream over the remaining data, folding into
+        # the migrated dir.
+        src_b = f"{base}/src_b"
+        part_b.repartition(2).write.parquet(src_b)
+        incremental_item_stats(spark, src_b, new, n_buckets=8)
+        final = Counter(
+            tuple(r) for r in read_bucketed_state(spark, new).collect()
+        )
+        assert final == Counter(tuple(r) for r in stats(ratings).collect())
+        # Refusals: existing target; already-bucketed source.
+        with pytest.raises(ValueError, match="already exists"):
+            migrate_state_to_bucketed(spark, old, new, key="item_id")
+        with pytest.raises(ValueError, match="bucketed version"):
+            migrate_state_to_bucketed(
+                spark, new, f"{base}/new2", key="item_id"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_reader_handles_pure_old_layout_and_rejects_mixed(spark):
     """A PRE-bucketing state dir (versions with no bkt= subdirs) stays
     readable — newest complete full version wins — while a dir MIXING
