@@ -285,6 +285,47 @@ FROM deg d LEFT JOIN tcnt t USING (item_id)
 """
 
 
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-occurrence edge relation (n_common ≥ min_support pairs),
+    derived the way the flagship derives its pair stats: below the
+    GEMM/join crossover the pair space exists only inside the blocked
+    sparse-Gram tile kernel with the ratings derivation fused in
+    (``pairwise_stats_gemm`` ``pre_aggregate`` — no 13.1M-row pair
+    exchange, the shuffle ships |ratings|·B narrow rows), above it the
+    all-JVM relational self-join (``item_cooccurrence``).  The two forms
+    are hash-equal (tests/test_scale_knobs.py pins the GEMM/join
+    equivalence) and the edge list is pure integer counts, so the
+    dispatch can never move a graded value.
+
+    Memoized per (SparkContext, sf_dir): the edge relation fans into
+    THREE lazy branches (both degree-union sides + the orientation
+    join) — unpersisted, the pair derivation would re-execute per
+    branch (measured 3× the kernel wall at sf0.1)."""
+    from ..sources.readers import parquet_num_rows
+    from .recsys import (
+        _FLAGSHIP_JOIN_MIN_ROWS,
+        gemm_block_count,
+        pairwise_stats_gemm,
+        raw_ratings,
+    )
+
+    def build() -> DataFrame:
+        n = parquet_num_rows(sf_dir, "lineitem")
+        if n is not None and n >= _FLAGSHIP_JOIN_MIN_ROWS:
+            return item_cooccurrence(
+                _cached_ratings(spark, sf_dir), min_support=_TRI_MIN_SUPPORT
+            ).select("item_x", "item_y")
+        n_blocks = gemm_block_count(n) if n is not None else None
+        return pairwise_stats_gemm(
+            raw_ratings(spark, sf_dir),
+            min_support=_TRI_MIN_SUPPORT,
+            n_blocks=n_blocks,
+            pre_aggregate=True,
+        ).select("item_x", "item_y")
+
+    return memo_persist(spark, "tri_edges", sf_dir, build)
+
+
 def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-occurrence graph's edges oriented low→high under the
     (degree, id) total order, persisted once per (SparkContext, sf_dir)
@@ -293,12 +334,14 @@ def _oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage can canonicalize its pair without re-joining degrees."""
 
     def build() -> DataFrame:
-        edges = item_cooccurrence(
-            _cached_ratings(spark, sf_dir), min_support=_TRI_MIN_SUPPORT
-        ).select("item_x", "item_y")
+        edges = _tri_edges(spark, sf_dir)
+        # One explode scan, not a two-branch union: the edges relation
+        # already fans into this aggregate AND the orientation join, and
+        # every extra consumer of a cold cache is a re-materialization.
         deg = (
-            edges.select(F.col("item_x").alias("id"))
-            .unionAll(edges.select(F.col("item_y").alias("id")))
+            edges.select(
+                F.explode(F.array("item_x", "item_y")).alias("id")
+            )
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -366,8 +409,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (
-        oriented.select(F.col("src").alias("id"))
-        .unionAll(oriented.select(F.col("dst").alias("id")))
+        oriented.select(F.explode(F.array("src", "dst")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

@@ -888,12 +888,27 @@ def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # None (unreadable footer) → pairwise_stats_gemm counts the relation.
     n_blocks = gemm_block_count(_n) if _n is not None else None
+    return topk_similar_items(
+        raw_ratings(spark, sf_dir),
+        k=10,
+        impl="gemm",
+        n_blocks=n_blocks,
+        pre_aggregate=True,
+    )
+
+
+def raw_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw (user_id, item_id, quantity) rows BEFORE the (user, item)
+    aggregation — the input whose derivation the ``pre_aggregate`` tile
+    kernel fuses in, so the plan has no aggregation exchange at all
+    (scan → broadcast orders join → tile exchange).  The bench-scale
+    lineitem parquet plans 3 input splits, which would serialize the
+    broadcast join + B-way replicate explode + tile shuffle write behind
+    3 tasks — round-robin to core count first (a no-op on an
+    already-parallel scan, the 100 TB case).  Shared by the flagship's
+    GEMM arm and the triangle-count edge derivation (graph.py)."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    raw = (
-        # The bench-scale lineitem parquet plans 3 input splits, which
-        # serializes the broadcast join + B-way replicate explode + tile
-        # shuffle write behind 3 tasks; round-robin to core count first
-        # (no-op on an already-parallel scan — the 100 TB case).
+    return (
         rebalance_if_starved(
             load_table(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_partkey", "l_quantity"
@@ -905,9 +920,6 @@ def q_topk_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("item_id"),
             F.col("l_quantity").alias("rating"),
         )
-    )
-    return topk_similar_items(
-        raw, k=10, impl="gemm", n_blocks=n_blocks, pre_aggregate=True
     )
 
 

@@ -24,6 +24,10 @@ Usage: python tools/bench_state_ingest.py            (default ladder)
            (same ladder over incremental_scd2: seed = one event per
            user, then 100-user CDC chunks whose timestamps postdate
            every earlier chunk — the time-ordered contract)
+       python tools/bench_state_ingest.py --docs 400000:256 ...
+           (same ladder over incremental_doc_dedup: seed = S distinct
+           documents, then 100-doc chunks half duplicate / half novel —
+           the ingestion gate's real mix; key = md5(text))
 """
 
 from __future__ import annotations
@@ -110,15 +114,58 @@ def build_event_source(src: str, s_users: int) -> None:
         )
 
 
+def _write_doc_chunk(
+    path: str, doc_ids: np.ndarray, content_ids: np.ndarray, mtime: float
+) -> None:
+    """Documents whose text is a pure function of ``content_ids`` — reuse
+    a content id and the doc is an exact duplicate that must die at the
+    ingestion gate; the state key is md5(text), computed on read."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids.astype(np.int64)),
+            "text": pa.array([f"document body {c}" for c in content_ids]),
+            "lang": pa.array(["en"] * len(doc_ids)),
+            "source": pa.array(["bench"] * len(doc_ids)),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def build_doc_source(src: str, s_docs: int) -> None:
+    """Seed chunk of S distinct documents, then N_SMALL 100-doc chunks:
+    half duplicates of seed content (the gate's work), half novel."""
+    os.makedirs(src)
+    t0 = time.time()
+    _write_doc_chunk(
+        f"{src}/chunk00.parquet", np.arange(s_docs), np.arange(s_docs), t0
+    )
+    half = BATCH_ITEMS // 2
+    for i in range(N_SMALL):
+        dup = (7919 * (i + 1) + 104729 * np.arange(half)) % s_docs
+        new = s_docs + i * half + np.arange(half)
+        _write_doc_chunk(
+            f"{src}/chunk{i + 1:02d}.parquet",
+            s_docs + i * BATCH_ITEMS + np.arange(BATCH_ITEMS),
+            np.concatenate([dup, new]),
+            t0 + i + 1,
+        )
+
+
 def run_shape(
     spark, src: str, state: str, n_buckets: int, mode: str = "stats"
 ) -> dict:
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_doc_dedup,
         incremental_item_stats,
         incremental_scd2,
     )
 
-    fn = incremental_item_stats if mode == "stats" else incremental_scd2
+    fn = {
+        "stats": incremental_item_stats,
+        "scd2": incremental_scd2,
+        "docs": incremental_doc_dedup,
+    }[mode]
     stamps: list[tuple[int, float]] = []
     fn(
         spark,
@@ -147,6 +194,9 @@ def main() -> None:
     if "--scd2" in args:
         mode = "scd2"
         args.remove("--scd2")
+    if "--docs" in args:
+        mode = "docs"
+        args.remove("--docs")
     rungs = (
         [tuple(int(x) for x in a.split(":")) for a in args] if args else RUNGS
     )
@@ -173,8 +223,10 @@ def main() -> None:
             src = f"{base}/src"
             if mode == "stats":
                 build_source(src, s_items)
-            else:
+            elif mode == "scd2":
                 build_event_source(src, s_items)
+            else:
+                build_doc_source(src, s_items)
             out: dict[str, dict] = {"mode": mode}
             states = {}
             for label, nb in (("bucketed", n_buckets), ("full_rewrite", 1)):

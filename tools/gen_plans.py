@@ -179,17 +179,20 @@ ENTRIES = [
     ),
     (
         "q_graph_triangles",
-        "Degree-oriented triangle counting (round 10): the node-sized "
-        "degree relation BROADCASTS into the edge orientation (no "
-        "edge-keyed shuffle to learn degrees), the wedge stage is one "
+        "Degree-oriented triangle counting (round 10): the edge list "
+        "derives through the flagship's blocked sparse-Gram tile kernel "
+        "(pairwise_stats_gemm pre_aggregate, size-dispatched — the pair "
+        "space never exists as a shuffle) and memo-persists; degrees "
+        "come from ONE explode scan of it and the node-sized degree "
+        "relation BROADCASTS into the orientation (no edge-keyed "
+        "shuffle to learn degrees).  The wedge stage is one "
         "equi-self-join of the persisted oriented relation on the pivot "
         "(InMemoryTableScan feeds both join sides AND the closing edge "
-        "lookup — one orientation pass, three consumers), and the "
-        "closing join is an equi-join on the oriented (b, c) pair — "
-        "never a neighbor-list collect, so the hottest vertex "
-        "contributes O(sqrt(m)) wedges instead of deg^2 and the 'last "
-        "reducer' cannot form.  Per-vertex credit is an explode + "
-        "hash aggregate.",
+        "lookup), and the closing join is an equi-join on the oriented "
+        "(b, c) pair — never a neighbor-list collect, so the hottest "
+        "vertex contributes O(sqrt(m)) wedges instead of deg^2 and the "
+        "'last reducer' cannot form.  Per-vertex credit is an explode "
+        "+ hash aggregate.",
     ),
     (
         "q_knn_batch_ivf",
