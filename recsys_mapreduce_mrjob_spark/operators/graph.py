@@ -321,6 +321,7 @@ def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             min_support=_TRI_MIN_SUPPORT,
             n_blocks=n_blocks,
             pre_aggregate=True,
+            counts_only=True,  # edge list: no grams, no rating shuffle
         ).select("item_x", "item_y")
 
     return memo_persist(spark, "tri_edges", sf_dir, build)

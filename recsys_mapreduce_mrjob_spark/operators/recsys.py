@@ -183,6 +183,7 @@ def pairwise_stats_gemm(
     n_blocks: int | None = None,
     with_rater_counts: bool = False,
     pre_aggregate: bool = False,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Blocked-GEMM twin of :func:`pairwise_stats` — same output relation,
     sparse-Gram execution (VERDICT r4 #2).
@@ -225,6 +226,15 @@ def pairwise_stats_gemm(
     separate ratings scan plus two downstream joins
     (:func:`item_rater_counts`) into the same kernel pass for free.
 
+    ``counts_only=True`` emits just ``(item_x, item_y, n)`` — the
+    co-occurrence EDGE relation (graph.py's triangle input) — skipping
+    every rating gather and all five gram ``bincount`` passes over the
+    event space, and (under ``pre_aggregate``) the decimal-rounding
+    arithmetic: the count needs (user, item)-uniqueness, never the
+    value.  Counts are integers, so the form is bit-equal to the
+    relational ``item_cooccurrence`` (pinned in
+    tests/test_scale_knobs.py) and to the full kernel's ``n`` column.
+
     ``pre_aggregate=True`` fuses the ratings DERIVATION into the kernel
     too: the input ``rating`` column then holds raw integer-valued
     quantities with duplicate (user, item) rows, and each tile first
@@ -248,16 +258,16 @@ def pairwise_stats_gemm(
     # int-cast bi/bj hash-collide the 15 tiles into 9–12 of 32 shuffle
     # partitions, costing kernel-stage parallelism worth far more than
     # the 12 bytes/row — Murmur3 over the two-long key spreads 15/15.
+    # counts_only never reads the value, so the rating column is dropped
+    # BEFORE the replicate exchange — the plan's largest shuffle loses
+    # 8 bytes/row, not just the kernel some arithmetic.
+    data_cols = ["user_id", "item_id"] + ([] if counts_only else ["rating"])
     blocked = ratings.select(
-        "user_id",
-        "item_id",
-        "rating",
+        *data_cols,
         F.pmod(F.xxhash64("item_id"), F.lit(n_blocks)).alias("blk"),
     )
     replicated = blocked.select(
-        "user_id",
-        "item_id",
-        "rating",
+        *data_cols,
         F.explode(
             F.array(
                 *[
@@ -271,21 +281,29 @@ def pairwise_stats_gemm(
             )
         ).alias("bp"),
     ).select(
-        "user_id", "item_id", "rating",
+        *data_cols,
         F.col("bp.bi").alias("bi"),
         F.col("bp.bj").alias("bj"),
         F.col("bp.is_x").alias("is_x"),
     )
 
-    out_cols = ["item_x", "item_y", "n", "sxy", "sx", "sy", "sxx", "syy"]
-    out_dtypes = {
-        "item_x": "int64", "item_y": "int64", "n": "int64",
-        "sxy": "float64", "sx": "float64", "sy": "float64",
-        "sxx": "float64", "syy": "float64",
-    }
-    if with_rater_counts:
-        out_cols += ["nx", "ny"]
-        out_dtypes.update({"nx": "int64", "ny": "int64"})
+    if counts_only and with_rater_counts:
+        raise ValueError(
+            "counts_only and with_rater_counts are mutually exclusive"
+        )
+    if counts_only:
+        out_cols = ["item_x", "item_y", "n"]
+        out_dtypes = {"item_x": "int64", "item_y": "int64", "n": "int64"}
+    else:
+        out_cols = ["item_x", "item_y", "n", "sxy", "sx", "sy", "sxx", "syy"]
+        out_dtypes = {
+            "item_x": "int64", "item_y": "int64", "n": "int64",
+            "sxy": "float64", "sx": "float64", "sy": "float64",
+            "sxx": "float64", "syy": "float64",
+        }
+        if with_rater_counts:
+            out_cols += ["nx", "ny"]
+            out_dtypes.update({"nx": "int64", "ny": "int64"})
 
     def stats_tile(tbl):
         # Arrow-native group kernel (round 5: applyInArrow — the Arrow
@@ -303,23 +321,38 @@ def pairwise_stats_gemm(
         bj = int(tbl.column("bj")[0].as_py())
         u_all = tbl.column("user_id").to_numpy()
         i_all = tbl.column("item_id").to_numpy()
-        v_all = tbl.column("rating").to_numpy()
+        v_all = None if counts_only else tbl.column("rating").to_numpy()
         if bi == bj:
             left = (u_all, i_all, v_all)  # diagonal tile: every row is x
             right = left
         else:
             mask_x = tbl.column("is_x").to_numpy()
             mask_y = ~mask_x
-            left = (u_all[mask_x], i_all[mask_x], v_all[mask_x])
-            right = (u_all[mask_y], i_all[mask_y], v_all[mask_y])
+            left = (
+                u_all[mask_x],
+                i_all[mask_x],
+                None if counts_only else v_all[mask_x],
+            )
+            right = (
+                u_all[mask_y],
+                i_all[mask_y],
+                None if counts_only else v_all[mask_y],
+            )
         if left[0].size == 0 or right[0].size == 0:
             return empty()
 
         def side(part):
             u = part[0].astype(np.int64, copy=False)
             i = part[1].astype(np.int64, copy=False)
-            v = part[2].astype(np.float64, copy=False)
+            v = None if counts_only else part[2].astype(np.float64, copy=False)
             if pre_aggregate:
+                key = (u << np.int64(32)) | i
+                if counts_only:
+                    # Counts need (user, item)-uniqueness, never the
+                    # value: skip the inverse map, the weighted bincount,
+                    # and the decimal-rounding arithmetic entirely.
+                    uk = np.unique(key)
+                    return (uk >> np.int64(32), uk & np.int64(0xFFFFFFFF), None)
                 # Raw (user, item, qty) rows → round(avg(qty), 6) per key,
                 # exact HALF_UP in integer arithmetic (see docstring).
                 if not (v == np.floor(v)).all():
@@ -327,7 +360,6 @@ def pairwise_stats_gemm(
                         "pre_aggregate=True requires integer-valued "
                         "quantities for exact decimal rounding"
                     )
-                key = (u << np.int64(32)) | i
                 uk, inv = np.unique(key, return_inverse=True)
                 cnt = np.bincount(inv).astype(np.int64)
                 sq = np.rint(np.bincount(inv, weights=v)).astype(np.int64)
@@ -343,7 +375,7 @@ def pairwise_stats_gemm(
             # the strict upper triangle DIRECTLY (round 7) instead of
             # expanding the full cross and masking half of it away.
             order = np.argsort((u << np.int64(32)) | i, kind="stable")
-            return (u[order], i[order], v[order])
+            return (u[order], i[order], None if counts_only else v[order])
 
         ux, ix, rx = side(left)
         uy, iy, ry = (ux, ix, rx) if bi == bj else side(right)
@@ -394,14 +426,16 @@ def pairwise_stats_gemm(
         else:
             yi = np.repeat(np.repeat(starty, kx), per_row) + off
         ida, idb = ix[xi], iy[yi]
-        ra, rb = rx[xi], ry[yi]
+        ra, rb = (None, None) if counts_only else (rx[xi], ry[yi])
         if bi != bj:
             # Cross tile: blocks partition items so ida != idb, but global
             # id order is arbitrary — orient to item_x = min and swap the
-            # x/y-asymmetric stats with it.
-            swap = ida > idb
+            # x/y-asymmetric stats with it (counts are symmetric: no swap
+            # bookkeeping on the counts_only path).
+            if not counts_only:
+                swap = ida > idb
+                ra, rb = np.where(swap, rb, ra), np.where(swap, ra, rb)
             ida, idb = np.minimum(ida, idb), np.maximum(ida, idb)
-            ra, rb = np.where(swap, rb, ra), np.where(swap, ra, rb)
         else:
             # Diagonal guard (code-review r7): with UNIQUE (user, item)
             # input the sorted run gives ida < idb by construction, but a
@@ -412,7 +446,8 @@ def pairwise_stats_gemm(
             keep = ida != idb
             if not keep.all():
                 ida, idb = ida[keep], idb[keep]
-                ra, rb = ra[keep], rb[keep]
+                if not counts_only:
+                    ra, rb = ra[keep], rb[keep]
         if ida.size == 0:
             return empty()
         codes = (ida << np.int64(32)) | idb
@@ -440,12 +475,18 @@ def pairwise_stats_gemm(
             "item_x": item_x,
             "item_y": item_y,
             "n": n[support].astype(np.int64),
-            "sxy": gram(ra * rb),
-            "sx": gram(ra),
-            "sy": gram(rb),
-            "sxx": gram(ra * ra),
-            "syy": gram(rb * rb),
         }
+        if counts_only:
+            return pa.table(out)
+        out.update(
+            {
+                "sxy": gram(ra * rb),
+                "sx": gram(ra),
+                "sy": gram(rb),
+                "sxx": gram(ra * ra),
+                "syy": gram(rb * rb),
+            }
+        )
         if with_rater_counts:
             # Ratings are (user, item)-unique, so rows-per-item IS the
             # distinct-rater count; both blocks are complete in this tile.
@@ -459,12 +500,15 @@ def pairwise_stats_gemm(
             out["ny"] = all_cnt[np.searchsorted(all_ids, item_y)].astype(np.int64)
         return pa.table(out)
 
-    schema = (
-        "item_x long, item_y long, n long, sxy double, "
-        "sx double, sy double, sxx double, syy double"
-    )
-    if with_rater_counts:
-        schema += ", nx long, ny long"
+    if counts_only:
+        schema = "item_x long, item_y long, n long"
+    else:
+        schema = (
+            "item_x long, item_y long, n long, sxy double, "
+            "sx double, sy double, sxx double, syy double"
+        )
+        if with_rater_counts:
+            schema += ", nx long, ny long"
     return replicated.groupBy("bi", "bj").applyInArrow(stats_tile, schema=schema)
 
 

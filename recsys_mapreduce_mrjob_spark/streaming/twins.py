@@ -270,6 +270,39 @@ def _version_of(name: str) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def _claim_bucket_layout(state_dir: str, key: str, n_buckets: int) -> None:
+    """Pin (key column, bucket count) in ``{state_dir}/_bucket_layout``
+    on first write; fail fast on any later writer that disagrees.
+    Without this a resumed ingest configured with a different
+    ``n_buckets`` (or fold key) would hash the same key into a different
+    bucket, its replay guard would read the WRONG buckets, and the key
+    would end up in two buckets — ``read_bucketed_state`` then
+    double-counts it and no layout guard ever fires (code-review r10).
+    The marker is json so a human debugging a state dir can read it."""
+    import json
+    import os
+
+    path = os.path.join(state_dir, "_bucket_layout")
+    claim = {"key": key, "n_buckets": n_buckets}
+    try:
+        with open(path) as fh:
+            existing = json.load(fh)
+    except FileNotFoundError:
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(claim, fh)
+        os.replace(tmp, path)  # atomic: concurrent claimants agree or lose
+        return
+    if existing != claim:
+        raise ValueError(
+            f"bucket-layout mismatch for {state_dir}: state was written "
+            f"with {existing}, this writer is configured with {claim} — "
+            "resuming would split keys across buckets and double-count; "
+            "use the recorded layout or migrate into a fresh dir"
+        )
+
+
 def bucket_latest_paths(
     state_dir: str,
     below: int | None = None,
@@ -457,6 +490,7 @@ def incremental_item_stats(
         finally:
             batch_agg.unpersist()
 
+    _claim_bucket_layout(state_dir, "item_id", n_buckets)
     q = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", f"{state_dir}/_checkpoint")
@@ -604,6 +638,10 @@ def migrate_state_to_bucketed(
     state.repartition(n_buckets, "bkt").write.partitionBy("bkt").parquet(
         f"{new_dir}/v-1"
     )
+    # Pin the layout so a resumed ingest configured with a different
+    # bucket count (or key) fails fast instead of splitting keys across
+    # buckets (code-review r10).
+    _claim_bucket_layout(new_dir, key, n_buckets)
 
 
 def enriched_stream(spark: SparkSession, events: DataFrame, sf_dir: str) -> DataFrame:
@@ -964,62 +1002,62 @@ def write_ordered_event_chunks(
         _stamp_new_chunk_files(src_dir, seen, base_t + k)  # k after k-1
 
 
-def write_embedding_chunks(
-    spark: SparkSession, sf_dir: str, src_dir: str, n_chunks: int = 4
+def _write_keyed_chunks(
+    df: DataFrame, key_col: str, src_dir: str, n_chunks: int
 ) -> None:
-    """Simulate a vector-ingest feed: the embeddings table split into
-    ``n_chunks`` deterministic files (``vec_id % n_chunks``), appended one
-    write job at a time with strictly-increasing mtimes so the
-    FileStreamSource (``maxFilesPerTrigger=1``) consumes each chunk as
-    one micro-batch in a stable order.  The index is a SET (assignment is
-    row-local), so batch order never changes the final state — the
-    stamping only makes the crash-injection test's "crash before batch k"
-    land on the same rows every run."""
+    """Shared chunked-feed harness: split ``df`` into ``n_chunks``
+    deterministic files (``key % n_chunks``), appended one write job at
+    a time with strictly-increasing mtimes so the FileStreamSource
+    (``maxFilesPerTrigger=1``) consumes each chunk as one micro-batch in
+    a stable order (code-review r10: the embedding and document feed
+    writers were structural copies)."""
     import time as _time
 
-    from ..sources.readers import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
     base_t = _time.time()
     seen: set[str] = set()
     for k in range(n_chunks):
         (
-            emb.where(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == k)
+            df.where(F.pmod(F.col(key_col), F.lit(n_chunks)) == k)
             .coalesce(1)
             .write.mode("append")
             .parquet(src_dir)
         )
         _stamp_new_chunk_files(src_dir, seen, base_t + k)
+
+
+def write_embedding_chunks(
+    spark: SparkSession, sf_dir: str, src_dir: str, n_chunks: int = 4
+) -> None:
+    """Simulate a vector-ingest feed (``vec_id % n_chunks`` split via
+    :func:`_write_keyed_chunks`).  The index is a SET (assignment is
+    row-local), so batch order never changes the final state — the
+    stamping only makes the crash-injection test's "crash before batch k"
+    land on the same rows every run."""
+    from ..sources.readers import load_table
+
+    _write_keyed_chunks(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", src_dir, n_chunks
+    )
 
 
 def write_doc_chunks(
     spark: SparkSession, sf_dir: str, src_dir: str, n_chunks: int = 4
 ) -> None:
-    """Simulate a document-ingest feed: the documents table split into
-    ``n_chunks`` deterministic files (``doc_id % n_chunks``), appended one
-    write job at a time with strictly-increasing mtimes so the
-    FileStreamSource (``maxFilesPerTrigger=1``) consumes each chunk as
-    one micro-batch in a stable order.  The ingestion-dedup fold is a
+    """Simulate a document-ingest feed (``doc_id % n_chunks`` split via
+    :func:`_write_keyed_chunks`).  The ingestion-dedup fold is a
     per-hash MIN (order-invariant), so batch order never changes the
     final state — the stamping only pins which rows the crash-injection
     test's "crash before batch k" lands on."""
-    import time as _time
-
     from ..sources.readers import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source"
+    _write_keyed_chunks(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        ),
+        "doc_id",
+        src_dir,
+        n_chunks,
     )
-    base_t = _time.time()
-    seen: set[str] = set()
-    for k in range(n_chunks):
-        (
-            docs.where(F.pmod(F.col("doc_id"), F.lit(n_chunks)) == k)
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(src_dir)
-        )
-        _stamp_new_chunk_files(src_dir, seen, base_t + k)
 
 
 def incremental_doc_dedup(
@@ -1065,13 +1103,13 @@ def incremental_doc_dedup(
         .parquet(src_dir)
     )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        if on_batch is not None:
-            on_batch(batch_id)
-        s = batch_df.sparkSession
-        batch_first = (
-            batch_df.select(
-                F.md5(F.col("text").cast("binary")).alias("content_hash"),
+    def keep_first(hashed: DataFrame) -> DataFrame:
+        """min(struct(doc_id, lang, source)) per content_hash, unpacked —
+        the ONE fold definition both the batch partial and the merge use
+        (they must never disagree on what the keeper struct carries)."""
+        return (
+            hashed.select(
+                "content_hash",
                 F.struct("doc_id", "lang", "source").alias("first"),
             )
             .groupBy("content_hash")
@@ -1083,6 +1121,19 @@ def incremental_doc_dedup(
                 F.col("first.source").alias("source"),
             )
             .withColumn("bkt", _bucket_expr(F.col("content_hash"), n_buckets))
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        s = batch_df.sparkSession
+        batch_first = keep_first(
+            batch_df.select(
+                F.md5(F.col("text").cast("binary")).alias("content_hash"),
+                "doc_id",
+                "lang",
+                "source",
+            )
         ).persist()
         try:
             touched = {
@@ -1107,23 +1158,7 @@ def incremental_doc_dedup(
                 base = s.read.parquet(*sorted(prev_paths.values())).unionByName(
                     base
                 )
-            merged = (
-                base.select(
-                    "content_hash",
-                    F.struct("doc_id", "lang", "source").alias("first"),
-                )
-                .groupBy("content_hash")
-                .agg(F.min("first").alias("first"))
-                .select(
-                    "content_hash",
-                    F.col("first.doc_id").alias("doc_id"),
-                    F.col("first.lang").alias("lang"),
-                    F.col("first.source").alias("source"),
-                )
-                .withColumn(
-                    "bkt", _bucket_expr(F.col("content_hash"), n_buckets)
-                )
-            )
+            merged = keep_first(base)
             # One file per touched bucket, not tasks × buckets (see
             # incremental_item_stats).
             merged.repartition(len(touched), "bkt").write.mode(
@@ -1132,6 +1167,7 @@ def incremental_doc_dedup(
         finally:
             batch_first.unpersist()
 
+    _claim_bucket_layout(state_dir, "content_hash", n_buckets)
     q = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", f"{state_dir}/_checkpoint")
@@ -1548,6 +1584,7 @@ def incremental_scd2(
             "bkt"
         ).parquet(f"{state_dir}/v{batch_id}")
 
+    _claim_bucket_layout(state_dir, "user_id", n_buckets)
     q = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", f"{state_dir}/_checkpoint")

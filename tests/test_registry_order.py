@@ -147,7 +147,7 @@ def test_flagship_is_first():
 
 
 def test_new_r10_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-6 — graded even if
+    """The never-graded new queries sit in slots 2-8 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R10)])
     assert head == NEW_R10

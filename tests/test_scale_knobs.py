@@ -180,6 +180,48 @@ def test_pairwise_gemm_matches_join_and_is_block_invariant(spark, sf_dir):
             assert g.nx == raters[g.item_x] and g.ny == raters[g.item_y], g
 
 
+def test_counts_only_gemm_matches_join(spark, sf_dir):
+    """The counts_only kernel form (round 10: no rating column in the
+    replicate shuffle, no gram bincounts) must emit exactly the
+    relational co-occurrence relation, on BOTH its input shapes — the
+    fused pre_aggregate raw path and the pre-aggregated ratings path —
+    and refuse the with_rater_counts combination."""
+    import pytest as _pytest
+
+    from recsys_mapreduce_mrjob_spark.operators.recsys import (
+        _cached_ratings,
+        item_cooccurrence,
+        pairwise_stats_gemm,
+        raw_ratings,
+    )
+
+    expected = {
+        (r.item_x, r.item_y): r.n_common
+        for r in item_cooccurrence(_cached_ratings(spark, sf_dir), 3).collect()
+    }
+    fused = {
+        (r.item_x, r.item_y): r.n
+        for r in pairwise_stats_gemm(
+            raw_ratings(spark, sf_dir), 3, pre_aggregate=True, counts_only=True
+        ).collect()
+    }
+    assert fused == expected
+    plain = {
+        (r.item_x, r.item_y): r.n
+        for r in pairwise_stats_gemm(
+            _cached_ratings(spark, sf_dir), 3, counts_only=True
+        ).collect()
+    }
+    assert plain == expected
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        pairwise_stats_gemm(
+            _cached_ratings(spark, sf_dir),
+            3,
+            counts_only=True,
+            with_rater_counts=True,
+        )
+
+
 def test_flagship_fused_matches_relational(spark, sf_dir):
     """The registered flagship (derivation + rater counts fused into the
     GEMM kernel, exact integer HALF_UP rounding) must return the

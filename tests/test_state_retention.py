@@ -223,6 +223,19 @@ def test_reader_ignores_incomplete_versions(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_bucket_layout_mismatch_fails_fast(stats_state):
+    """A resumed ingest configured with a different bucket count must
+    fail at the layout claim, not silently split keys across buckets
+    (code-review r10): the state dir records (key, n_buckets) on first
+    write and every later writer's claim is checked against it."""
+    spark, state = stats_state
+    src = state.replace("/state", "/src")
+    with pytest.raises(ValueError, match="bucket-layout mismatch"):
+        incremental_item_stats(spark, src, state, n_buckets=7)
+    # The recorded layout still resumes fine (processes nothing new).
+    incremental_item_stats(spark, src, state)
+
+
 def test_migrate_old_layout_then_resume_ingest(spark):
     """The migration path every mixed-layout guard points at, end to
     end: a pre-bucketing full-layout state rewrites into the bucketed
