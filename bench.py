@@ -163,6 +163,11 @@ def main() -> None:
         # two_phase_rank's measured rank ladder already cover it.
         "q_dedup_semantic",
         "q_text_chunks",
+        # round 10 (this session), benched from birth: the hashed-
+        # feature quality classifier (broadcast model weights + one
+        # partial-agg shuffle — the plan a trained fastText-style gate
+        # would run unchanged).
+        "q_text_quality_classifier",
         # round 10 (late): q_graph_triangles is deliberately NOT benched —
         # its wall at sf0.1 is ~3.4 s of pair-stats derivation (the
         # flagship's settled residual, already measured by the
@@ -230,6 +235,7 @@ def main() -> None:
         "q_export_manifest_rewritten": 12.056,
         "q_dedup_semantic": 23.026,
         "q_text_chunks": 0.225,
+        "q_text_quality_classifier": 0.348,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

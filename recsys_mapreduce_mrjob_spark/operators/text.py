@@ -2005,3 +2005,111 @@ if q_text_chunks.__doc__:  # absent under python -OO
     q_text_chunks.__doc__ = q_text_chunks.__doc__.format(
         w=_CHUNK_W, s=_CHUNK_S, ov=_CHUNK_W - _CHUNK_S
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality classifier (hashing trick + broadcast weights).
+#
+# The production quality gate after the cheap heuristics (q_text_quality):
+# a LINEAR classifier over hashed bag-of-words features — the fastText /
+# DCLM / FineWeb-edu shape, where a small trained model scores every
+# document and the pipeline keeps the positive tail.  The hashing trick
+# (Weinberger et al. 2009) fixes the feature space at _CLF_D buckets
+# regardless of vocabulary size, so the model is a constant-size weight
+# vector that BROADCASTS — no vocab build pass, no dictionary shuffle.
+#
+# No trained model ships in this container, so the weights are a
+# deterministic integer function of the bucket id (the multimodal
+# "deterministic fake" discipline, operators/multimodal.py): basis-point
+# weights in [-1000, 1000], summed as int64 so the per-doc score is EXACT
+# and order-independent (the sampling family's int64-bp discipline) —
+# swapping in real trained weights is replacing one 1024-row table.
+# ---------------------------------------------------------------------------
+
+_CLF_D = 1024          # hashed feature buckets (the model's width)
+_CLF_A = 2654435761    # Knuth multiplicative constant — pseudo-weight seed
+_CLF_M = 2001          # pseudo-weight range: (bkt*A) % M - 1000 ∈ [-1000, 1000]
+
+_TEXT_CLF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+),
+tb AS (
+    -- portable 60-bit md5 hash (the span family's cross-engine key),
+    -- folded to the model width
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {_CLF_D} AS bkt
+    FROM toks WHERE tok <> ''
+),
+scored AS (
+    SELECT doc_id,
+           CAST(SUM((bkt * {_CLF_A}) % {_CLF_M} - 1000) AS BIGINT) AS score_bp,
+           COUNT(*) AS n_tok
+    FROM tb GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       score_bp,
+       CAST(CASE WHEN score_bp > 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored
+"""
+
+
+@register("q_text_quality_classifier", oracle=_TEXT_CLF_ORACLE)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a linear classifier over hashed
+    bag-of-words features (hashing trick, {d} buckets), scored as the
+    summed basis-point weight of a document's tokens (``score_bp``,
+    exact int64 — a mean is ``score_bp / n_tok`` caller-side); ``keep``
+    is the positive-score decision.  The fastText/DCLM-style filter the
+    LLM pipeline runs AFTER the heuristic gates — here with
+    deterministic pseudo-weights standing in for a trained vector (see
+    module note).
+
+    Scale: the weight vector is a {d}-row table → ``F.broadcast`` join
+    (map-side, zero shuffle); the per-doc sum is an int64 partial
+    aggregation, so the ONLY shuffle is one row per document of
+    (score_bp, n_tok) partials.  A 100 TB corpus scores in one scan at
+    read parallelism — the same plan shape whether the weights are
+    these pseudo-weights or a real trained model loaded from parquet.
+    Exact cross-engine: the portable 60-bit md5 token hash (the span
+    family's key) and integer basis-point weights make the score
+    order-independent and bit-identical — no floats anywhere (a
+    rounded mean was measured to flip at the engines' round-half
+    boundary, so the score stays integer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+                % _CLF_D
+            ).alias("bkt"),
+        )
+    )
+    weights = spark.range(_CLF_D).select(
+        F.col("id").alias("bkt"),
+        ((F.col("id") * F.lit(_CLF_A)) % _CLF_M - 1000).alias("w_bp"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum("w_bp").alias("score_bp"), F.count("*").alias("n_tok"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "score_bp",
+        F.when(F.col("score_bp") > 0, 1).otherwise(0).cast("int").alias("keep"),
+    )
+
+
+if q_text_quality_classifier.__doc__:  # absent under python -OO
+    q_text_quality_classifier.__doc__ = q_text_quality_classifier.__doc__.format(
+        d=_CLF_D
+    )

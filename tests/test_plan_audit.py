@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -223,3 +224,17 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir, name):
     import re
 
     assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
+
+
+def test_quality_classifier_broadcasts_model_and_shuffles_once(spark, sf_dir):
+    """Round 10: the hashed-feature classifier's weight table must
+    arrive as a BroadcastHashJoin (map-side — the token stream never
+    shuffles to meet the model) and the only data exchange is the
+    per-doc partial-aggregate shuffle on doc_id."""
+    plan = _plan(spark, sf_dir, "q_text_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    # one doc_id exchange + the broadcast exchange — no third shuffle
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan

@@ -159,6 +159,8 @@ def main() -> None:
             "q_text_chunks",
             # round 10 (late): degree-oriented triangle counting
             "q_graph_triangles",
+            # round 10 (this session): hashed-feature quality classifier
+            "q_text_quality_classifier",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

@@ -102,6 +102,18 @@ ENTRIES = [
         "from an equi-join on the fingerprint — never an all-pairs product.",
     ),
     (
+        "q_text_quality_classifier",
+        "Hashed-feature quality classifier (round 10): the model is a "
+        "1024-row weight relation that arrives as a BroadcastHashJoin "
+        "side (map-side — the token stream never shuffles to meet the "
+        "model), the portable-md5 bucket derivation is scan-side "
+        "projection inside whole-stage codegen, and the per-doc score "
+        "is ONE partial+final HashAggregate — the only exchange in the "
+        "plan carries a single (score, count) row per document, not "
+        "tokens.  Swapping in trained weights changes the table, not "
+        "the plan.",
+    ),
+    (
         "q_recommend_topn",
         "Recommender: neighbor edges (k·n_items rows) joined to ratings on "
         "the rated item, (user,item) partial+final aggregation, left-anti "
