@@ -120,6 +120,35 @@ def q_scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_ratings_bookcrossing(spark, path)
 
 
+@register(
+    "q_scan_jsonl_docs",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def q_scan_jsonl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL corpus source graded end-to-end (round 10): write the
+    documents table as JSON-lines — one object per line, the interchange
+    format LLM data tooling standardizes on — then re-read it through
+    the schema-first JSON scan and return EVERY parsed row.  The oracle
+    reads the same relation straight from parquet, so a green grade
+    proves the JSONL write → parse round-trip is lossless (strings and
+    int64s — exact by construction; the csv pair already pins doubles).
+
+    Scale shape: JSONL splits by line ranges like any text source, so a
+    100 TB corpus scans at full read parallelism; the EXPLICIT schema
+    (sources/readers.DOCUMENTS_SCHEMA) eliminates Spark's schema-
+    inference pre-pass, which at that scale would read the corpus
+    twice.  Completes the format matrix next to the graded pipe/quoted
+    csv pair — parquet, csv, and JSONL all grade through the driver;
+    ORC stays pytest-pinned (tests/test_sources_formats.py)."""
+    from ..sources.readers import (
+        materialize_documents_jsonl,
+        read_documents_jsonl,
+    )
+
+    path = materialize_documents_jsonl(spark, sf_dir)
+    return read_documents_jsonl(spark, path)
+
+
 # ---------------------------------------------------------------------------
 # B. Projection / predicates
 # ---------------------------------------------------------------------------

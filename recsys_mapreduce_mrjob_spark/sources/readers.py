@@ -295,3 +295,86 @@ def parquet_num_rows(sf_dir: str, table: str) -> int | None:
         ).metadata.num_rows
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# JSONL documents source (round 10) — the LLM-corpus interchange format.
+# Same cache/publish discipline as the ratings text materializer above:
+# fingerprint-keyed directory (regenerated testdata can never serve a
+# stale copy), process-unique staging + atomic rename, _SUCCESS-verified
+# occupant on rename failure.
+# ---------------------------------------------------------------------------
+
+_JSONL_CACHE: dict[tuple[str, str], str] = {}
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _documents_source_fingerprint(sf_dir: str) -> str:
+    """Footer row count + size + mtime of documents.parquet — keys the
+    materialized-JSONL cache (the ratings-CSV fingerprint contract)."""
+    import hashlib
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        part = f"documents:{parquet_num_rows(sf_dir, 'documents')}:{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        part = "documents:missing"
+    return hashlib.md5(part.encode()).hexdigest()[:16]
+
+
+def materialize_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table once as JSON-lines (one object per
+    line — the format LLM corpus tooling interchanges) and return the
+    directory path.  Values are strings and int64s, so the text
+    round-trip is exact by construction."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    fp = _documents_source_fingerprint(sf_dir)
+    key = (os.path.abspath(sf_dir), fp)
+    cached = _JSONL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slug = os.path.abspath(sf_dir).strip(os.sep).replace(os.sep, "_")
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_jsonl", slug, f"docs-{fp}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        staging = f"{path}.staging-{uuid.uuid4().hex}"
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                raise RuntimeError(
+                    f"materialize_documents_jsonl: rename to {path!r} failed "
+                    "and the occupant is not a complete published copy "
+                    "(no _SUCCESS marker)"
+                )
+    _JSONL_CACHE[key] = path
+    return path
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-first JSONL scan of a documents corpus.
+
+    The explicit schema is the scale decision: without it Spark runs a
+    full inference pre-pass (a 100 TB corpus read TWICE); with it the
+    scan splits by line ranges at full read parallelism, exactly like
+    the csv path, and malformed lines land in the PERMISSIVE null row
+    instead of killing tasks."""
+    return spark.read.schema(DOCUMENTS_SCHEMA).json(path)

@@ -7,13 +7,14 @@ round" #1, #2, #4, #5, #6): the prefix first-grades the seven queries NEW
 this round (the batched ANN probe, the span-rewritten export capstone, the
 semantic-dedup keep-one composition, the per-source frequency cap, the
 context-window chunker, degree-oriented triangle counting, the
-streaming ingestion dedup, and the hashed-feature quality classifier),
+streaming ingestion dedup, the hashed-feature quality classifier, and
+the graded JSONL source path),
 then the five queries whose plan/oracle/state-layout CHANGED
 this round (the hashed/fused span family and the two bucketed-state
 execs — same oracles, the hash must prove bit-identity), then the ENTIRE
-16-name r6-era stale queue the r9 verdict listed, then 20 of the 47-name
+16-name r6-era stale queue the r9 verdict listed, then 19 of the 47-name
 round-7-graded cohort — after this round no query's latest grade is
-older than round 7.  The 27 r7 names that did not fit lead the
+older than round 7.  The 28 r7 names that did not fit lead the
 post-prefix queue for round 11 (DEFERRED_R7 below).
 """
 
@@ -33,6 +34,7 @@ NEW_R10 = {
     "q_graph_triangles",
     "q_stream_dedup_docs_exec",
     "q_text_quality_classifier",
+    "q_scan_jsonl_docs",
 }
 
 # Changed this round — re-graded to prove the rework is bit-identical.
@@ -76,7 +78,6 @@ R7_IN_PREFIX = {
     "q_global_shuffle",
     "q_text_ccnet_buckets",
     "q_text_pii",
-    "q_pack_shuffled",
     "q_skew_profile",
     "q_agg_having_q11",
     "q_agg_max_q15",
@@ -89,13 +90,14 @@ R7_IN_PREFIX = {
     "q_join_agg_q10",
 }
 
-# The 27 r7-graded names the 50-slot prefix could not fit — every one is
+# The 28 r7-graded names the 50-slot prefix could not fit — every one is
 # a TPC-H/relational/multimodal/embedding/events/text shape whose family
 # siblings grade in or near the prefix; they lead the round-11 stale
-# queue.  q_embedding_quantize, q_events_anomaly and q_text_tfidf ceded
-# their slots to the three late round-10 additions.
+# queue.  q_embedding_quantize, q_events_anomaly, q_text_tfidf and
+# q_pack_shuffled ceded their slots to the four late round-10 additions.
 DEFERRED_R7 = {
     "q_text_tfidf",
+    "q_pack_shuffled",
     "q_embedding_quantize",
     "q_events_anomaly",
     "q_graph_degree_stats",
@@ -234,6 +236,9 @@ def test_every_deferred_r7_name_has_a_family_sibling_in_prefix():
         # tf-idf family: the per-doc TF-IDF keyword ranking over the
         # SAME shared tf memo grades in-prefix
         "q_text_tfidf": "q_text_keywords",
+        # packing family: the same two_phase_rank permutation grades
+        # in-prefix via the global-shuffle row
+        "q_pack_shuffled": "q_global_shuffle",
         "q_text_unigram_lm": "q_text_ccnet_buckets",
         "q_udf_reg_corr": "q_corr_scalar_q17",
         "q_window_session": "q_events_scd2",
