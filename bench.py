@@ -233,9 +233,9 @@ def main() -> None:
         # round-10 twins (same contract; BASELINE.md round-10 table)
         "q_knn_batch_ivf": 0.090,
         "q_export_manifest_rewritten": 12.056,
-        "q_dedup_semantic": 23.026,
-        "q_text_chunks": 0.225,
-        "q_text_quality_classifier": 0.348,
+        "q_dedup_semantic": 17.876,
+        "q_text_chunks": 0.213,
+        "q_text_quality_classifier": 0.136,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
