@@ -235,7 +235,7 @@ def main() -> None:
         "q_export_manifest_rewritten": 12.056,
         "q_dedup_semantic": 17.876,
         "q_text_chunks": 0.213,
-        "q_text_quality_classifier": 0.136,
+        "q_text_quality_classifier": 0.190,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 

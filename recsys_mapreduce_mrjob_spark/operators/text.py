@@ -2018,15 +2018,25 @@ if q_text_chunks.__doc__:  # absent under python -OO
 # regardless of vocabulary size, so the model is a constant-size weight
 # vector that BROADCASTS — no vocab build pass, no dictionary shuffle.
 #
+# Bucket key = the FIRST 3 HEX CHARS of md5(token) — a 4096-bucket fold
+# that is (a) portable (identical lowercase hex in both engines) and
+# (b) cheap in the JOIN-KEY position: the first formulation folded the
+# 60-bit `conv(substr(md5,1,15),16,10) % 1024` long and measured 4.3 s
+# at the K=30 ladder rung vs 1.4 s for this string key — `conv` as a
+# join key (and in the join's inferred isnotnull filter) evaluates
+# outside the fast path, tripling the whole query; md5+substring alone
+# stays codegen-cheap.  The weight table carries the SAME hex key, so
+# the probe side never parses hex at all.
+#
 # No trained model ships in this container, so the weights are a
 # deterministic integer function of the bucket id (the multimodal
 # "deterministic fake" discipline, operators/multimodal.py): basis-point
 # weights in [-1000, 1000], summed as int64 so the per-doc score is EXACT
 # and order-independent (the sampling family's int64-bp discipline) —
-# swapping in real trained weights is replacing one 1024-row table.
+# swapping in real trained weights is replacing one 4096-row table.
 # ---------------------------------------------------------------------------
 
-_CLF_D = 1024          # hashed feature buckets (the model's width)
+_CLF_D = 4096          # hashed feature buckets (3 hex chars of md5)
 _CLF_A = 2654435761    # Knuth multiplicative constant — pseudo-weight seed
 _CLF_M = 2001          # pseudo-weight range: (bkt*A) % M - 1000 ∈ [-1000, 1000]
 
@@ -2036,17 +2046,20 @@ WITH toks AS (
     FROM documents
 ),
 tb AS (
-    -- portable 60-bit md5 hash (the span family's cross-engine key),
-    -- folded to the model width
-    SELECT doc_id,
-           CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {_CLF_D} AS bkt
+    -- bucket key: first 3 hex chars of md5 (lowercase both engines)
+    SELECT doc_id, substr(md5(tok), 1, 3) AS hk
     FROM toks WHERE tok <> ''
+),
+w AS (
+    SELECT lower(lpad(to_hex(i), 3, '0')) AS hk,
+           (i * {_CLF_A}) % {_CLF_M} - 1000 AS w_bp
+    FROM range({_CLF_D}) t(i)
 ),
 scored AS (
     SELECT doc_id,
-           CAST(SUM((bkt * {_CLF_A}) % {_CLF_M} - 1000) AS BIGINT) AS score_bp,
+           CAST(SUM(w_bp) AS BIGINT) AS score_bp,
            COUNT(*) AS n_tok
-    FROM tb GROUP BY doc_id
+    FROM tb JOIN w USING (hk) GROUP BY doc_id
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tok,
@@ -2073,8 +2086,9 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score_bp, n_tok) partials.  A 100 TB corpus scores in one scan at
     read parallelism — the same plan shape whether the weights are
     these pseudo-weights or a real trained model loaded from parquet.
-    Exact cross-engine: the portable 60-bit md5 token hash (the span
-    family's key) and integer basis-point weights make the score
+    Exact cross-engine: the md5 hex-prefix bucket key (see module note —
+    chosen over the 60-bit conv fold after a measured 3× join-key
+    regression) and integer basis-point weights make the score
     order-independent and bit-identical — no floats anywhere (a
     rounded mean was measured to flip at the engines' round-half
     boundary, so the score stays integer)."""
@@ -2084,20 +2098,16 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
         )
         .where(F.col("tok") != "")
-        .select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-                % _CLF_D
-            ).alias("bkt"),
-        )
+        .select("doc_id", F.substring(F.md5("tok"), 1, 3).alias("hk"))
     )
     weights = spark.range(_CLF_D).select(
-        F.col("id").alias("bkt"),
+        F.lower(F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 3, "0")).alias(
+            "hk"
+        ),
         ((F.col("id") * F.lit(_CLF_A)) % _CLF_M - 1000).alias("w_bp"),
     )
     scored = (
-        toks.join(F.broadcast(weights), "bkt")
+        toks.join(F.broadcast(weights), "hk")
         .groupBy("doc_id")
         .agg(F.sum("w_bp").alias("score_bp"), F.count("*").alias("n_tok"))
     )

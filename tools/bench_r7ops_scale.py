@@ -56,6 +56,14 @@ QUERIES = {
     # means each timed run recomputes the FULL report → merge → cut
     # chain (the honest end-to-end cost, same convention as its input).
     "q_dedup_span_rewrite": "documents",
+    # round-10-born: the hashed-feature quality classifier (the tagged
+    # copies keep token vocabularies disjoint but the hashing trick folds
+    # them into the SAME fixed 1024-bucket model — exactly the production
+    # property the ladder should hold under) and the context-window
+    # chunker (pure scan-side transform; the ladder pins zero-shuffle
+    # linearity).
+    "q_text_quality_classifier": "documents",
+    "q_text_chunks": "documents",
 }
 
 # Optional single-query focus: bench_r7ops_scale.py K ... --only name
