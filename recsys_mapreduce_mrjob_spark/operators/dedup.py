@@ -1879,3 +1879,111 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("vec_id"), "keeper_vec_id", "cluster_size"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-generator cross-audit (round 10) — the banding-quality
+# measurement a production dedup pipeline runs before trusting LSH.
+#
+# The engine ships two independent near-dup candidate generators over the
+# same 3-shingle space: MinHash-LSH banding (probabilistic — the 8×4
+# S-curve can MISS a true pair whose every band disagrees) and the
+# rare-shingle rung (deterministic, but blind to pairs sharing no df=2
+# shingle).  Both verify candidates with the same exact Jaccard ≥ 0.8.
+# This one-row audit full-outer-joins the two verified pair sets and
+# reports the overlap, each side's exclusive finds, and LSH's recall
+# against the rare-shingle set in exact integer basis points — the
+# number that tells an operator whether the banding parameters hold on
+# THEIR corpus before a 100 TB dedup run commits to them.
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+WITH {_NEAR_EXACT_CTES},
+rrare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
+rcand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.s IN (SELECT s FROM rrare)
+),
+rsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rinter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM rcand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY c.doc_a, c.doc_b
+),
+rare_pairs AS (
+    SELECT i.doc_a, i.doc_b
+    FROM rinter i
+    JOIN rsizes sa ON sa.doc_id = i.doc_a
+    JOIN rsizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= 0.8
+),
+tagged AS (
+    SELECT (l.doc_a IS NOT NULL) AS in_lsh,
+           (r.doc_a IS NOT NULL) AS in_rare
+    FROM (SELECT doc_a, doc_b FROM near_pairs) l
+    FULL JOIN rare_pairs r ON l.doc_a = r.doc_a AND l.doc_b = r.doc_b
+)
+SELECT CAST(coalesce(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lsh,
+       CAST(coalesce(sum(CASE WHEN in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rare,
+       CAST(coalesce(sum(CASE WHEN in_lsh AND in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+       CAST(coalesce(sum(CASE WHEN in_lsh AND NOT in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS lsh_only,
+       CAST(coalesce(sum(CASE WHEN in_rare AND NOT in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS rare_only,
+       CAST(CASE WHEN coalesce(sum(CASE WHEN in_rare THEN 1 ELSE 0 END), 0) = 0 THEN -1
+                 ELSE floor(10000.0 * coalesce(sum(CASE WHEN in_lsh AND in_rare THEN 1 ELSE 0 END), 0)
+                            / sum(CASE WHEN in_rare THEN 1 ELSE 0 END))
+            END AS BIGINT) AS recall_vs_rare_bp
+FROM tagged
+"""
+
+
+@register("q_dedup_lsh_recall", oracle=_LSH_RECALL_ORACLE)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row cross-audit of the two near-dup candidate generators
+    (module note above): verified Jaccard-≥0.8 pairs found by MinHash-
+    LSH banding vs by the deterministic rare-shingle rung, their
+    overlap, each side's exclusive finds, and LSH's recall against the
+    rare-shingle set in exact integer basis points (-1 when the rare
+    side is empty).
+
+    Scale: both pair relations are candidate-sized (never the corpus
+    pair space — each generator's own scale argument applies) and the
+    full-outer join runs on the pair key over those match-sized
+    relations; the audit's output is ONE row.  Reuses the memoized
+    shingle + minhash-signature relations, so auditing costs one
+    verification pass per generator, not a corpus re-derivation — at
+    100 TB this runs on a sample anyway (the S-curve is corpus-shape-
+    dependent, which is exactly why the audit exists as a first-class
+    query)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes, cand = _rare_shingle_candidates(sh)
+    rare = _jaccard_verify(cand, sh, sizes, min_jaccard=0.8).select(
+        "doc_a", "doc_b"
+    )
+    lsh = q_dedup_near_exact(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = (
+        lsh.withColumn("in_lsh", F.lit(True))
+        .join(rare.withColumn("in_rare", F.lit(True)), ["doc_a", "doc_b"], "full")
+        .select(
+            F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+            F.coalesce("in_rare", F.lit(False)).alias("in_rare"),
+        )
+    )
+    cnt = lambda c: F.coalesce(  # noqa: E731 — local aggregation shorthand
+        F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
+    ).cast("long")
+    n_rare = cnt(F.col("in_rare"))
+    n_both = cnt(F.col("in_lsh") & F.col("in_rare"))
+    return tagged.agg(
+        cnt(F.col("in_lsh")).alias("n_lsh"),
+        n_rare.alias("n_rare"),
+        n_both.alias("n_both"),
+        cnt(F.col("in_lsh") & ~F.col("in_rare")).alias("lsh_only"),
+        cnt(F.col("in_rare") & ~F.col("in_lsh")).alias("rare_only"),
+        F.when(n_rare == 0, F.lit(-1))
+        .otherwise(F.floor(F.lit(10000.0) * n_both / n_rare))
+        .cast("long")
+        .alias("recall_vs_rare_bp"),
+    )

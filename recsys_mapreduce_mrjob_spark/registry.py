@@ -26,15 +26,15 @@ ORACLES: dict[str, str] = {}
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
 # 2–9: exactly the first 50), so registration order is the lever that decides
 # which operators get a driver correctness row.  Round-10 rotation (VERDICT
-# r9 "Next round" #1/#2/#4/#5/#6): flagship first, then the nine queries NEW
+# r9 "Next round" #1/#2/#4/#5/#6): flagship first, then the ten queries NEW
 # this round (batched ANN probe, span-rewritten export capstone, semantic
 # keep-one, per-source cap, context-window chunking, triangle counting,
 # ingestion dedup, hashed-feature quality classifier, graded JSONL
-# source), then the five whose plan/oracle/state layout
+# source, LSH recall cross-audit), then the five whose plan/oracle/state layout
 # CHANGED (the hashed/fused span family; the two bucketed-state execs —
 # same oracles, the hash proves bit-identity), then the ENTIRE 16-name
-# r6-era stale queue VERDICT r9 named, then 19 of the 47-name r7-graded
-# cohort.  The 28 deferred r7 names (each with a family sibling in or near
+# r6-era stale queue VERDICT r9 named, then 18 of the 47-name r7-graded
+# cohort.  The 29 deferred r7 names (each with a family sibling in or near
 # the prefix — see tests/test_registry_order.py's auditable sibling map)
 # lead the post-prefix queue for round 11.  After this round no query's
 # latest grade is older than r7.  tests/test_registry_order.py pins this.
@@ -42,15 +42,16 @@ ORACLES: dict[str, str] = {}
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-10: NEW round 10, needing their FIRST driver row — the
+    # -- slots 2-11: NEW round 10, needing their FIRST driver row — the
     #    batched ANN probe (VERDICT r9 "what's missing" #2), the export
     #    capstone with the span-REMOVAL layer composed in (#3), the
     #    semantic-dedup keep-one composition, the per-source frequency
     #    cap, the context-window chunker, degree-oriented triangle
     #    counting, the streaming ingestion dedup (the third
     #    bucketed-state fold), the hashed-feature quality classifier
-    #    (the model-based gate after the heuristics), and the JSONL
-    #    source path (the LLM interchange format, graded end-to-end) --
+    #    (the model-based gate after the heuristics), the JSONL source
+    #    path (the LLM interchange format, graded end-to-end), and the
+    #    LSH-vs-rare-shingle recall cross-audit --
     "q_knn_batch_ivf",
     "q_export_manifest_rewritten",
     "q_dedup_semantic",
@@ -60,7 +61,8 @@ GRADING_ORDER: list[str] = [
     "q_stream_dedup_docs_exec",
     "q_text_quality_classifier",
     "q_scan_jsonl_docs",
-    # -- slots 11-15: CHANGED round 10, re-graded to prove bit-identity —
+    "q_dedup_lsh_recall",
+    # -- slots 12-16: CHANGED round 10, re-graded to prove bit-identity —
     #    the span family (hashed/fused shingle relation + slice-and-
     #    concat cut: plan AND oracle changed together) and the two
     #    versioned-state execs (key-bucketed state layout, VERDICT r9
@@ -70,7 +72,7 @@ GRADING_ORDER: list[str] = [
     "q_dedup_span_rewrite_audit",
     "q_stream_incremental_stats_exec",
     "q_stream_scd2_exec",
-    # -- slots 16-31: the 16 r6-era names the r9 prefix deferred (the
+    # -- slots 17-32: the 16 r6-era names the r9 prefix deferred (the
     #    stale queue VERDICT r9 #6 named; freshness floor rises to r7) --
     "q_window_ntile",
     "q_window_first_last",
@@ -88,13 +90,15 @@ GRADING_ORDER: list[str] = [
     "q_sample_weighted",
     "q_string_funcs",
     "q_text_bigrams",
-    # -- slots 32-50: the round-7-graded cohort, 19 of 47 (stalest
-    #    remaining era); the 28 deferred lead the round-11 queue
-    #    (q_text_tfidf and q_pack_shuffled ceded their slots to the
-    #    quality classifier and the JSONL source — their family siblings
-    #    q_text_keywords (per-doc TF-IDF ranking over the same shared tf
-    #    memo) and q_global_shuffle (the same two_phase_rank permutation)
-    #    grade in-prefix) --
+    # -- slots 33-50: the round-7-graded cohort, 18 of 47 (stalest
+    #    remaining era); the 29 deferred lead the round-11 queue
+    #    (q_text_tfidf, q_pack_shuffled and q_dedup_jaccard_pairs ceded
+    #    their slots to the quality classifier, the JSONL source and the
+    #    recall audit — their family siblings q_text_keywords (per-doc
+    #    TF-IDF over the same shared tf memo), q_global_shuffle (the same
+    #    two_phase_rank permutation) and q_dedup_containment (the same
+    #    rare-shingle candidate rung; the audit itself also contains the
+    #    jaccard-pairs algebra as its rare side) grade in-prefix) --
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
     "q_dedup_containment",
@@ -112,19 +116,20 @@ GRADING_ORDER: list[str] = [
     "q_anti_scalar_q22",
     "q_corr_min_q2",
     "q_corr_scalar_q17",
-    "q_dedup_jaccard_pairs",
     "q_join_agg_q10",
     # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix.  First the 28 r7-graded names the
+    # Past the 50-slot grading prefix.  First the 29 r7-graded names the
     # prefix could not fit (q_embedding_quantize / q_events_anomaly /
-    # q_text_tfidf / q_pack_shuffled ceded their slots to the four late
-    # round-10 queries; their family siblings q_knn_cosine_ivf_indexed /
-    # q_events_scd2 / q_text_keywords / q_global_shuffle grade
-    # in-prefix) — they lead the round-11 stale queue — then the
-    # round-8-graded cohort, then the round-9-graded cohort (freshest).
+    # q_text_tfidf / q_pack_shuffled / q_dedup_jaccard_pairs ceded their
+    # slots to the five late round-10 queries; their family siblings
+    # q_knn_cosine_ivf_indexed / q_events_scd2 / q_text_keywords /
+    # q_global_shuffle / q_dedup_containment grade in-prefix) — they
+    # lead the round-11 stale queue — then the round-8-graded cohort,
+    # then the round-9-graded cohort (freshest).
     # ------------------------------------------------------------------
     "q_text_tfidf",
     "q_pack_shuffled",
+    "q_dedup_jaccard_pairs",
     "q_embedding_quantize",
     "q_events_anomaly",
     "q_graph_degree_stats",

@@ -7,14 +7,14 @@ round" #1, #2, #4, #5, #6): the prefix first-grades the seven queries NEW
 this round (the batched ANN probe, the span-rewritten export capstone, the
 semantic-dedup keep-one composition, the per-source frequency cap, the
 context-window chunker, degree-oriented triangle counting, the
-streaming ingestion dedup, the hashed-feature quality classifier, and
-the graded JSONL source path),
+streaming ingestion dedup, the hashed-feature quality classifier, the
+graded JSONL source path, and the LSH recall cross-audit),
 then the five queries whose plan/oracle/state-layout CHANGED
 this round (the hashed/fused span family and the two bucketed-state
 execs — same oracles, the hash must prove bit-identity), then the ENTIRE
-16-name r6-era stale queue the r9 verdict listed, then 19 of the 47-name
+16-name r6-era stale queue the r9 verdict listed, then 18 of the 47-name
 round-7-graded cohort — after this round no query's latest grade is
-older than round 7.  The 28 r7 names that did not fit lead the
+older than round 7.  The 29 r7 names that did not fit lead the
 post-prefix queue for round 11 (DEFERRED_R7 below).
 """
 
@@ -35,6 +35,7 @@ NEW_R10 = {
     "q_stream_dedup_docs_exec",
     "q_text_quality_classifier",
     "q_scan_jsonl_docs",
+    "q_dedup_lsh_recall",
 }
 
 # Changed this round — re-graded to prove the rework is bit-identical.
@@ -86,18 +87,19 @@ R7_IN_PREFIX = {
     "q_anti_scalar_q22",
     "q_corr_min_q2",
     "q_corr_scalar_q17",
-    "q_dedup_jaccard_pairs",
     "q_join_agg_q10",
 }
 
-# The 28 r7-graded names the 50-slot prefix could not fit — every one is
+# The 29 r7-graded names the 50-slot prefix could not fit — every one is
 # a TPC-H/relational/multimodal/embedding/events/text shape whose family
 # siblings grade in or near the prefix; they lead the round-11 stale
-# queue.  q_embedding_quantize, q_events_anomaly, q_text_tfidf and
-# q_pack_shuffled ceded their slots to the four late round-10 additions.
+# queue.  q_embedding_quantize, q_events_anomaly, q_text_tfidf,
+# q_pack_shuffled and q_dedup_jaccard_pairs ceded their slots to the
+# five late round-10 additions.
 DEFERRED_R7 = {
     "q_text_tfidf",
     "q_pack_shuffled",
+    "q_dedup_jaccard_pairs",
     "q_embedding_quantize",
     "q_events_anomaly",
     "q_graph_degree_stats",
@@ -225,7 +227,7 @@ def test_every_deferred_r7_name_has_a_family_sibling_in_prefix():
         "q_notin_distinct_q16": "q_corr_min_q2",
         "q_outer_agg_q13": "q_agg_having_q11",
         "q_join_or_q19": "q_agg_q6_forecast",
-        "q_join_inner": "q_dedup_jaccard_pairs",
+        "q_join_inner": "q_join_agg_q10",
         # multimodal family: framesample/resize grade in-prefix (r6 set)
         "q_multimodal_audio_windows": "q_multimodal_framesample",
         "q_multimodal_features": "q_multimodal_resize",
@@ -239,6 +241,10 @@ def test_every_deferred_r7_name_has_a_family_sibling_in_prefix():
         # packing family: the same two_phase_rank permutation grades
         # in-prefix via the global-shuffle row
         "q_pack_shuffled": "q_global_shuffle",
+        # set-similarity pair family: the same rare-shingle candidate
+        # rung grades in-prefix via containment, and the new recall
+        # audit contains the jaccard-pairs algebra as its rare side
+        "q_dedup_jaccard_pairs": "q_dedup_containment",
         "q_text_unigram_lm": "q_text_ccnet_buckets",
         "q_udf_reg_corr": "q_corr_scalar_q17",
         "q_window_session": "q_events_scd2",
