@@ -166,7 +166,15 @@ def main() -> None:
         # round 10 (this session), benched from birth: the hashed-
         # feature quality classifier (broadcast model weights + one
         # partial-agg shuffle — the plan a trained fastText-style gate
-        # would run unchanged).
+        # would run unchanged).  q_scan_jsonl_docs is deliberately NOT
+        # benched: its DuckDB twin is a bare parquet scan, so a wall
+        # ratio would measure text-parse-vs-columnar format cost, not
+        # the operator (the q_sample_source_cap exclusion class).
+        # q_dedup_lsh_recall is NOT benched either: it composes two
+        # already-benched candidate-generation families (q_dedup_near's
+        # LSH pipeline + the rare-shingle rung), so a wall row would
+        # double-count their measured costs (the q_graph_triangles
+        # exclusion class).
         "q_text_quality_classifier",
         # round 10 (late): q_graph_triangles is deliberately NOT benched —
         # its wall at sf0.1 is ~3.4 s of pair-stats derivation (the
@@ -235,7 +243,7 @@ def main() -> None:
         "q_export_manifest_rewritten": 12.056,
         "q_dedup_semantic": 17.876,
         "q_text_chunks": 0.213,
-        "q_text_quality_classifier": 0.190,
+        "q_text_quality_classifier": 0.130,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
