@@ -163,22 +163,31 @@ sh AS (
 # oracles (code-review r7: the block lived verbatim in both SQL strings;
 # one definition keeps the two metrics' candidate sets from silently
 # diverging when the rung is tuned).
-_RARE_CAND_CTE = """
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
-cand AS (
+def _rare_cand_cte(p: str = "") -> str:
+    """The rare-shingle candidate rung as a CTE chain, with an optional
+    NAME PREFIX so oracles whose namespace already uses sizes/cand/inter
+    (the LSH chain, _NEAR_EXACT_CTES) can embed the SAME definition
+    instead of duplicating it (code-review r10 — re-established the r7
+    single-source rule the recall audit's first draft broke)."""
+    return f"""
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+{p}rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
+{p}cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    WHERE a.s IN (SELECT s FROM rare)
+    WHERE a.s IN (SELECT s FROM {p}rare)
 ),
-inter AS (
+{p}inter AS (
     SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM cand c
+    FROM {p}cand c
     JOIN sh a ON a.doc_id = c.doc_a
     JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
     GROUP BY c.doc_a, c.doc_b
 )
 """
+
+
+_RARE_CAND_CTE = _rare_cand_cte()
 
 
 
@@ -1899,20 +1908,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_RECALL_ORACLE = f"""
 WITH {_NEAR_EXACT_CTES},
-rrare AS (SELECT s FROM sh GROUP BY s HAVING count(*) = 2),
-rcand AS (
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    WHERE a.s IN (SELECT s FROM rrare)
-),
-rsizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-rinter AS (
-    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-    FROM rcand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-    GROUP BY c.doc_a, c.doc_b
-),
+{_rare_cand_cte("r").strip().rstrip()},
 rare_pairs AS (
     SELECT i.doc_a, i.doc_b
     FROM rinter i

@@ -186,18 +186,18 @@ ratings AS (
 _CSV_CACHE: dict[tuple[str, str, str], str] = {}
 
 
-def _ratings_source_fingerprint(sf_dir: str) -> str:
-    """Cheap content fingerprint of the parquet inputs the ratings
-    relation derives from — footer row counts + file sizes + mtimes of
-    lineitem and orders.  Keys the materialized-CSV cache directory, so
-    regenerated testdata (it HAS changed between driver rounds) or a
-    changed derivation can never serve a stale text copy to the graded
-    CSV queries (code-review r8)."""
+def _source_fingerprint(sf_dir: str, tables: tuple[str, ...]) -> str:
+    """Cheap content fingerprint of the parquet inputs a materialized
+    text copy derives from — footer row counts + file sizes + mtimes.
+    Keys the materialized-copy cache directories, so regenerated
+    testdata (it HAS changed between driver rounds) or a changed
+    derivation can never serve a stale text copy to the graded source
+    queries (code-review r8; generalized over the table list r10)."""
     import hashlib
     import os
 
     parts = []
-    for t in ("lineitem", "orders"):
+    for t in tables:
         p = os.path.join(sf_dir, f"{t}.parquet")
         try:
             st = os.stat(p)
@@ -205,6 +205,45 @@ def _ratings_source_fingerprint(sf_dir: str) -> str:
         except OSError:
             parts.append(f"{t}:missing")
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
+def _ratings_source_fingerprint(sf_dir: str) -> str:
+    return _source_fingerprint(sf_dir, ("lineitem", "orders"))
+
+
+def _atomic_publish(path: str, write_fn) -> None:
+    """Write-once atomic publish of a Spark output directory (the r8
+    race/correctness discipline, single-sourced r10): no-op if ``path``
+    already holds a complete (_SUCCESS-marked) copy; otherwise
+    ``write_fn(staging)`` writes to a process-unique staging dir which
+    is ``os.rename``d into place — two first-run processes racing each
+    produce a complete set and exactly one wins the rename, never an
+    interleaved mixed directory.  On rename failure the staging dir is
+    removed and the occupant is VERIFIED complete before being trusted
+    (a rename can also fail for permissions or a foreign squatter, not
+    just a concurrent winner)."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    staging = f"{path}.staging-{uuid.uuid4().hex}"
+    try:
+        write_fn(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raise RuntimeError(
+                f"_atomic_publish: rename to {path!r} failed and the "
+                "occupant is not a complete published copy (no _SUCCESS "
+                "marker)"
+            )
 
 
 def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
@@ -223,10 +262,10 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     each produce a complete set and exactly one wins the rename, never
     an interleaved mixed directory."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
+    if fmt not in ("pipe", "quoted"):
+        raise ValueError(f"unknown ratings text format: {fmt!r}")
     # The fingerprint is part of the CACHE KEY, not just the directory
     # name: it is a cheap metadata read, and recomputing it per call means
     # testdata regenerated WITHIN one process immediately misses the
@@ -241,12 +280,12 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_csv", slug, f"{fmt}-{fp}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        staging = f"{path}.staging-{uuid.uuid4().hex}"
+
+    def write(staging: str) -> None:
         ratings = derive_ratings(spark, sf_dir)
         if fmt == "pipe":
             ratings.write.mode("overwrite").csv(staging, sep="|", header=False)
-        elif fmt == "quoted":
+        else:
             # String keys, every field quoted — the Book-Crossing shape.
             ratings.select(
                 F.col("user_id").cast("string"),
@@ -255,26 +294,8 @@ def materialize_ratings_text(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             ).write.mode("overwrite").csv(
                 staging, sep=";", quote='"', quoteAll=True, header=False
             )
-        else:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ValueError(f"unknown ratings text format: {fmt!r}")
-        try:
-            os.rename(staging, path)
-        except OSError:
-            # A concurrent writer racing us may have published first — but
-            # rename can also fail for unrelated reasons (permissions, a
-            # partial/foreign directory squatting on the path), so VERIFY
-            # the published copy is complete before trusting it: a
-            # rename-published Spark output always carries _SUCCESS
-            # (ADVICE r8 — don't let the two graded CSV queries silently
-            # read wrong or missing data).
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise RuntimeError(
-                    f"materialize_ratings_text: rename to {path!r} failed "
-                    "and the occupant is not a complete published copy "
-                    "(no _SUCCESS marker)"
-                )
+
+    _atomic_publish(path, write)
     _CSV_CACHE[key] = path
     return path
 
@@ -299,10 +320,11 @@ def parquet_num_rows(sf_dir: str, table: str) -> int | None:
 
 # ---------------------------------------------------------------------------
 # JSONL documents source (round 10) — the LLM-corpus interchange format.
-# Same cache/publish discipline as the ratings text materializer above:
-# fingerprint-keyed directory (regenerated testdata can never serve a
-# stale copy), process-unique staging + atomic rename, _SUCCESS-verified
-# occupant on rename failure.
+# Shares the ratings materializer's cache/publish machinery
+# (_source_fingerprint + _atomic_publish — single-sourced, code-review
+# r10): fingerprint-keyed directory (regenerated testdata can never
+# serve a stale copy), process-unique staging + atomic rename,
+# _SUCCESS-verified occupant on rename failure.
 # ---------------------------------------------------------------------------
 
 _JSONL_CACHE: dict[tuple[str, str], str] = {}
@@ -318,32 +340,15 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
-def _documents_source_fingerprint(sf_dir: str) -> str:
-    """Footer row count + size + mtime of documents.parquet — keys the
-    materialized-JSONL cache (the ratings-CSV fingerprint contract)."""
-    import hashlib
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(p)
-        part = f"documents:{parquet_num_rows(sf_dir, 'documents')}:{st.st_size}:{st.st_mtime_ns}"
-    except OSError:
-        part = "documents:missing"
-    return hashlib.md5(part.encode()).hexdigest()[:16]
-
-
 def materialize_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
     """Write the documents table once as JSON-lines (one object per
     line — the format LLM corpus tooling interchanges) and return the
     directory path.  Values are strings and int64s, so the text
     round-trip is exact by construction."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
-    fp = _documents_source_fingerprint(sf_dir)
+    fp = _source_fingerprint(sf_dir, ("documents",))
     key = (os.path.abspath(sf_dir), fp)
     cached = _JSONL_CACHE.get(key)
     if cached is not None:
@@ -352,19 +357,12 @@ def materialize_documents_jsonl(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_jsonl", slug, f"docs-{fp}"
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        staging = f"{path}.staging-{uuid.uuid4().hex}"
-        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(staging)
-        try:
-            os.rename(staging, path)
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)
-            if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                raise RuntimeError(
-                    f"materialize_documents_jsonl: rename to {path!r} failed "
-                    "and the occupant is not a complete published copy "
-                    "(no _SUCCESS marker)"
-                )
+    _atomic_publish(
+        path,
+        lambda staging: load_table(spark, sf_dir, "documents")
+        .write.mode("overwrite")
+        .json(staging),
+    )
     _JSONL_CACHE[key] = path
     return path
 

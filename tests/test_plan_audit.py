@@ -105,8 +105,6 @@ def test_flagship_is_single_pass_gemm_pipeline(spark, sf_dir):
     ratings relation with itself), and one hash exchange on the tile
     key."""
     plan = _plan(spark, sf_dir, "q_topk_similar_items")
-    import re
-
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "FlatMapGroupsInArrow" in plan, plan
@@ -143,8 +141,6 @@ def test_salted_agg_two_exchanges_only(spark, sf_dir):
     """The salted rewrite must plan exactly its two hash aggregations
     (salted partial, final) — shuffles on (key, salt) then key."""
     plan = _plan(spark, sf_dir, "q_agg_salted_twophase")
-    import re
-
     # "formatted" prints each node in the tree AND as a "(N) Exchange"
     # detail header — count the detail headers.
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
@@ -169,8 +165,6 @@ def test_ivf_assignment_avoids_window_shuffle(spark, sf_dir):
     assert "Window" not in plan, plan
     # struct max has no mutable hash buffer, so Spark plans SortAggregate —
     # still partial+final (map-side combinable), which is the claim.
-    import re
-
     assert re.search(r"\(\d+\) (Sort|Hash)Aggregate", plan), plan
 
 
@@ -221,8 +215,6 @@ def test_subquery_shapes_decorrelate_to_hash_joins(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    import re
-
     assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan), plan
 
 

@@ -68,7 +68,7 @@ STALE_R6 = {
     "q_text_bigrams",
 }
 
-# The round-7-graded cohort members that FIT the remaining 21 slots.
+# The round-7-graded cohort members that FIT the remaining 18 slots.
 R7_IN_PREFIX = {
     "q_knn_cosine_ivf_indexed",
     "q_sample_temperature",
@@ -153,7 +153,7 @@ def test_flagship_is_first():
 
 
 def test_new_r10_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-8 — graded even if
+    """The never-graded new queries sit in slots 2-11 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R10)])
     assert head == NEW_R10

@@ -58,7 +58,7 @@ QUERIES = {
     "q_dedup_span_rewrite": "documents",
     # round-10-born: the hashed-feature quality classifier (the tagged
     # copies keep token vocabularies disjoint but the hashing trick folds
-    # them into the SAME fixed 1024-bucket model — exactly the production
+    # them into the SAME fixed 4096-bucket model — exactly the production
     # property the ladder should hold under) and the context-window
     # chunker (pure scan-side transform; the ladder pins zero-shuffle
     # linearity).
