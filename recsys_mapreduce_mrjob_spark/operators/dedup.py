@@ -1908,7 +1908,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_RECALL_ORACLE = f"""
 WITH {_NEAR_EXACT_CTES},
-{_rare_cand_cte("r").strip().rstrip()},
+{_rare_cand_cte("r").strip()},
 rare_pairs AS (
     SELECT i.doc_a, i.doc_b
     FROM rinter i
@@ -1921,17 +1921,19 @@ tagged AS (
            (r.doc_a IS NOT NULL) AS in_rare
     FROM (SELECT doc_a, doc_b FROM near_pairs) l
     FULL JOIN rare_pairs r ON l.doc_a = r.doc_a AND l.doc_b = r.doc_b
+),
+counts AS (
+    SELECT CAST(coalesce(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lsh,
+           CAST(coalesce(sum(CASE WHEN in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rare,
+           CAST(coalesce(sum(CASE WHEN in_lsh AND in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
+           CAST(coalesce(sum(CASE WHEN in_lsh AND NOT in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS lsh_only,
+           CAST(coalesce(sum(CASE WHEN in_rare AND NOT in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS rare_only
+    FROM tagged
 )
-SELECT CAST(coalesce(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lsh,
-       CAST(coalesce(sum(CASE WHEN in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rare,
-       CAST(coalesce(sum(CASE WHEN in_lsh AND in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both,
-       CAST(coalesce(sum(CASE WHEN in_lsh AND NOT in_rare THEN 1 ELSE 0 END), 0) AS BIGINT) AS lsh_only,
-       CAST(coalesce(sum(CASE WHEN in_rare AND NOT in_lsh THEN 1 ELSE 0 END), 0) AS BIGINT) AS rare_only,
-       CAST(CASE WHEN coalesce(sum(CASE WHEN in_rare THEN 1 ELSE 0 END), 0) = 0 THEN -1
-                 ELSE floor(10000.0 * coalesce(sum(CASE WHEN in_lsh AND in_rare THEN 1 ELSE 0 END), 0)
-                            / sum(CASE WHEN in_rare THEN 1 ELSE 0 END))
-            END AS BIGINT) AS recall_vs_rare_bp
-FROM tagged
+SELECT n_lsh, n_rare, n_both, lsh_only, rare_only,
+       CAST(CASE WHEN n_rare = 0 THEN -1
+                 ELSE (10000 * n_both) // n_rare END AS BIGINT) AS recall_vs_rare_bp
+FROM counts
 """
 
 
@@ -1970,16 +1972,20 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = lambda c: F.coalesce(  # noqa: E731 — local aggregation shorthand
         F.sum(F.when(c, 1).otherwise(0)), F.lit(0)
     ).cast("long")
-    n_rare = cnt(F.col("in_rare"))
-    n_both = cnt(F.col("in_lsh") & F.col("in_rare"))
-    return tagged.agg(
+    counts = tagged.agg(
         cnt(F.col("in_lsh")).alias("n_lsh"),
-        n_rare.alias("n_rare"),
-        n_both.alias("n_both"),
+        cnt(F.col("in_rare")).alias("n_rare"),
+        cnt(F.col("in_lsh") & F.col("in_rare")).alias("n_both"),
         cnt(F.col("in_lsh") & ~F.col("in_rare")).alias("lsh_only"),
         cnt(F.col("in_rare") & ~F.col("in_lsh")).alias("rare_only"),
-        F.when(n_rare == 0, F.lit(-1))
-        .otherwise(F.floor(F.lit(10000.0) * n_both / n_rare))
-        .cast("long")
-        .alias("recall_vs_rare_bp"),
+    )
+    # Pure INTEGER arithmetic (ADVICE r10): both engines compute
+    # (10000 * n_both) div n_rare on BIGINTs, so the "exact basis points"
+    # claim holds at any pair count — not just while the float64 mantissa
+    # happens to cover 10000 * n_both.
+    return counts.withColumn(
+        "recall_vs_rare_bp",
+        F.when(F.col("n_rare") == 0, F.lit(-1))
+        .otherwise(F.expr("(10000 * n_both) div n_rare"))
+        .cast("long"),
     )

@@ -227,6 +227,9 @@ def test_quality_classifier_broadcasts_model_and_shuffles_once(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(doc_id" in plan
-    # one doc_id exchange + the broadcast exchange — no third shuffle
+    # The regex's trailing \b after "Exchange" excludes BroadcastExchange,
+    # so this counts SHUFFLE exchanges only: exactly the one doc_id
+    # repartitioning.  The broadcast exchange is asserted separately.
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1, plan
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)) == 1, plan

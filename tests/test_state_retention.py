@@ -152,6 +152,26 @@ def test_flush_feed_rejects_negative_user_ids(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_flush_feed_rejects_empty_events_table(spark):
+    """An empty events table has no max ts to anchor the sentinel flush
+    chunks; the feed must fail fast with a named error, not an opaque
+    TypeError on the flush_ts arithmetic (ADVICE r9 / VERDICT r10 #3)."""
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_events
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        stream_events_with_flush,
+    )
+
+    base = tempfile.mkdtemp(prefix="emptyev_")
+    try:
+        bad_sf = f"{base}/sf"
+        os.makedirs(bad_sf)
+        load_events(spark, SF).limit(0).write.parquet(f"{bad_sf}/events.parquet")
+        with pytest.raises(ValueError, match="empty"):
+            stream_events_with_flush(spark, bad_sf, f"{base}/src")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_prune_preserves_sole_bucket_copies_in_old_versions(spark):
     """Bucketed layout (round 10): a version dir holds only the buckets
     its batch touched, so an OLD version can be the sole live copy of an
