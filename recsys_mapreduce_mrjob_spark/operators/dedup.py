@@ -422,59 +422,52 @@ _NEAR_EXACT_ORACLE = (
 )
 
 
-@register("q_dedup_near_exact", oracle=_NEAR_EXACT_ORACLE)
-def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup with a full DuckDB oracle — the exact-graded
-    companion to :func:`q_dedup_near` (see the module-level portable-hash
-    note).  Same fused single-pass plan shape: one groupBy computes the
-    32 min-hashes AND the hashed-shingle set; banding equi-join; Jaccard
-    as an ``array_intersect`` projection.  The hash family is slower than
-    xxhash64 (md5 per shingle + decimal mod per member) — the price of
-    bit-identical cross-engine grading; q_dedup_near stays the
-    performance registration.
-    """
-    def build_sig() -> DataFrame:
-        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-        ex = docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+def portable_minhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, mh0..mh{n−1}, sh_set, n_sh) via the
+    engine-portable hash family (module note above): distinct 3-shingles
+    → md5-prefix 60-bit longs → 32 universal-hash minima computed in
+    DECIMAL(38,0), plus the hashed-shingle SET for exact-Jaccard
+    verification.  The ONE signature definition shared by the batch LSH
+    (``q_dedup_near_exact`` and everything downstream of its pairs) and
+    the streaming ingestion fold (``streaming/twins.py
+    incremental_neardup``) — the two executions must agree bit-for-bit
+    on every minhash or the streaming candidates diverge from the batch
+    oracle's.  Docs with fewer than 3 tokens produce no shingles and are
+    absent from the result (they can never be near-dup candidates)."""
+    ex = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
+    )
+    hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    base = ex.select("doc_id", hs.alias("hs"))
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    return (
+        base.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.pmod(
+                        dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
+                        dec(F.lit(_MH_P)),
+                    ).cast("long")
+                ).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_MH_SEEDS)
+            ],
+            F.collect_set("hs").alias("sh_set"),
         )
-        hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-        base = ex.select("doc_id", hs.alias("hs"))
+        .withColumn("n_sh", F.size("sh_set"))
+    )
 
-        def dec(c):
-            return c.cast("decimal(38,0)")
 
-        return (
-            base.groupBy("doc_id")
-            .agg(
-                *[
-                    F.min(
-                        F.pmod(
-                            dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
-                            dec(F.lit(_MH_P)),
-                        ).cast("long")
-                    ).alias(f"mh{i}")
-                    for i, (a, b) in enumerate(_MH_SEEDS)
-                ],
-                F.collect_set("hs").alias("sh_set"),
-            )
-            .withColumn("n_sh", F.size("sh_set"))
-        )
-
-    # Memo-persisted like the xxhash64 sig (round 6): this relation fans
-    # into FOUR lazy branches (both aliases of the band self-join plus the
-    # doc_a and doc_b set lookups), and ReuseExchange does not fire across
-    # the shapes — unpersisted, the md5 + 32-member decimal-mod minhash
-    # derivation (the most expensive projection in the repo) recomputed up
-    # to four times in every consumer of the exact pairs (near_exact,
-    # components ×2, curation).  Footprint note: together with minhash_sig
-    # and doc_shingles this is a third corpus-scale shingle relation held
-    # MEMORY_AND_DISK for the session — acceptable at the tested SFs
-    # (spill degrades gracefully); revisit the storage level before
-    # pointing a memory-constrained driver at a much larger corpus.
-    sig = memo_persist(spark, "minhash_sig_exact", sf_dir, build_sig)
-    bands = sig.select(
+def portable_band_rows(sig: DataFrame) -> DataFrame:
+    """Signature relation → exploded (doc_id, band, bsig) band rows,
+    bsig = md5 of the band's comma-joined minhashes (the portable twin
+    of the xxhash64 banding).  Shared by the batch LSH equi-join and
+    the streaming fold's band-bucket state."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -495,24 +488,18 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
-
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bsig") == F.col("bb.bsig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
-        .distinct()
+    ).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
     )
 
-    sets = sig.select("doc_id", "sh_set", "n_sh")
+
+def portable_verify_pairs(
+    cand: DataFrame, sets: DataFrame, min_jaccard: float = 0.8
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidates against a
+    (doc_id, sh_set, n_sh) relation via ``array_intersect`` — per-pair
+    work O(|A|+|B|) in one projection, candidates-sized shuffles only.
+    Shared by the batch LSH and the streaming ingestion fold."""
     n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jaccard = n_common / (F.col("na") + F.col("nb") - n_common).cast("double")
     return (
@@ -532,13 +519,60 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "doc_b",
         )
-        .where(jaccard >= 0.8)
+        .where(jaccard >= min_jaccard)
         .select(
             "doc_a",
             "doc_b",
             (F.round(jaccard, 6) + F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+@register("q_dedup_near_exact", oracle=_NEAR_EXACT_ORACLE)
+def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup with a full DuckDB oracle — the exact-graded
+    companion to :func:`q_dedup_near` (see the module-level portable-hash
+    note).  Same fused single-pass plan shape: one groupBy computes the
+    32 min-hashes AND the hashed-shingle set; banding equi-join; Jaccard
+    as an ``array_intersect`` projection.  The hash family is slower than
+    xxhash64 (md5 per shingle + decimal mod per member) — the price of
+    bit-identical cross-engine grading; q_dedup_near stays the
+    performance registration.
+    """
+    def build_sig() -> DataFrame:
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+        return portable_minhash_sig(docs.select("doc_id", "text"))
+
+    # Memo-persisted like the xxhash64 sig (round 6): this relation fans
+    # into FOUR lazy branches (both aliases of the band self-join plus the
+    # doc_a and doc_b set lookups), and ReuseExchange does not fire across
+    # the shapes — unpersisted, the md5 + 32-member decimal-mod minhash
+    # derivation (the most expensive projection in the repo) recomputed up
+    # to four times in every consumer of the exact pairs (near_exact,
+    # components ×2, curation).  Footprint note: together with minhash_sig
+    # and doc_shingles this is a third corpus-scale shingle relation held
+    # MEMORY_AND_DISK for the session — acceptable at the tested SFs
+    # (spill degrades gracefully); revisit the storage level before
+    # pointing a memory-constrained driver at a much larger corpus.
+    sig = memo_persist(spark, "minhash_sig_exact", sf_dir, build_sig)
+    bands = portable_band_rows(sig)
+
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    return portable_verify_pairs(cand, sig.select("doc_id", "sh_set", "n_sh"))
 
 
 @register(

@@ -338,3 +338,82 @@ def test_ann_index_crash_resume_and_pruning(spark, smoke_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_neardup_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
+    """The NEAR-dup ingestion fold (round 11 — the fourth bucketed-state
+    consumer) under the exactly-once hazard plus its order-invariance
+    claim: a crash after batch 0 commits must replay only uncommitted
+    batches and land on the batch LSH keep-one answer; 4 interleaved
+    chunks (doc_id % 4 — smaller and larger ids arrive in BOTH orders,
+    exercising the old-doc flag-flip path) must equal 1 chunk must equal
+    the one-shot batch computation built from the SAME shared
+    primitives (portable_minhash_sig / portable_verify_pairs)."""
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        portable_band_rows,
+        portable_minhash_sig,
+        portable_verify_pairs,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_neardup,
+        read_bucketed_state,
+        write_doc_chunks,
+    )
+
+    src4 = str(tmp_path / "docs4")
+    st4 = str(tmp_path / "state4")
+    write_doc_chunks(spark, smoke_dir, src4, n_chunks=4)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_neardup(spark, src4, st4, on_batch=crash_on_second)
+    assert os.path.isdir(f"{st4}/docs/v0"), "batch 0 docs state missing"
+
+    replayed: list[int] = []
+    incremental_neardup(spark, src4, st4, on_batch=replayed.append)
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    def keepers(state_dir: str):
+        final = read_bucketed_state(spark, f"{state_dir}/docs")
+        return _multiset(
+            final.where(~F.col("dropped")).select("doc_id", "lang", "source")
+        )
+
+    resumed = keepers(st4)
+
+    # One-shot batch twin from the same shared primitives: drop every
+    # doc named as the larger id of a verified near-pair.
+    docs = load_table(spark, smoke_dir, "documents")
+    sig = portable_minhash_sig(docs.select("doc_id", "text"))
+    bands = portable_band_rows(sig)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = portable_verify_pairs(cand, sig.select("doc_id", "sh_set", "n_sh"))
+    oneshot = _multiset(
+        docs.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id", "lang", "source")
+    )
+    assert resumed == oneshot
+
+    # Split invariance: the whole corpus in ONE micro-batch.
+    src1 = str(tmp_path / "docs1")
+    st1 = str(tmp_path / "state1")
+    write_doc_chunks(spark, smoke_dir, src1, n_chunks=1)
+    incremental_neardup(spark, src1, st1)
+    assert keepers(st1) == resumed

@@ -46,6 +46,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 RUNGS = [(400_000, 256), (1_600_000, 1024), (6_400_000, 4096)]
+# Near-dup rungs are smaller in rows but bigger per row: state carries
+# each doc's ~38-element hashed-shingle set plus 8 band rows, and the
+# seed batch pays the full 32-member minhash derivation over S docs.
+# 16× growth across the ladder still answers the flatness question.
+NEARDUP_RUNGS = [(10_000, 128), (40_000, 512), (160_000, 2048)]
+# full-rewrite (n_buckets=1) comparison cap for --neardup: rewriting a
+# state that carries per-doc shingle sets is minutes per batch past
+# this S — the growth shape is established on the smaller rungs.
+NEARDUP_FULL_REWRITE_MAX = 40_000
 N_SMALL = 6
 BATCH_ITEMS = 100
 
@@ -152,12 +161,64 @@ def build_doc_source(src: str, s_docs: int) -> None:
         )
 
 
+def _neardup_text(content_id: int) -> str:
+    """~40-token text as a pure function of the content id; near-dup
+    variants (see build_neardup_source) share all but the last token —
+    3-shingle Jaccard ≈ 0.92, comfortably over the 0.8 gate."""
+    return " ".join(f"w{(content_id * 31 + j) % 50_000}" for j in range(40))
+
+
+def _write_neardup_chunk(
+    path: str, doc_ids: np.ndarray, texts: list, mtime: float
+) -> None:
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_ids.astype(np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(doc_ids)),
+            "source": pa.array(["bench"] * len(doc_ids)),
+        }
+    )
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
+def build_neardup_source(src: str, s_docs: int) -> None:
+    """Seed chunk of S distinct documents, then N_SMALL 100-doc chunks:
+    half NEAR-duplicates of seed content (same 40 tokens, last one
+    changed — these must die at the gate via a band-bucket probe of the
+    accumulated state), half novel."""
+    os.makedirs(src)
+    t0 = time.time()
+    _write_neardup_chunk(
+        f"{src}/chunk00.parquet",
+        np.arange(s_docs),
+        [_neardup_text(c) for c in range(s_docs)],
+        t0,
+    )
+    half = BATCH_ITEMS // 2
+    for i in range(N_SMALL):
+        dup = (7919 * (i + 1) + 104729 * np.arange(half)) % s_docs
+        texts = [
+            _neardup_text(int(c)).rsplit(" ", 1)[0] + " znear" for c in dup
+        ] + [
+            _neardup_text(s_docs + i * half + j) for j in range(half)
+        ]
+        _write_neardup_chunk(
+            f"{src}/chunk{i + 1:02d}.parquet",
+            s_docs + i * BATCH_ITEMS + np.arange(BATCH_ITEMS),
+            texts,
+            t0 + i + 1,
+        )
+
+
 def run_shape(
     spark, src: str, state: str, n_buckets: int, mode: str = "stats"
 ) -> dict:
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
         incremental_doc_dedup,
         incremental_item_stats,
+        incremental_neardup,
         incremental_scd2,
     )
 
@@ -165,6 +226,7 @@ def run_shape(
         "stats": incremental_item_stats,
         "scd2": incremental_scd2,
         "docs": incremental_doc_dedup,
+        "neardup": incremental_neardup,
     }[mode]
     stamps: list[tuple[int, float]] = []
     fn(
@@ -197,8 +259,13 @@ def main() -> None:
     if "--docs" in args:
         mode = "docs"
         args.remove("--docs")
+    if "--neardup" in args:
+        mode = "neardup"
+        args.remove("--neardup")
     rungs = (
-        [tuple(int(x) for x in a.split(":")) for a in args] if args else RUNGS
+        [tuple(int(x) for x in a.split(":")) for a in args]
+        if args
+        else (NEARDUP_RUNGS if mode == "neardup" else RUNGS)
     )
 
     from recsys_mapreduce_mrjob_spark.session import session_builder
@@ -225,20 +292,34 @@ def main() -> None:
                 build_source(src, s_items)
             elif mode == "scd2":
                 build_event_source(src, s_items)
+            elif mode == "neardup":
+                build_neardup_source(src, s_items)
             else:
                 build_doc_source(src, s_items)
             out: dict[str, dict] = {"mode": mode}
             states = {}
-            for label, nb in (("bucketed", n_buckets), ("full_rewrite", 1)):
+            shapes = [("bucketed", n_buckets), ("full_rewrite", 1)]
+            if mode == "neardup" and s_items > NEARDUP_FULL_REWRITE_MAX:
+                shapes = shapes[:1]  # see NEARDUP_FULL_REWRITE_MAX note
+            for label, nb in shapes:
                 state = f"{base}/state_{label}"
                 out[label] = run_shape(spark, src, state, nb, mode)
                 out[label]["n_buckets"] = nb
                 states[label] = state
-            a = read_bucketed_state(spark, states["bucketed"])
-            b = read_bucketed_state(spark, states["full_rewrite"])
-            rows_a = sorted(map(tuple, a.collect()))
-            rows_b = sorted(map(tuple, b.collect()))
-            out["end_state_identical"] = rows_a == rows_b
+
+            def _state_rows(state: str):
+                sub = f"{state}/docs" if mode == "neardup" else state
+                df = read_bucketed_state(spark, sub)
+                if mode == "neardup":
+                    # sh_set is an (order-nondeterministic) array; the
+                    # graded projection is the keeper decision.
+                    df = df.select("doc_id", "lang", "source", "dropped")
+                return sorted(map(tuple, df.collect()))
+
+            rows_a = _state_rows(states["bucketed"])
+            if "full_rewrite" in states:
+                rows_b = _state_rows(states["full_rewrite"])
+                out["end_state_identical"] = rows_a == rows_b
             out["state_rows"] = len(rows_a)
             results[str(s_items)] = out
             print(f"S={s_items}: {json.dumps(out)}", flush=True)
