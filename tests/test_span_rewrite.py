@@ -255,3 +255,47 @@ def test_export_rewritten_token_conservation(spark):
     )
     assert packed == curated_total - removed_curated
     assert all(r.shard_tokens >= 0 and r.n_docs > 0 for r in manifest)
+
+
+def test_export_chunks_token_conservation(spark):
+    """The chunk-level export's books must balance (round 11): per
+    curated doc, n_tokens = last window's tokens + (n_windows − 1) ×
+    stride (consecutive full windows each contribute exactly `stride`
+    new tokens; the final window closes the remainder) — so the
+    manifest's token total equals the curated token total PLUS the
+    deliberate (width − stride)-token overlaps, with nothing lost.
+    Checked as: Σ shard_tokens == Σ_docs (n_tokens + (n_windows − 1) ×
+    (width − stride)), derived from the curated relation itself, plus
+    per-shard sanity (positive counts, docs ≤ chunks)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        curated_docs,
+    )
+
+    manifest = registry.QUERIES["q_export_chunks"](spark, SF01).collect()
+    packed = sum(r.shard_tokens for r in manifest)
+    n_chunks_total = sum(r.n_chunks for r in manifest)
+
+    curated = curated_docs(spark, SF01).select("doc_id", "n_tokens")
+    # n_windows per doc = floor((n − 1) / stride) + 1 (window starts at
+    # 1, 1+s, … while the start is in range — q_text_chunks' rule).
+    per_doc = curated.select(
+        "n_tokens",
+        (F.floor((F.col("n_tokens") - 1) / _CHUNK_S) + 1).alias("n_w"),
+    )
+    agg = per_doc.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum(F.col("n_tokens") + (F.col("n_w") - 1) * (_CHUNK_W - _CHUNK_S))
+        .alias("tok_with_overlap"),
+        F.sum("n_w").alias("n_w"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).collect()[0]
+    assert packed == agg.tok_with_overlap
+    assert n_chunks_total == agg.n_w
+    assert all(
+        r.n_chunks > 0 and 0 < r.n_docs <= r.n_chunks and r.shard_tokens > 0
+        for r in manifest
+    )
