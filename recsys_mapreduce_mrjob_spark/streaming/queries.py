@@ -551,11 +551,12 @@ def q_stream_neardup_docs_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR-dup of anything already seen" without recomputing signatures
     over the accumulated corpus.  The harness feeds the documents table
     as 4 chunk files; each ``foreachBatch`` computes the batch's
-    portable MinHash band signatures, probes ONLY the touched band
-    buckets of the accumulated state for candidates, verifies with
-    exact Jaccard, and folds the batch's signatures in
-    (``streaming/twins.py incremental_neardup`` — the fourth consumer
-    of the bucketed versioned-state layout).
+    portable MinHash band signatures, probes the accumulated
+    APPEND-ONLY band state for candidates (equi-join on (band, bsig);
+    per-batch state writes are O(batch) — see the layout rationale in
+    ``streaming/twins.py incremental_neardup``), verifies with exact
+    Jaccard, and OR-folds the drop decisions into the bucket-versioned
+    docs state (the fourth consumer of that layout).
 
     Order-invariance (why the one-shot batch oracle grades a streaming
     execution): every near-pair is discovered exactly once — in the

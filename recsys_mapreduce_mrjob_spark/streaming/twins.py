@@ -1602,27 +1602,36 @@ def incremental_neardup(
     n_buckets: int = _STATE_BUCKETS,
 ) -> None:
     """Incremental MinHash-LSH NEAR-dup at ingestion via ``foreachBatch``
-    — the fourth consumer of the bucketed versioned-state layout
     (VERDICT r10 "what's missing" #1: the streaming gate deduplicated by
     exact md5 only; the LSH family was batch-only).  A production corpus
     ingests continuously and must ask "is this batch a NEAR-dup of
     anything already seen" without recomputing signatures over the
-    accumulated corpus; this fold answers per batch in
-    O(batch + touched buckets).
+    accumulated corpus.
 
-    Two bucketed state relations under ``state_dir``:
+    Two state relations under ``state_dir``, deliberately DIFFERENT
+    layouts because their mutability differs:
 
-    - ``bands/``: (doc_id, band, bsig) LSH band rows for EVERY seen doc,
-      bucketed by ``pmod(xxhash64(bsig), B)`` — the probe index.  A new
-      batch's band signatures read only the buckets they hash into, so
-      candidate lookup cost follows the batch, not the corpus.
+    - ``bands/``: (doc_id, band, bsig) LSH band rows for EVERY seen doc
+      — immutable FACTS, so the relation is APPEND-ONLY: each batch
+      writes exactly its own band rows as ``v{batch_id}`` (one sorted
+      file), never rewriting history, and the probe scans the complete
+      versions below the batch id and hash-joins on (band, bsig).  The
+      first draft bucketed this state by ``pmod(xxhash64(bsig), B)``
+      and merged-on-write like the other folds — the ladder measured
+      per-batch wall GROWING 9→19→32 s across 16× corpus growth, all
+      of it parquet file-commit overhead: a 100-doc batch emits ~800
+      band signatures, which touch ~B·(1−e^(−800/B)) buckets, so the
+      versioned rewrite paid 400–700 per-batch file commits (~30 ms
+      each) to move rows that never change.  Append-only writes O(batch)
+      rows in ONE file and the wall flattens.
     - ``docs/``: (doc_id, lang, source, sh_set, n_sh, dropped) — one row
-      per seen doc, bucketed by ``pmod(xxhash64(doc_id), B)``, carrying
-      the hashed-shingle set exact-Jaccard verification needs and the
-      accumulated drop decision.
+      per seen doc, where ``dropped`` MUTATES (a later smaller-id
+      near-dup flips it), so this relation keeps the bucket-versioned
+      merge layout (``pmod(xxhash64(doc_id), B)``); its per-batch file
+      count is bounded by batch size + candidate endpoints (≤ ~150
+      buckets), not by corpus size.
 
-    The per-batch fold (pure DataFrame algebra, every relation batch- or
-    candidate-sized):
+    The per-batch fold (pure DataFrame algebra):
       1. batch docs → portable MinHash signatures + band rows (the SAME
          ``portable_minhash_sig`` / ``portable_band_rows`` expression
          chain as the batch LSH — the two executions must agree on every
@@ -1651,15 +1660,20 @@ def incremental_neardup(
     rewrite their ``v{batch_id}`` idempotently.  ``on_batch(batch_id)``
     is the shared crash-injection hook.
 
-    At 100 TB: bucket count scales with corpus size (bucket SIZE stays
-    constant — the bench_state_ingest discipline), signatures cost one
-    pass over each batch exactly once, the band probe reads
-    O(batch-bands) buckets, and verification shuffles candidate-sized
-    relations only.  The one honest cost is state carrying each doc's
-    hashed-shingle set (needed for EXACT verification, as in the batch
-    pipeline); a MinHash-estimate verification would shrink state to the
-    32-minhash vector at the price of approximate Jaccard.
+    At 100 TB the probe's full scan of the band table does NOT survive —
+    the production path is periodic COMPACTION of the per-batch appends
+    into bsig-bucketed dirs (exactly the ``compact_ivf_index`` pattern:
+    rare amortized rewrites buy per-probe partition pruning), with the
+    probe reading compacted buckets + the small uncompacted tail; the
+    per-batch band file is written SORTED by bsig so compaction is a
+    merge and row-group min/max stats prune even pre-compaction.
+    Verification stays candidate-sized; the one honest state cost is
+    each doc's hashed-shingle set (needed for EXACT verification, as in
+    the batch pipeline) — a MinHash-estimate verification would shrink
+    state to the 32-minhash vector at the price of approximate Jaccard.
     """
+    import os
+
     from ..operators.dedup import (
         portable_band_rows,
         portable_minhash_sig,
@@ -1677,18 +1691,23 @@ def incremental_neardup(
         .parquet(src_dir)
     )
 
-    def _read_or_empty(s, paths: dict, schema: str) -> DataFrame:
-        if paths:
-            return s.read.parquet(*sorted(paths.values()))
-        return s.createDataFrame([], schema)
-
-    def _guard_full_layout(paths: dict, which: str) -> None:
-        if -1 in paths:
-            raise ValueError(
-                f"incremental_neardup: {which} holds a pre-bucketing "
-                "full-layout version — run migrate_state_to_bucketed "
-                "into a fresh dir first"
-            )
+    def _band_version_paths(below: int) -> list[str]:
+        """Every COMPLETE (``_SUCCESS``) band version strictly below the
+        batch id — the append-only sibling of :func:`bucket_latest_paths`
+        (all versions matter: each holds different rows)."""
+        try:
+            names = os.listdir(bands_dir)
+        except OSError:
+            return []
+        out = []
+        for d in names:
+            v = _version_of(d)
+            if v is None or v >= below:
+                continue
+            vdir = os.path.join(bands_dir, d)
+            if os.path.exists(os.path.join(vdir, "_SUCCESS")):
+                out.append(vdir)
+        return sorted(out)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
@@ -1712,25 +1731,18 @@ def incremental_neardup(
             )
             .persist()
         )
-        bands_new = (
-            portable_band_rows(sig)
-            .withColumn("bkt", _bucket_expr(F.col("bsig"), n_buckets))
-            .persist()
-        )
+        bands_new = portable_band_rows(sig).persist()
         try:
             new_ids = docs_new.select("doc_id")
             if docs_new.limit(1).count() == 0:
-                return  # empty batch: every bucket keeps its version
-            touched_band = {
-                r["bkt"] for r in bands_new.select("bkt").distinct().collect()
-            }
-            band_paths = bucket_latest_paths(
-                bands_dir, below=batch_id, buckets=touched_band | {-1}
-            )
-            _guard_full_layout(band_paths, bands_dir)
-            bands_old = _read_or_empty(
-                s, band_paths, "doc_id long, band int, bsig string"
-            )
+                return  # empty batch: every state version stands
+            band_paths = _band_version_paths(batch_id)
+            if band_paths:
+                bands_old = s.read.parquet(*band_paths)
+            else:
+                bands_old = s.createDataFrame(
+                    [], "doc_id long, band int, bsig string"
+                )
             # Candidates: old×new on the band key (exactly-once pair
             # discovery — the old member landed in an earlier batch) plus
             # new×new within the batch; normalized to doc_a < doc_b.
@@ -1781,13 +1793,21 @@ def incremental_neardup(
                 doc_paths = bucket_latest_paths(
                     docs_dir, below=batch_id, buckets=touched_doc | {-1}
                 )
-                _guard_full_layout(doc_paths, docs_dir)
-                docs_old = _read_or_empty(
-                    s,
-                    doc_paths,
-                    "doc_id long, lang string, source string, "
-                    "sh_set array<long>, n_sh int, dropped boolean",
-                ).persist()
+                if -1 in doc_paths:
+                    raise ValueError(
+                        f"incremental_neardup: {docs_dir} holds a "
+                        "pre-bucketing full-layout version — run "
+                        "migrate_state_to_bucketed into a fresh dir first"
+                    )
+                if doc_paths:
+                    docs_old = s.read.parquet(*sorted(doc_paths.values()))
+                else:
+                    docs_old = s.createDataFrame(
+                        [],
+                        "doc_id long, lang string, source string, "
+                        "sh_set array<long>, n_sh int, dropped boolean",
+                    )
+                docs_old = docs_old.persist()
                 try:
                     sets = docs_new.select(
                         "doc_id", "sh_set", "n_sh"
@@ -1836,17 +1856,15 @@ def incremental_neardup(
                         ).repartition(len(touched_doc), "bkt").write.mode(
                             "overwrite"
                         ).partitionBy("bkt").parquet(f"{docs_dir}/v{batch_id}")
-                        if touched_band:  # all-shingle-less batch: no bands
-                            merged_bands = bands_old.unionByName(
-                                bands_new.drop("bkt")
-                            )
-                            merged_bands.withColumn(
-                                "bkt", _bucket_expr(F.col("bsig"), n_buckets)
-                            ).repartition(len(touched_band), "bkt").write.mode(
-                                "overwrite"
-                            ).partitionBy("bkt").parquet(
-                                f"{bands_dir}/v{batch_id}"
-                            )
+                        # Append-only band version: ONLY this batch's
+                        # rows, one file, sorted by bsig (row-group
+                        # stats + future compaction merge — see
+                        # docstring).  An all-shingle-less batch writes
+                        # an empty (schema-carrying) version — harmless
+                        # and keeps the version listing uniform.
+                        bands_new.sort("bsig").coalesce(1).write.mode(
+                            "overwrite"
+                        ).parquet(f"{bands_dir}/v{batch_id}")
                     finally:
                         dropped.unpersist()
                 finally:
@@ -1858,7 +1876,6 @@ def incremental_neardup(
             docs_new.unpersist()
             bands_new.unpersist()
 
-    _claim_bucket_layout(bands_dir, "bsig", n_buckets)
     _claim_bucket_layout(docs_dir, "doc_id", n_buckets)
     q = (
         stream.writeStream.foreachBatch(upsert)
