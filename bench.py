@@ -176,6 +176,18 @@ def main() -> None:
         # double-count their measured costs (the q_graph_triangles
         # exclusion class).
         "q_text_quality_classifier",
+        # round 11, benched from birth: the chunk-level export capstone
+        # (curate → window cut → shuffled rank → prefix-sum blocks →
+        # manifest).  q_corpus_curation_clf is deliberately NOT benched:
+        # it composes two already-benched rows (q_corpus_curation's walk
+        # + q_text_quality_classifier's broadcast-join scoring) with one
+        # curated-sized join, so a wall row would re-measure the
+        # curation walk (the q_dedup_lsh_recall exclusion class).
+        # q_stream_neardup_docs_exec is NOT benched either: like the
+        # other foreachBatch execs its wall is the streaming harness;
+        # the per-batch cost claim is measured directly by
+        # tools/bench_state_ingest.py --neardup.
+        "q_export_chunks",
         # round 10 (late): q_graph_triangles is deliberately NOT benched —
         # its wall at sf0.1 is ~3.4 s of pair-stats derivation (the
         # flagship's settled residual, already measured by the

@@ -1691,24 +1691,6 @@ def incremental_neardup(
         .parquet(src_dir)
     )
 
-    def _band_version_paths(below: int) -> list[str]:
-        """Every COMPLETE (``_SUCCESS``) band version strictly below the
-        batch id — the append-only sibling of :func:`bucket_latest_paths`
-        (all versions matter: each holds different rows)."""
-        try:
-            names = os.listdir(bands_dir)
-        except OSError:
-            return []
-        out = []
-        for d in names:
-            v = _version_of(d)
-            if v is None or v >= below:
-                continue
-            vdir = os.path.join(bands_dir, d)
-            if os.path.exists(os.path.join(vdir, "_SUCCESS")):
-                out.append(vdir)
-        return sorted(out)
-
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
             on_batch(batch_id)
@@ -1734,11 +1716,51 @@ def incremental_neardup(
         bands_new = portable_band_rows(sig).persist()
         try:
             new_ids = docs_new.select("doc_id")
-            if docs_new.limit(1).count() == 0:
+            if docs_new.count() == 0:
                 return  # empty batch: every state version stands
-            band_paths = _band_version_paths(batch_id)
-            if band_paths:
-                bands_old = s.read.parquet(*band_paths)
+            # Materialize the persisted band rows BEFORE building the
+            # probe join: an unmaterialized persist reports the default
+            # (huge) sizeInBytes, so Catalyst shuffle-joined the whole
+            # band history against 800 rows — the solo ladder measured
+            # the per-batch wall growing 10.5 → 23.3 s across 40k→160k
+            # docs on exactly that exchange.  Materialized, the
+            # InMemoryRelation reports its true batch-sized footprint
+            # and the probe auto-broadcasts (with the built-in fallback
+            # for a giant backfill batch that genuinely shouldn't
+            # broadcast — no manual size dispatch needed).
+            bands_new.count()
+            plain_paths, compacted = band_state_paths(bands_dir, batch_id)
+            readers = []
+            if plain_paths:
+                readers.append(s.read.parquet(*plain_paths))
+            if compacted is not None:
+                # Pruned probe against the compacted tree: only the
+                # bsig buckets this batch's signatures hash into (the
+                # compaction's whole point — see compact_neardup_bands).
+                comp_b = _compacted_band_buckets(compacted)
+                touched = {
+                    r["b"]
+                    for r in bands_new.select(
+                        _bucket_expr(F.col("bsig"), comp_b).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                comp_paths = [
+                    p
+                    for b in sorted(touched)
+                    if os.path.isdir(p := os.path.join(compacted, f"bkt={b}"))
+                ]
+                if comp_paths:
+                    readers.append(
+                        s.read.parquet(*comp_paths).select(
+                            "doc_id", "band", "bsig"
+                        )
+                    )
+            if readers:
+                bands_old = readers[0]
+                for r in readers[1:]:
+                    bands_old = bands_old.unionByName(r)
             else:
                 bands_old = s.createDataFrame(
                     [], "doc_id long, band int, bsig string"
@@ -1884,3 +1906,159 @@ def incremental_neardup(
         .start()
     )
     q.awaitTermination()
+
+
+def band_state_paths(
+    bands_dir: str, below: int | None = None
+) -> tuple[list[str], str | None]:
+    """(plain append versions, compacted tree) of an append-only band
+    state — the append-only sibling of :func:`bucket_latest_paths`.
+    Plain = every COMPLETE (``_SUCCESS``) ``v{id}`` strictly below the
+    batch id (ALL versions matter: each holds different rows); the
+    compacted tree is the reserved ``v-1``
+    (:func:`compact_neardup_bands`), returned separately because it is
+    bsig-bucketed (``bkt=`` subdirs) and mixing its partitioned layout
+    into one multi-path read with plain files would fail partition
+    discovery — callers read its touched buckets individually."""
+    import os
+
+    try:
+        names = os.listdir(bands_dir)
+    except OSError:
+        return [], None
+    plain = []
+    compacted = None
+    for d in names:
+        v = _version_of(d)
+        if v is None:
+            continue
+        vdir = os.path.join(bands_dir, d)
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            continue
+        if v == -1:
+            compacted = vdir
+        elif below is None or v < below:
+            plain.append(vdir)
+    return sorted(plain), compacted
+
+
+def _compacted_band_buckets(compacted_dir: str) -> int:
+    """The bucket count a compacted band tree was written with — read
+    from its ``_bucket_layout`` marker (every probe must hash with the
+    WRITER's count or pruning reads the wrong buckets)."""
+    import json
+    import os
+
+    with open(os.path.join(compacted_dir, "_bucket_layout")) as fh:
+        return int(json.load(fh)["n_buckets"])
+
+
+def compact_neardup_bands(
+    spark: SparkSession,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 256,
+) -> str:
+    """Compact the near-dup fold's append-only band state: merge the
+    COMMITTED ``v{id}`` append files into the reserved ``v-1``,
+    partitioned by ``bkt = pmod(xxhash64(bsig), n_buckets)`` with one
+    file per bucket — the 100 TB pruning path
+    :func:`incremental_neardup`'s docstring promises: after compaction a
+    probe reads only the buckets its ~8·batch signatures hash into
+    (O(batch·bucket_size)) plus the small uncompacted tail, instead of
+    scanning the whole band history.  The ``compact_ivf_index``
+    discipline throughout:
+
+    - **Only COMMITTED versions merge into the RESERVED id −1.**  A
+      ``v{id}`` can be complete-but-uncommitted (crash between the
+      write and the checkpoint commit); Structured Streaming replays
+      that id and the upsert's overwrite of ``v{id}`` is the idempotence
+      mechanism — consolidated rows must never live under a replayable
+      id.  Committed = the integer entries of ``{checkpoint}/commits``;
+      with no readable log the newest version is conservatively left
+      out.  A prior ``v-1`` always re-merges.
+    - **Crash-safe write-then-atomic-swap** with a roll-forward marker
+      (recovery preamble below), then the merged plain versions are
+      deleted.  A crash BETWEEN the ``v-1`` publish and the deletions
+      leaves duplicate band rows (``v-1`` ∪ merged ``v{id}``) — benign:
+      the probe's candidate set is ``distinct`` and the next compaction
+      re-merges with ``.distinct()``, healing the state.
+    - **Maintenance window**: run with the ingest stopped, like every
+      table-maintenance job (OPTIMIZE / rewrite_data_files on a
+      lakehouse).
+
+    Choose ``n_buckets`` so a bucket holds ~0.5–2k rows at the current
+    corpus (the bench_state_ingest sizing rule); the count is recorded
+    in ``v-1/_bucket_layout`` and probes read it from there, so
+    RE-compacting with a different count is always safe.  Returns the
+    compacted dir path."""
+    import json
+    import os
+    import shutil
+
+    bands_dir = f"{state_dir}/bands"
+    target = os.path.join(bands_dir, "v-1")
+    staging = f"{target}.compact_staging"
+    marker = "_COMPACT_PUBLISH_READY"
+    # Recovery preamble: a prior compaction that died mid-swap left
+    # either a publish-ready staging (roll FORWARD) or a displaced old
+    # tree (roll BACK — v-1 is only ever REPLACED, never absent unless a
+    # swap was interrupted).
+    displaced = f"{target}.displaced"
+    if not os.path.exists(target):
+        if os.path.exists(os.path.join(staging, marker)):
+            os.rename(staging, target)
+        elif os.path.exists(displaced):
+            os.rename(displaced, target)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(displaced, ignore_errors=True)
+
+    plain, compacted = band_state_paths(bands_dir)
+    if checkpoint_dir is None:
+        checkpoint_dir = f"{state_dir}/_checkpoint"
+    committed: set[int] | None = None
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    if os.path.isdir(commits_dir):
+        committed = {
+            int(f) for f in os.listdir(commits_dir) if f.lstrip("-").isdigit()
+        }
+    ids = sorted(int(os.path.basename(p)[1:]) for p in plain)
+    if committed is not None:
+        mergeable = [v for v in ids if v in committed]
+    else:
+        mergeable = ids[:-1]  # newest may be uncommitted: leave it out
+    if not mergeable and compacted is None:
+        return target  # nothing to do
+    sources = [os.path.join(bands_dir, f"v{v}") for v in mergeable]
+    readers = []
+    if sources:
+        readers.append(spark.read.parquet(*sources))
+    if compacted is not None:
+        readers.append(
+            spark.read.parquet(compacted).select("doc_id", "band", "bsig")
+        )
+    merged = readers[0]
+    for r in readers[1:]:
+        merged = merged.unionByName(r)
+    # .distinct(): heals the duplicate-rows window a crash between
+    # publish and deletion can leave (docstring).
+    (
+        merged.distinct()
+        .withColumn("bkt", _bucket_expr(F.col("bsig"), n_buckets))
+        .repartition(F.col("bkt"))
+        .sortWithinPartitions("bsig")
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, "_bucket_layout"), "w") as fh:
+        json.dump({"key": "bsig", "n_buckets": n_buckets}, fh)
+    with open(os.path.join(staging, marker), "w") as fh:
+        fh.write("")
+    if os.path.exists(target):
+        os.rename(target, displaced)
+    os.rename(staging, target)
+    shutil.rmtree(displaced, ignore_errors=True)
+    for p in sources:
+        shutil.rmtree(p, ignore_errors=True)
+    return target

@@ -417,3 +417,85 @@ def test_neardup_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
     write_doc_chunks(spark, smoke_dir, src1, n_chunks=1)
     incremental_neardup(spark, src1, st1)
     assert keepers(st1) == resumed
+
+
+def test_neardup_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path):
+    """The band-state lifecycle closed (round 11): drain half the corpus
+    (doc_id % 2 == 0) in 3 micro-batches, COMPACT the append-only band
+    versions into the bsig-bucketed reserved v-1, then land the other
+    half as 2 more chunks and RESUME the same stream — the resumed
+    batches must probe the compacted tree (pruned bucket reads) AND the
+    uncompacted tail, and the final keeper set must equal the one-shot
+    batch answer over the full corpus.  Also pins compaction idempotence
+    (re-compacting after the resume merges the new appends in) and that
+    merged plain versions are gone."""
+    from pyspark.sql import functions as F  # noqa: F811 (test-local alias)
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        portable_band_rows,
+        portable_minhash_sig,
+        portable_verify_pairs,
+    )
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        _write_keyed_chunks,
+        band_state_paths,
+        compact_neardup_bands,
+        incremental_neardup,
+        read_bucketed_state,
+    )
+
+    src = str(tmp_path / "docs_src")
+    state = str(tmp_path / "state")
+    docs = load_table(spark, smoke_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    _write_keyed_chunks(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", src, 3
+    )
+    incremental_neardup(spark, src, state)
+
+    compact_neardup_bands(spark, state, n_buckets=16)
+    plain, compacted = band_state_paths(f"{state}/bands")
+    assert compacted is not None and compacted.endswith("v-1")
+    assert plain == [], f"merged plain versions not cleaned: {plain}"
+
+    # Resume: the other half lands as 2 later chunks in the SAME src dir
+    # (later mtimes), and the stream continues off its checkpoint.
+    _write_keyed_chunks(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", src, 2
+    )
+    incremental_neardup(spark, src, state)
+
+    final = read_bucketed_state(spark, f"{state}/docs")
+    resumed = _multiset(
+        final.where(~F.col("dropped")).select("doc_id", "lang", "source")
+    )
+
+    sig = portable_minhash_sig(docs.select("doc_id", "text"))
+    bands = portable_band_rows(sig)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = portable_verify_pairs(cand, sig.select("doc_id", "sh_set", "n_sh"))
+    oneshot = _multiset(
+        docs.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id", "lang", "source")
+    )
+    assert resumed == oneshot
+
+    # Re-compaction folds the resumed appends in and stays readable.
+    compact_neardup_bands(spark, state, n_buckets=16)
+    plain2, compacted2 = band_state_paths(f"{state}/bands")
+    assert compacted2 is not None and plain2 == []

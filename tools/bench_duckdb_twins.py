@@ -161,6 +161,10 @@ def main() -> None:
             "q_graph_triangles",
             # round 10 (this session): hashed-feature quality classifier
             "q_text_quality_classifier",
+            # round 11: the chunk-level export capstone (twin = curation
+            # CTEs + chunk cut + the two global windows the engine
+            # replaces with bucket-parallel scans)
+            "q_export_chunks",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN

@@ -28,6 +28,12 @@ Usage: python tools/bench_state_ingest.py            (default ladder)
            (same ladder over incremental_doc_dedup: seed = S distinct
            documents, then 100-doc chunks half duplicate / half novel —
            the ingestion gate's real mix; key = md5(text))
+       python tools/bench_state_ingest.py --neardup 40000:512 ...
+           (incremental_neardup: seed = S distinct ~40-token documents,
+           then 100-doc chunks half NEAR-dup / half novel; two shapes —
+           append-only band history scanned per probe vs the same state
+           COMPACTED after the seed (compact_neardup_bands), the
+           production cadence whose per-batch wall stays flat in S)
 """
 
 from __future__ import annotations
@@ -51,10 +57,6 @@ RUNGS = [(400_000, 256), (1_600_000, 1024), (6_400_000, 4096)]
 # seed batch pays the full 32-member minhash derivation over S docs.
 # 16× growth across the ladder still answers the flatness question.
 NEARDUP_RUNGS = [(10_000, 128), (40_000, 512), (160_000, 2048)]
-# full-rewrite (n_buckets=1) comparison cap for --neardup: rewriting a
-# state that carries per-doc shingle sets is minutes per batch past
-# this S — the growth shape is established on the smaller rungs.
-NEARDUP_FULL_REWRITE_MAX = 40_000
 N_SMALL = 6
 BATCH_ITEMS = 100
 
@@ -162,10 +164,17 @@ def build_doc_source(src: str, s_docs: int) -> None:
 
 
 def _neardup_text(content_id: int) -> str:
-    """~40-token text as a pure function of the content id; near-dup
+    """40-token text as a pure function of the content id; near-dup
     variants (see build_neardup_source) share all but the last token —
-    3-shingle Jaccard ≈ 0.92, comfortably over the 0.8 gate."""
-    return " ".join(f"w{(content_id * 31 + j) % 50_000}" for j in range(40))
+    3-shingle Jaccard = 36/40, comfortably over the 0.8 gate.  Tokens
+    are UNIQUE per content (w{c}x{j}) so distinct contents share no
+    shingle: the only candidate pairs are the PLANTED near-dups, and
+    per-batch candidate work stays constant as S grows.  The first
+    formulation (w{(c·31+j) % 50000}) let contents in the same residue
+    class share shifted 39-token runs — genuine accidental near-dups
+    whose count grew with S, so the rung measured candidate volume, not
+    state machinery (a 100-doc batch touched 2005 of 2048 doc buckets)."""
+    return " ".join(f"w{content_id}x{j}" for j in range(40))
 
 
 def _write_neardup_chunk(
@@ -183,19 +192,25 @@ def _write_neardup_chunk(
     os.utime(path, (mtime, mtime))
 
 
-def build_neardup_source(src: str, s_docs: int) -> None:
+def build_neardup_source(src: str, s_docs: int, part: str = "all") -> None:
     """Seed chunk of S distinct documents, then N_SMALL 100-doc chunks:
     half NEAR-duplicates of seed content (same 40 tokens, last one
-    changed — these must die at the gate via a band-bucket probe of the
-    accumulated state), half novel."""
-    os.makedirs(src)
+    changed — these must die at the gate via a probe of the accumulated
+    state), half novel.  ``part``: "all" writes both; "seed"/"small"
+    write one side into the dir (small with later mtimes) — the
+    compacted shape stages the seed alone, drains, compacts, THEN lands
+    the small chunks (the production maintenance cadence)."""
+    os.makedirs(src, exist_ok=True)
     t0 = time.time()
-    _write_neardup_chunk(
-        f"{src}/chunk00.parquet",
-        np.arange(s_docs),
-        [_neardup_text(c) for c in range(s_docs)],
-        t0,
-    )
+    if part in ("all", "seed"):
+        _write_neardup_chunk(
+            f"{src}/chunk00.parquet",
+            np.arange(s_docs),
+            [_neardup_text(c) for c in range(s_docs)],
+            t0,
+        )
+    if part == "seed":
+        return
     half = BATCH_ITEMS // 2
     for i in range(N_SMALL):
         dup = (7919 * (i + 1) + 104729 * np.arange(half)) % s_docs
@@ -210,6 +225,69 @@ def build_neardup_source(src: str, s_docs: int) -> None:
             texts,
             t0 + i + 1,
         )
+
+
+def _batch_durations(stamps: list, end: float) -> dict:
+    return {
+        bid: (stamps[i + 1][1] if i + 1 < len(stamps) else end) - t
+        for i, (bid, t) in enumerate(stamps)
+    }
+
+
+def run_neardup_shape(
+    spark, base: str, s_docs: int, n_buckets: int, compact: bool
+) -> tuple:
+    """One near-dup rung shape.  ``compact=False``: drain seed + small
+    chunks in one stream (per-batch probes scan the growing append-only
+    band history).  ``compact=True``: drain the seed, run
+    compact_neardup_bands (band buckets sized so a bucket holds ~1k
+    rows), then land the small chunks and resume — per-batch probes
+    read only the touched compacted buckets + the small uncompacted
+    tail, the production cadence whose per-batch wall should be FLAT
+    in S."""
+    import shutil as _shutil
+
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        compact_neardup_bands,
+        incremental_neardup,
+    )
+
+    label = "compacted" if compact else "appendonly"
+    src = f"{base}/src_{label}"
+    state = f"{base}/state_{label}"
+    stamps: list = []
+    on_batch = lambda bid: stamps.append((bid, time.monotonic()))  # noqa: E731
+    if compact:
+        build_neardup_source(src, s_docs, part="seed")
+        incremental_neardup(spark, src, state, on_batch=on_batch, n_buckets=n_buckets)
+        seed_end = time.monotonic()
+        t0 = time.monotonic()
+        band_buckets = max(64, (s_docs * 8) // 1000)
+        compact_neardup_bands(spark, state, n_buckets=band_buckets)
+        compact_sec = time.monotonic() - t0
+        build_neardup_source(src, s_docs, part="small")
+        incremental_neardup(spark, src, state, on_batch=on_batch, n_buckets=n_buckets)
+        durs = _batch_durations(stamps, time.monotonic())
+        if 0 in durs:  # the seed's duration ends at its own drain
+            durs[0] = seed_end - dict(stamps)[0]
+    else:
+        build_neardup_source(src, s_docs, part="all")
+        incremental_neardup(spark, src, state, on_batch=on_batch, n_buckets=n_buckets)
+        durs = _batch_durations(stamps, time.monotonic())
+        compact_sec = None
+    _shutil.rmtree(src, ignore_errors=True)
+    small = sorted(d for bid, d in durs.items() if bid >= 1)
+    out = {
+        "n_batches": len(durs),
+        "seed_batch_sec": round(durs.get(0, float("nan")), 3),
+        "small_batch_med_sec": round(small[len(small) // 2], 3),
+        "small_batch_sec": [round(d, 3) for d in small],
+        "n_buckets": n_buckets,
+    }
+    if compact_sec is not None:
+        out["compact_sec"] = round(compact_sec, 3)
+        out["band_buckets"] = band_buckets
+    return out, state
 
 
 def run_shape(
@@ -288,24 +366,28 @@ def main() -> None:
         base = tempfile.mkdtemp(prefix=f"state_ingest_{s_items}_")
         try:
             src = f"{base}/src"
-            if mode == "stats":
-                build_source(src, s_items)
-            elif mode == "scd2":
-                build_event_source(src, s_items)
-            elif mode == "neardup":
-                build_neardup_source(src, s_items)
-            else:
-                build_doc_source(src, s_items)
             out: dict[str, dict] = {"mode": mode}
             states = {}
-            shapes = [("bucketed", n_buckets), ("full_rewrite", 1)]
-            if mode == "neardup" and s_items > NEARDUP_FULL_REWRITE_MAX:
-                shapes = shapes[:1]  # see NEARDUP_FULL_REWRITE_MAX note
-            for label, nb in shapes:
-                state = f"{base}/state_{label}"
-                out[label] = run_shape(spark, src, state, nb, mode)
-                out[label]["n_buckets"] = nb
-                states[label] = state
+            if mode == "neardup":
+                # Two shapes, both append-only bands: with and without
+                # the mid-stream compaction (the production cadence).
+                for compact in (False, True):
+                    label = "compacted" if compact else "appendonly"
+                    out[label], states[label] = run_neardup_shape(
+                        spark, base, s_items, n_buckets, compact
+                    )
+            else:
+                if mode == "stats":
+                    build_source(src, s_items)
+                elif mode == "scd2":
+                    build_event_source(src, s_items)
+                else:
+                    build_doc_source(src, s_items)
+                for label, nb in (("bucketed", n_buckets), ("full_rewrite", 1)):
+                    state = f"{base}/state_{label}"
+                    out[label] = run_shape(spark, src, state, nb, mode)
+                    out[label]["n_buckets"] = nb
+                    states[label] = state
 
             def _state_rows(state: str):
                 sub = f"{state}/docs" if mode == "neardup" else state
@@ -316,9 +398,10 @@ def main() -> None:
                     df = df.select("doc_id", "lang", "source", "dropped")
                 return sorted(map(tuple, df.collect()))
 
-            rows_a = _state_rows(states["bucketed"])
-            if "full_rewrite" in states:
-                rows_b = _state_rows(states["full_rewrite"])
+            labels = list(states)
+            rows_a = _state_rows(states[labels[0]])
+            if len(labels) > 1:
+                rows_b = _state_rows(states[labels[1]])
                 out["end_state_identical"] = rows_a == rows_b
             out["state_rows"] = len(rows_a)
             results[str(s_items)] = out
