@@ -256,6 +256,8 @@ def main() -> None:
         "q_dedup_semantic": 17.876,
         "q_text_chunks": 0.213,
         "q_text_quality_classifier": 0.130,
+        # round-11 twin (same contract; BASELINE.md round-11 table)
+        "q_export_chunks": 12.066,
     }
     to_run = [q for q in headline if q in registry.QUERIES]
 
