@@ -233,6 +233,19 @@ ENTRIES = [
         "run over <=256-row bucket metadata.",
     ),
     (
+        "q_export_chunks",
+        "Chunk-level export (round 11): the window cut is scan-side — "
+        "split + transform + explode inside the curated corpus's scan "
+        "stage, ZERO exchanges added by chunking — and the downstream "
+        "is the capstone algebra: the chunk relation's seeded-hash "
+        "two_phase_rank (256 prefix buckets ranked in parallel, "
+        "metadata-sized offset window broadcast back) feeding the "
+        "rank-keyed distributed prefix sum; the only corpus-scale "
+        "exchanges are the rank/prefix bucket shuffles the base export "
+        "already pays.  The oracle's two global ORDER BY windows (the "
+        "single-reducer shape) never appear.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
