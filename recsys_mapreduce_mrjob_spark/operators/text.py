@@ -12,7 +12,7 @@ any other groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import (
@@ -369,7 +369,7 @@ _CURATION_NEAR_CTES = f"""{_CURATION_NEAR_PAIR_CTES},
 # the `curated` CTE.
 _CURATION_CTES = f"""{_CURATION_NEAR_CTES},
 {_TOKS_CTE},
-{_langid_cte().strip().rstrip()},
+{_langid_cte().strip()},
 per_doc AS (
     SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
     FROM toks GROUP BY doc_id
@@ -994,26 +994,69 @@ def q_text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_text_contamination",
-    oracle="""
-WITH toklists AS (
+# Benchmark set = doc_id < _CONTAM_BENCH_MAX stands in for the held-out
+# eval set throughout the contamination rung (detector AND curation gate).
+_CONTAM_BENCH_MAX = 10
+
+
+def _contam_ctes(p: str = "") -> str:
+    """The 5-gram contamination CTE chain, prefixable so it composes
+    into the curation oracle without clashing with _CURATION_CTES'
+    relation names (the _clf_ctes discipline).  Ends at ``{p}hits``
+    (corpus docs sharing ≥1 benchmark 5-shingle, with the shared count)
+    and ``{p}sizes`` (per-doc distinct-shingle counts)."""
+    return f"""{p}toklists AS (
     SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
-idx AS (
-    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toklists
+{p}idx AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+    FROM {p}toklists
 ),
-sh AS (
-    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s FROM idx
+{p}sh AS (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s FROM {p}idx
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 10),
-hits AS (
+{p}sizes AS (SELECT doc_id, count(*) AS n_sh FROM {p}sh GROUP BY doc_id),
+{p}bench AS (
+    SELECT DISTINCT s FROM {p}sh WHERE doc_id < {_CONTAM_BENCH_MAX}
+),
+{p}hits AS (
     SELECT c.doc_id, count(*) AS n_shared
-    FROM sh c JOIN bench b ON c.s = b.s
-    WHERE c.doc_id >= 10
+    FROM {p}sh c JOIN {p}bench b ON c.s = b.s
+    WHERE c.doc_id >= {_CONTAM_BENCH_MAX}
     GROUP BY c.doc_id
-)
+)"""
+
+
+def _contam_hits(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of :func:`_contam_ctes`: (hits, sizes) — the shared
+    detector both the standalone report and the curation gate consume.
+    The benchmark shingle set is benchmark-sized and broadcasts; the
+    corpus side is one distinct-shingle scan + broadcast equi-join +
+    per-doc count (no corpus×benchmark pair space)."""
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    bench = F.broadcast(
+        sh.where(F.col("doc_id") < _CONTAM_BENCH_MAX).select("s").distinct()
+    )
+    hits = (
+        sh.where(F.col("doc_id") >= _CONTAM_BENCH_MAX)
+        .join(bench, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits, sizes
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+WITH {_contam_ctes()}
 SELECT h.doc_id, h.n_shared,
        round(h.n_shared / CAST(z.n_sh AS DOUBLE), 6) + 0.0 AS contamination
 FROM hits h JOIN sizes z USING (doc_id)
@@ -1032,21 +1075,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast equi-join + per-doc count — no corpus×benchmark pair space,
     no shuffle beyond the per-doc aggregate.
     """
-    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    bench = F.broadcast(
-        sh.where(F.col("doc_id") < 10).select("s").distinct()
-    )
-    hits = (
-        sh.where(F.col("doc_id") >= 10)
-        .join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    hits, sizes = _contam_hits(spark, sf_dir)
     return (
         hits.join(sizes, "doc_id")
         .select(
@@ -1712,6 +1741,185 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII-redacting rewrite (round 12, VERDICT r11 "what's missing" #2) — the
+# step between detection and release: emit the REDACTED text, not just the
+# audit.  The synthetic corpus is PII-clean by construction, so the graded
+# positive path comes from a deterministic INJECTION both engines compute
+# identically (suffix one PII literal per doc, rule chosen by doc_id % 3);
+# the rewrite then applies the pinned-order redaction chain and the graded
+# relation carries, per doc, the staged match counts, the exact char/token
+# conservation numbers, and md5(redacted) — byte-level cross-engine
+# equality of the rewritten text without hauling the text itself.
+#
+# Conservation law (pinned in tests/test_span_rewrite.py): every PII_RULES
+# pattern is whitespace-free, so each match lies WITHIN one whitespace
+# token and its tag replaces a span inside that token —
+#   n_tokens_out  == n_tokens_in                       (token count holds)
+#   chars_out     == chars_in − chars_matched + Σ_rule n_rule · len(tag)
+# with chars_matched measured stage-by-stage (len before − len after
+# replace-with-empty, in the same rule order the chain applies), so the
+# books balance exactly even if an earlier rule's tag abuts a later
+# rule's match.
+# ---------------------------------------------------------------------------
+
+
+def _pii_inject_sql() -> str:
+    """The deterministic PII injection, SQL side: one literal appended
+    per doc, rule cycling with doc_id % 3 (email / in-range IPv4 /
+    phone).  All components derive from doc_id, so both engines build
+    the identical byte string."""
+    return (
+        "CASE WHEN doc_id % 3 = 0 THEN"
+        " text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " WHEN doc_id % 3 = 1 THEN"
+        " text || ' host 10.20.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.' || CAST(doc_id % 250 AS VARCHAR)"
+        " ELSE text || ' call 555-123-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END"
+    )
+
+
+def _pii_inject_col() -> Column:
+    """Spark twin of :func:`_pii_inject_sql`."""
+    did = F.col("doc_id")
+    return (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" host 10.20."),
+                (did % 200).cast("string"),
+                F.lit("."),
+                (did % 250).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            )
+        )
+    )
+
+
+def _pii_redact_oracle() -> str:
+    """Staged redaction oracle: one CTE per rule, each counting matches
+    and matched chars on ITS OWN input (the previous stage's output) so
+    the conservation columns mirror the chain exactly.  Assembled by
+    concatenation over PII_RULES — single source with the Spark side."""
+    ctes = [
+        "inj0 AS (\n"
+        f"    SELECT doc_id, {_pii_inject_sql()} AS t0 FROM documents\n"
+        ")",
+        "inj AS (\n"
+        "    SELECT doc_id, t0, length(t0) AS c_in,\n"
+        "           len(string_split(t0, ' ')) AS tok_in\n"
+        "    FROM inj0\n"
+        ")",
+    ]
+    prev = "t0"
+    prev_cte = "inj"
+    carried: list[str] = ["c_in", "tok_in"]
+    for i, (name, pattern, tag) in enumerate(PII_RULES):
+        nxt = f"t{i + 1}"
+        cols = ", ".join(["doc_id"] + carried)
+        ctes.append(
+            f"s{i} AS (\n"
+            f"    SELECT {cols},\n"
+            f"           CAST(len(regexp_extract_all({prev}, '{pattern}'))"
+            f" AS BIGINT) AS {name},\n"
+            f"           CAST(length({prev}) - length(regexp_replace({prev},"
+            f" '{pattern}', '', 'g')) AS BIGINT) AS matched_{name},\n"
+            f"           regexp_replace({prev}, '{pattern}', '{tag}', 'g')"
+            f" AS {nxt}\n"
+            f"    FROM {prev_cte}\n"
+            ")"
+        )
+        carried += [name, f"matched_{name}"]
+        prev = nxt
+        prev_cte = f"s{i}"
+    names = [name for name, _, _ in PII_RULES]
+    matched_sum = " + ".join(f"matched_{n}" for n in names)
+    sel_counts = ",\n       ".join(names)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       {sel_counts},
+       CAST(c_in AS BIGINT) AS chars_in,
+       CAST(length({prev}) AS BIGINT) AS chars_out,
+       CAST({matched_sum} AS BIGINT) AS chars_matched,
+       CAST(tok_in AS BIGINT) AS n_tokens_in,
+       CAST(len(string_split({prev}, ' ')) AS BIGINT) AS n_tokens_out,
+       md5({prev}) AS redacted_md5
+FROM {prev_cte}
+"""
+    )
+
+
+@register("q_text_pii_redact", oracle=_pii_redact_oracle())
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-REDACTING rewrite — detection's release-side counterpart
+    (module note above): apply the ordered ``PII_RULES`` redaction chain
+    to the (deterministically injected) corpus and emit, per doc, the
+    staged match counts, the exact char/token conservation numbers, and
+    ``md5(redacted)`` so the grade proves byte-identical rewritten text
+    cross-engine.  The injection exists because the synthetic corpus is
+    PII-clean; a real corpus drops it and the chain is unchanged — the
+    redacted column is exactly what the export capstones would write.
+
+    Scale shape: one scan-side projection per doc (regexp count/measure/
+    replace, all JVM whole-stage codegen, zero joins, zero shuffles —
+    the graded relation is the scan itself), identical to ``q_text_pii``
+    plus the conservation arithmetic.  The staged form costs each
+    pattern one extra pass over the (already in-register) string —
+    constant per byte, embarrassingly parallel at 100 TB."""
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    cur = docs.select("doc_id", _pii_inject_col().alias("t"))
+    cur = cur.withColumn("chars_in", F.length("t").cast("long")).withColumn(
+        "n_tokens_in", F.size(F.split(F.col("t"), " ")).cast("long")
+    )
+    for name, pattern, tag in PII_RULES:
+        cur = (
+            cur.withColumn(name, F.regexp_count(F.col("t"), F.lit(pattern)).cast("long"))
+            .withColumn(
+                f"matched_{name}",
+                (
+                    F.length("t")
+                    - F.length(F.regexp_replace(F.col("t"), pattern, ""))
+                ).cast("long"),
+            )
+            .withColumn("t", F.regexp_replace(F.col("t"), pattern, tag))
+        )
+    names = [name for name, _, _ in PII_RULES]
+    chars_matched = None
+    for n in names:
+        c = F.col(f"matched_{n}")
+        chars_matched = c if chars_matched is None else chars_matched + c
+    return cur.select(
+        "doc_id",
+        *names,
+        "chars_in",
+        F.length("t").cast("long").alias("chars_out"),
+        chars_matched.cast("long").alias("chars_matched"),
+        "n_tokens_in",
+        F.size(F.split(F.col("t"), " ")).cast("long").alias("n_tokens_out"),
+        F.md5("t").alias("redacted_md5"),
+    )
+
+
 # Tail of the export oracle.  Only THIS fragment passes through .format()
 # — _CURATION_CTES is concatenated in afterwards, never formatted, so a
 # future bounded-repeat regex in the curation chain (like the {2,} the
@@ -2204,6 +2412,98 @@ def q_corpus_curation_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontaminated curation (round 12, VERDICT r11 "what's missing" #1):
+# every real corpus release decontaminates BEFORE export — docs sharing
+# 5-gram shingles with the held-out benchmark set leak eval answers into
+# training data.  The gate composes like the classifier gate did: the
+# independently-graded detector (q_text_contamination's hits relation)
+# threads against the memo-shared curated relation, and the audit
+# reports, per language, what shipped and what the gate held back
+# (contaminated drops + the eval set itself, which a release also
+# excludes).  Both sides are exact (integer counts/sums + the curation
+# chain's pinned rounding), so the chained oracle grades the
+# composition exactly.
+_CURATION_DECON_ORACLE = (
+    "\nWITH RECURSIVE "
+    + _CURATION_CTES
+    + ",\n"
+    + _contam_ctes("dc_")
+    + f""",
+decon_tagged AS (
+    SELECT c.lang_pred, c.n_tokens, c.quality,
+           CASE WHEN c.doc_id < {_CONTAM_BENCH_MAX} THEN 'eval'
+                WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'kept' END AS status
+    FROM curated c LEFT JOIN dc_hits h ON c.doc_id = h.doc_id
+)
+SELECT lang_pred,
+       CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs,
+       CAST(sum(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS total_tokens,
+       round(avg(CASE WHEN status = 'kept' THEN quality END), 6) + 0.0
+           AS avg_quality,
+       CAST(sum(CASE WHEN status = 'contaminated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_contam,
+       CAST(sum(CASE WHEN status = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eval_held_out
+FROM decon_tagged
+GROUP BY lang_pred
+"""
+)
+
+
+@register("q_corpus_curation_decon", oracle=_CURATION_DECON_ORACLE)
+def q_corpus_curation_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with benchmark DECONTAMINATION composed in — the release
+    gate between the curated corpus and the export capstones: drop every
+    curated doc sharing a 5-token shingle with the held-out benchmark
+    set (``q_text_contamination``'s verdict), and hold out the benchmark
+    docs themselves.  Emits the per-language release audit: docs/tokens/
+    quality actually shipping, plus what the gate removed
+    (``n_dropped_contam``) and what was never eligible
+    (``n_eval_held_out``) — the accounting a corpus release logs next to
+    its manifest.
+
+    Composition discipline (the classifier-gate pattern): the curated
+    relation is the memo-shared :func:`curated_docs` every capstone
+    consumes, and the gate is exactly the detector's hit relation — two
+    independently driver-graded primitives, chained, so a gate-semantics
+    drift breaks a graded oracle rather than silently shipping leaks.
+
+    Scale shape: the detector adds one distinct-shingle corpus scan with
+    the benchmark-sized shingle set BROADCAST (no corpus×benchmark pair
+    space) and a per-doc count; the gate itself is a curated-sized LEFT
+    join against the hits relation (hit-sized, typically tiny) — no new
+    corpus-sized shuffle beyond the detector's own per-doc aggregate."""
+    curated = curated_docs(spark, sf_dir)
+    hits, _ = _contam_hits(spark, sf_dir)
+    tagged = curated.join(
+        hits.select("doc_id", F.lit(1).alias("__hit")), "doc_id", "left"
+    ).withColumn(
+        "status",
+        F.when(F.col("doc_id") < _CONTAM_BENCH_MAX, "eval")
+        .when(F.col("__hit").isNotNull(), "contaminated")
+        .otherwise("kept"),
+    )
+    kept = F.col("status") == "kept"
+    return tagged.groupBy("lang_pred").agg(
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("total_tokens"),
+        (F.round(F.avg(F.when(kept, F.col("quality"))), 6) + F.lit(0.0)).alias(
+            "avg_quality"
+        ),
+        F.sum(F.when(F.col("status") == "contaminated", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_contam"),
+        F.sum(F.when(F.col("status") == "eval", 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval_held_out"),
+    )
+
+
 # Chunk-level export (round 11, VERDICT r10 "what's missing" #3: the
 # chunker emitted training windows nothing downstream consumed).  The
 # export capstone algebra — seeded deterministic shuffle → two-phase
@@ -2217,6 +2517,31 @@ _EXPORT_SHARD_CHUNKS = 200
 # (docs under ~12.6M tokens at stride 192) and doc_id < 2^47; both
 # engines compute it in BIGINT.
 _CHUNK_CID_MULT = 1 << 16
+
+
+def chunk_cid(doc_id: Column, chunk_id: Column) -> Column:
+    """The packed per-chunk key, with its collision-free precondition
+    enforced at runtime (ADVICE r11): a doc longer than ~12.6M tokens
+    would wrap ``chunk_id`` past 2^16 and silently collide cids —
+    violating two_phase_rank's unique-key contract and making the md5
+    tie-break (cid equal ⇒ hash equal) nondeterministic across engines.
+    Fail loudly instead; the oracle needs no twin because a firing
+    guard aborts the job rather than skewing compared values."""
+    return F.when(
+        chunk_id < F.lit(_CHUNK_CID_MULT),
+        doc_id * _CHUNK_CID_MULT + chunk_id,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "chunk_cid: chunk_id >= 2^16 breaks cid packing "
+                    "(doc_id="
+                ),
+                doc_id.cast("string"),
+                F.lit(") — widen _CHUNK_CID_MULT"),
+            )
+        )
+    )
 
 _EXPORT_CHUNKS_ORACLE_TAIL = """,
 ch_dt AS (
@@ -2308,9 +2633,7 @@ def q_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunks = chunk_exploded(docs).select(
             "doc_id",
             F.size("ct").cast("long").alias("n_tokens"),
-            (F.col("doc_id") * _CHUNK_CID_MULT + F.col("chunk_id")).alias(
-                "cid"
-            ),
+            chunk_cid(F.col("doc_id"), F.col("chunk_id")).alias("cid"),
         )
         hashed = seeded_shuffle_key(chunks, key="cid")
         return two_phase_rank(

@@ -1312,6 +1312,7 @@ def compact_ivf_index(
     if not os.path.exists(index_path):
         if os.path.exists(os.path.join(staging, marker)):
             os.rename(staging, index_path)  # roll forward
+            os.remove(os.path.join(index_path, marker))
         elif os.path.exists(displaced):
             os.rename(displaced, index_path)  # roll back
         else:
@@ -1373,6 +1374,9 @@ def compact_ivf_index(
         fh.write("")
     os.rename(index_path, displaced)
     os.rename(staging, index_path)
+    # Same hygiene as compact_neardup_bands (ADVICE r11): the publish
+    # marker is staging recovery metadata, not published state.
+    os.remove(os.path.join(index_path, marker))
     shutil.rmtree(displaced, ignore_errors=True)
     return index_path
 
@@ -2008,6 +2012,9 @@ def compact_neardup_bands(
     if not os.path.exists(target):
         if os.path.exists(os.path.join(staging, marker)):
             os.rename(staging, target)
+            # The marker is staging-tree recovery metadata; published
+            # state carries only _SUCCESS + _bucket_layout (ADVICE r11).
+            os.remove(os.path.join(target, marker))
         elif os.path.exists(displaced):
             os.rename(displaced, target)
     shutil.rmtree(staging, ignore_errors=True)
@@ -2058,6 +2065,12 @@ def compact_neardup_bands(
     if os.path.exists(target):
         os.rename(target, displaced)
     os.rename(staging, target)
+    # Drop the roll-forward marker from the published tree: it exists to
+    # mark a COMPLETE staging dir for crash recovery, and leaving it
+    # inside the live v-1 plants stale recovery metadata in published
+    # state (ADVICE r11).  Spark reads ignore underscore files, so this
+    # is hygiene, not correctness.
+    os.remove(os.path.join(target, marker))
     shutil.rmtree(displaced, ignore_errors=True)
     for p in sources:
         shutil.rmtree(p, ignore_errors=True)

@@ -299,3 +299,58 @@ def test_export_chunks_token_conservation(spark):
         r.n_chunks > 0 and 0 < r.n_docs <= r.n_chunks and r.shard_tokens > 0
         for r in manifest
     )
+
+
+def test_chunk_cid_guard_fires_on_overflow(spark):
+    """The cid packing's precondition is ENFORCED, not assumed (ADVICE
+    r11): a chunk_id at/over 2^16 — a doc past ~12.6M tokens — must
+    abort the export loudly instead of silently colliding cids (which
+    would break two_phase_rank's unique-key contract and the md5
+    tie-break's determinism).  In-range ids pack exactly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.text import (
+        _CHUNK_CID_MULT,
+        chunk_cid,
+    )
+
+    ok = spark.createDataFrame(
+        [(7, 0), (7, _CHUNK_CID_MULT - 1)], "doc_id long, chunk_id long"
+    )
+    got = {
+        r.cid
+        for r in ok.select(
+            chunk_cid(F.col("doc_id"), F.col("chunk_id")).alias("cid")
+        ).collect()
+    }
+    assert got == {7 * _CHUNK_CID_MULT, 7 * _CHUNK_CID_MULT + _CHUNK_CID_MULT - 1}
+
+    bad = spark.createDataFrame(
+        [(7, _CHUNK_CID_MULT)], "doc_id long, chunk_id long"
+    )
+    with pytest.raises(Exception) as exc:
+        bad.select(
+            chunk_cid(F.col("doc_id"), F.col("chunk_id")).alias("cid")
+        ).collect()
+    assert "cid packing" in str(exc.value)
+
+
+def test_pii_redact_conservation(spark):
+    """The PII rewrite's books balance exactly (round 12, the span-
+    rewrite conservation discipline): per doc, chars_out = chars_in −
+    chars_matched + Σ_rule n_rule·len(tag) (telescoping the staged
+    measure), and the token count is PRESERVED — every PII_RULES
+    pattern is whitespace-free, so each match lies within one token and
+    its tag replaces a span inside that token.  The injection
+    guarantees every doc exercises the positive path."""
+    from recsys_mapreduce_mrjob_spark.functions.textfns import PII_RULES
+
+    rows = registry.QUERIES["q_text_pii_redact"](spark, SF01).collect()
+    assert rows
+    taglen = {name: len(tag) for name, _, tag in PII_RULES}
+    for r in rows:
+        added = sum(getattr(r, name) * taglen[name] for name in taglen)
+        assert r.chars_out == r.chars_in - r.chars_matched + added, r
+        assert r.n_tokens_out == r.n_tokens_in, r
+        assert sum(getattr(r, name) for name in taglen) >= 1, r

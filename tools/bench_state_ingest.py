@@ -296,15 +296,17 @@ def run_shape(
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
         incremental_doc_dedup,
         incremental_item_stats,
-        incremental_neardup,
         incremental_scd2,
     )
 
+    # The near-dup ladder routes through run_neardup_shape (it needs the
+    # seed/small source builder and the optional compaction step); this
+    # generic dispatcher handles only the ratings/docs-schema folds
+    # (ADVICE r11: a "neardup" entry here was unreachable dead code).
     fn = {
         "stats": incremental_item_stats,
         "scd2": incremental_scd2,
         "docs": incremental_doc_dedup,
-        "neardup": incremental_neardup,
     }[mode]
     stamps: list[tuple[int, float]] = []
     fn(
