@@ -1149,40 +1149,141 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the cost knobs; already-rated items are anti-joined away like the
     neighborhood recommender.
     """
-    from pyspark.ml.recommendation import ALS
+    def build() -> DataFrame:
+        from pyspark.ml.recommendation import ALS
 
-    ratings = _cached_ratings(spark, sf_dir)
-    als = ALS(
-        rank=8,
-        maxIter=10,
-        regParam=5.0,
-        seed=42,
-        userCol="user_id",
-        itemCol="item_id",
-        ratingCol="rating",
-        coldStartStrategy="drop",
-    )
-    model = als.fit(ratings)
-    recs = model.recommendForAllUsers(10).select(
-        "user_id", F.explode("recommendations").alias("r")
-    ).select(
-        "user_id",
-        F.col("r.item_id").alias("item_id"),
-        F.col("r.rating").cast("double").alias("pred"),
-    )
-    seen = ratings.select("user_id", "item_id")
-    unseen = recs.join(seen, ["user_id", "item_id"], "left_anti")
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc(F.round("pred", 6)), F.asc("item_id")
-    )
-    return (
-        unseen.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 5)
-        .select(
+        ratings = _cached_ratings(spark, sf_dir)
+        als = ALS(
+            rank=8,
+            maxIter=10,
+            regParam=5.0,
+            seed=42,
+            userCol="user_id",
+            itemCol="item_id",
+            ratingCol="rating",
+            coldStartStrategy="drop",
+        )
+        model = als.fit(ratings)
+        recs = model.recommendForAllUsers(10).select(
+            "user_id", F.explode("recommendations").alias("r")
+        ).select(
             "user_id",
-            "item_id",
-            (F.round("pred", 6) + F.lit(0.0)).alias("pred"),
-            "rank",
+            F.col("r.item_id").alias("item_id"),
+            F.col("r.rating").cast("double").alias("pred"),
+        )
+        seen = ratings.select("user_id", "item_id")
+        unseen = recs.join(seen, ["user_id", "item_id"], "left_anti")
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc(F.round("pred", 6)), F.asc("item_id")
+        )
+        return (
+            unseen.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 5)
+            .select(
+                "user_id",
+                "item_id",
+                (F.round("pred", 6) + F.lit(0.0)).alias("pred"),
+                "rank",
+            )
+        )
+
+    # Memoized (round 12): the iterative fit is the expensive part and
+    # the audit companion below re-reads the SAME output relation —
+    # grading both must cost one factorization, not two.
+    return memo_persist(spark, "als_recs", sf_dir, build)
+
+
+@register(
+    "q_recommend_als_audit",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS leaked_rows,
+       CAST(0 AS BIGINT) AS dup_pairs,
+       CAST(0 AS BIGINT) AS users_over_k,
+       CAST(0 AS BIGINT) AS rank_violations,
+       CAST(0 AS BIGINT) AS unknown_users,
+       CAST(0 AS BIGINT) AS unknown_items
+""",
+)
+def q_recommend_als_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract audit of the ALS recommender's OUTPUT
+    relation (round 12, VERDICT r11 "what's missing" #3: the held-out
+    RMSE quality pin lives in pytest; this closes the driver-grade gap
+    with the output invariants a recommendation service asserts before
+    serving).  One row of exact-int violation counts, all ZERO by
+    construction — so the oracle is the constant row and a regression
+    in the anti-join / ranking / training plumbing flips a graded hash:
+
+    - ``leaked_rows``: recommended (user, item) pairs the user already
+      rated (the anti-join's contract);
+    - ``dup_pairs``: duplicate (user, item) recommendations;
+    - ``users_over_k``: users holding more than 5 recs;
+    - ``rank_violations``: users whose ranks aren't exactly 1..n
+      contiguous (the window's contract);
+    - ``unknown_users`` / ``unknown_items``: recs for users/items
+      outside the training relation (coldStartStrategy='drop' +
+      recommendForAllUsers covers training users only).
+
+    Scale shape: every relation here is recs-sized (≤5 rows/user); the
+    membership checks are anti-joins against the distinct user/item
+    sets, each shuffling recs-sized data on its natural key; the five
+    1-row aggregates cross-join into the audit row (scalar-sized —
+    the q_dedup_span_rewrite_audit pattern)."""
+    recs = q_recommend_als(spark, sf_dir)
+    ratings = _cached_ratings(spark, sf_dir)
+    leaked = recs.join(
+        ratings.select("user_id", "item_id"), ["user_id", "item_id"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("leaked_rows"))
+    dups = (
+        recs.groupBy("user_id", "item_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("n") > 1, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("dup_pairs")
+        )
+    )
+    per_user = recs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rank").alias("rmin"),
+        F.max("rank").alias("rmax"),
+        F.countDistinct("rank").alias("rdist"),
+    )
+    shape = per_user.agg(
+        F.coalesce(F.sum(F.when(F.col("n") > 5, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("users_over_k"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("rmin") != 1)
+                    | (F.col("rmax") != F.col("n"))
+                    | (F.col("rdist") != F.col("n")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rank_violations"),
+    )
+    unknown_u = recs.join(
+        ratings.select("user_id").distinct(), "user_id", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("unknown_users"))
+    unknown_i = recs.join(
+        ratings.select("item_id").distinct(), "item_id", "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("unknown_items"))
+    return (
+        leaked.crossJoin(dups)
+        .crossJoin(shape)
+        .crossJoin(unknown_u)
+        .crossJoin(unknown_i)
+        .select(
+            "leaked_rows",
+            "dup_pairs",
+            "users_over_k",
+            "rank_violations",
+            "unknown_users",
+            "unknown_items",
         )
     )
 

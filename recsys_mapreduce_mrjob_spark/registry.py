@@ -24,84 +24,37 @@ ORACLES: dict[str, str] = {}
 
 # ---------------------------------------------------------------------------
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
-# 2–10: exactly the first 50), so registration order is the lever that
-# decides which operators get a driver correctness row.  Round-11 rotation
-# (VERDICT r10 "Next round" #2/#3/#4/#5): flagship first, then the three
-# queries NEW this round (incremental NEAR-dup at ingestion — the fourth
-# bucketed-state fold; the classifier-gated curation composite; the
-# chunk-level export capstone), then the three whose plan/oracle text was
-# REFACTORED through shared helpers this round (the classifier's oracle
-# now assembles from the prefixable _clf_ctes; the chunker's window cut
-# factored into chunk_exploded; the portable LSH sig/band/verify factored
-# into module functions — all semantically identity-preserving, re-graded
-# to prove it), then the ENTIRE 29-name r7-era stale queue VERDICT r10
-# #4 named, then the 14 stalest r8-graded names.  After this round no
-# query's latest grade is older than r8.  tests/test_registry_order.py
+# 2–11: exactly the first 50), so registration order is the lever that
+# decides which operators get a driver correctness row.  Round-12 rotation
+# (VERDICT r11 "Next round" #1/#2/#3/#5): flagship first, then the three
+# queries NEW this round (the decontamination-gated curation composite;
+# the PII-redacting rewrite; the ALS output-contract audit), then the
+# three whose plan/oracle changed this round (the chunk export gained the
+# cid runtime guard; the contamination detector factored into the
+# prefixable _contam_ctes/_contam_hits pair; the ALS recommender is now
+# memoized so the audit shares one fit — all identity-preserving,
+# re-graded to prove it), then the ENTIRE 33-name r8-graded queue the r11
+# prefix deferred, then the 10 stalest r9-graded names.  After this round
+# no query's latest grade is older than r9.  tests/test_registry_order.py
 # pins this.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-4: NEW round 11, needing their FIRST driver row --
-    "q_stream_neardup_docs_exec",
-    "q_corpus_curation_clf",
+    # -- slots 2-4: NEW round 12, needing their FIRST driver row --
+    "q_corpus_curation_decon",
+    "q_text_pii_redact",
+    "q_recommend_als_audit",
+    # -- slots 5-7: plan/oracle CHANGED round 12, re-graded to prove
+    #    identity (cid runtime guard; contamination CTEs factored into
+    #    the prefixable _contam_ctes/_contam_hits pair; the ALS output
+    #    relation memoized so the audit shares one fit) --
     "q_export_chunks",
-    # -- slots 5-7: REFACTORED round 11, re-graded to prove bit-identity --
-    "q_text_quality_classifier",
-    "q_text_chunks",
-    "q_dedup_near_exact",
-    # -- slots 8-36: the 29 r7-era names the r10 prefix deferred (the
-    #    stale queue VERDICT r10 #4 named; freshness floor rises to r8) --
-    "q_text_tfidf",
-    "q_pack_shuffled",
-    "q_dedup_jaccard_pairs",
-    "q_embedding_quantize",
-    "q_events_anomaly",
-    "q_graph_degree_stats",
-    "q_join_agg_q12",
-    "q_join_agg_q14",
-    "q_join_agg_q18",
-    "q_join_agg_q3",
-    "q_join_agg_q5",
-    "q_join_agg_q7",
-    "q_join_agg_q8",
-    "q_join_agg_q9",
-    "q_join_exists_q4",
-    "q_join_inner",
-    "q_join_multi_exists_q21",
-    "q_join_or_q19",
-    "q_multimodal_audio_windows",
-    "q_multimodal_features",
-    "q_nested_exists_q20",
-    "q_notin_distinct_q16",
-    "q_outer_agg_q13",
-    "q_sample_stratified",
-    "q_text_boilerplate",
     "q_text_contamination",
-    "q_text_unigram_lm",
-    "q_udf_reg_corr",
-    "q_window_session",
-    # -- slots 37-50: the 14 stalest round-8-graded names (next cohort
-    #    up; the remaining 33 r8 names lead the round-12 queue) --
-    "q_scan_csv_ratings",
-    "q_scan_csv_quoted",
-    "q_stream_ann_index_exec",
-    "q_corpus_curation",
-    "q_export_manifest",
     "q_recommend_als",
-    "q_union_all",
-    "q_cond_funcs",
-    "q_join_salted_skew",
-    "q_scan_pruned",
-    "q_map_funcs",
-    "q_filter_compound",
-    "q_topn_orders",
-    "q_window_rank",
-    # ------------------------------------------------------------------
-    # Past the 50-slot grading prefix, stalest-first: the remaining 33
-    # r8-graded names (they lead the round-12 stale queue), then the
-    # round-9-graded cohort, then the round-10-graded cohort (freshest).
-    # ------------------------------------------------------------------
+    # -- slots 8-40: the ENTIRE 33-name r8-graded queue the r11 prefix
+    #    deferred (VERDICT r11 "Next round" #3; freshness floor rises
+    #    to r9) --
     "q_histogram",
     "q_agg_distinct",
     "q_agg_grouping_sets",
@@ -135,7 +88,8 @@ GRADING_ORDER: list[str] = [
     "q_window_range_frame",
     "q_window_topk_per_group",
     "q_window_tumbling",
-    # -- round-9-graded cohort (freshest — verified last round) --
+    # -- slots 41-50: the 10 stalest round-9-graded names (next cohort
+    #    up; the remaining 36 r9 names lead the round-13 queue) --
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
     "q_stream_attribution_full_exec",
@@ -146,6 +100,12 @@ GRADING_ORDER: list[str] = [
     "q_date_funcs",
     "q_json_funcs",
     "q_array_funcs",
+    # ------------------------------------------------------------------
+    # Past the 50-slot grading prefix, stalest-first: the remaining 36
+    # r9-graded names (they lead the round-13 stale queue), then the
+    # round-10-graded cohort, then the round-11-graded cohort
+    # (freshest — verified last round).
+    # ------------------------------------------------------------------
     "q_agg_stats",
     "q_agg_string_agg",
     "q_except",
@@ -182,7 +142,7 @@ GRADING_ORDER: list[str] = [
     "q_join_bloom",
     "q_mixture_resample",
     "q_pack_blocks",
-    # -- round-10-graded cohort (freshest — verified last round) --
+    # -- round-10-graded cohort --
     "q_knn_batch_ivf",
     "q_export_manifest_rewritten",
     "q_dedup_semantic",
@@ -230,6 +190,53 @@ GRADING_ORDER: list[str] = [
     "q_corr_min_q2",
     "q_corr_scalar_q17",
     "q_join_agg_q10",
+    # -- round-11-graded cohort (freshest — verified last round) --
+    "q_stream_neardup_docs_exec",
+    "q_corpus_curation_clf",
+    "q_text_quality_classifier",
+    "q_text_chunks",
+    "q_dedup_near_exact",
+    "q_text_tfidf",
+    "q_pack_shuffled",
+    "q_dedup_jaccard_pairs",
+    "q_embedding_quantize",
+    "q_events_anomaly",
+    "q_graph_degree_stats",
+    "q_join_agg_q12",
+    "q_join_agg_q14",
+    "q_join_agg_q18",
+    "q_join_agg_q3",
+    "q_join_agg_q5",
+    "q_join_agg_q7",
+    "q_join_agg_q8",
+    "q_join_agg_q9",
+    "q_join_exists_q4",
+    "q_join_inner",
+    "q_join_multi_exists_q21",
+    "q_join_or_q19",
+    "q_multimodal_audio_windows",
+    "q_multimodal_features",
+    "q_nested_exists_q20",
+    "q_notin_distinct_q16",
+    "q_outer_agg_q13",
+    "q_sample_stratified",
+    "q_text_boilerplate",
+    "q_text_unigram_lm",
+    "q_udf_reg_corr",
+    "q_window_session",
+    "q_scan_csv_ratings",
+    "q_scan_csv_quoted",
+    "q_stream_ann_index_exec",
+    "q_corpus_curation",
+    "q_export_manifest",
+    "q_union_all",
+    "q_cond_funcs",
+    "q_join_salted_skew",
+    "q_scan_pruned",
+    "q_map_funcs",
+    "q_filter_compound",
+    "q_topn_orders",
+    "q_window_rank",
 ]
 
 

@@ -1,19 +1,21 @@
 """Pin the grading-order invariants (registry.GRADING_ORDER).
 
 The grading driver checks a PREFIX of the registered query names (rounds
-2-10: exactly the first 50), so registration order decides which operators
-receive a driver correctness row.  Round-11 contract (VERDICT r10 "Next
-round" #2, #3, #4, #5): the prefix first-grades the three queries NEW this
-round (incremental NEAR-dup at ingestion, the classifier-gated curation
-composite, the chunk-level export capstone), then the three whose
-plan/oracle text was REFACTORED through shared helpers (the classifier's
-oracle via the prefixable ``_clf_ctes``, the chunker via
-``chunk_exploded``, the portable LSH signature family via the module-level
-``portable_*`` functions — identity-preserving, the re-grade is the
-proof), then the ENTIRE 29-name r7-era stale queue the r10 verdict listed,
-then the 14 stalest r8-graded names — after this round no query's latest
-grade is older than round 8.  The remaining 33 r8 names lead the
-post-prefix queue for round 12 (DEFERRED_R8 below).
+2-11: exactly the first 50), so registration order decides which operators
+receive a driver correctness row.  Round-12 contract (VERDICT r11 "Next
+round" #1, #2, #3, #5): the prefix first-grades the three queries NEW this
+round (the decontamination-gated curation composite, the PII-redacting
+rewrite, the ALS output-contract audit), then the three whose plan/oracle
+changed this round (the chunk export's cid runtime guard, the
+contamination detector factored into the prefixable
+``_contam_ctes``/``_contam_hits`` pair, the ALS recommender's memoized
+output relation — identity-preserving, the re-grade is the proof), then
+the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 10
+stalest r9-graded names — after this round no query's latest grade is
+older than round 9.  The remaining 36 r9 names lead the post-prefix queue
+for round 13 (DEFERRED_R9 below), stalest-first in their original r9
+registration order: the deferral rule is "cohort age, then original
+order", not per-query judgment calls.
 """
 
 from __future__ import annotations
@@ -23,76 +25,22 @@ from recsys_mapreduce_mrjob_spark import registry
 PREFIX = 50
 
 # New this round, needing their FIRST driver row.
-NEW_R11 = {
-    "q_stream_neardup_docs_exec",
-    "q_corpus_curation_clf",
+NEW_R12 = {
+    "q_corpus_curation_decon",
+    "q_text_pii_redact",
+    "q_recommend_als_audit",
+}
+
+# Plan/oracle changed this round — re-graded to prove identity.
+CHANGED_R12 = {
     "q_export_chunks",
-}
-
-# Refactored this round — re-graded to prove the rework is bit-identical.
-CHANGED_R11 = {
-    "q_text_quality_classifier",
-    "q_text_chunks",
-    "q_dedup_near_exact",
-}
-
-# The full r7-era stale queue VERDICT r10 #4 named (the 29 names the r10
-# prefix deferred).
-STALE_R7 = {
-    "q_text_tfidf",
-    "q_pack_shuffled",
-    "q_dedup_jaccard_pairs",
-    "q_embedding_quantize",
-    "q_events_anomaly",
-    "q_graph_degree_stats",
-    "q_join_agg_q12",
-    "q_join_agg_q14",
-    "q_join_agg_q18",
-    "q_join_agg_q3",
-    "q_join_agg_q5",
-    "q_join_agg_q7",
-    "q_join_agg_q8",
-    "q_join_agg_q9",
-    "q_join_exists_q4",
-    "q_join_inner",
-    "q_join_multi_exists_q21",
-    "q_join_or_q19",
-    "q_multimodal_audio_windows",
-    "q_multimodal_features",
-    "q_nested_exists_q20",
-    "q_notin_distinct_q16",
-    "q_outer_agg_q13",
-    "q_sample_stratified",
-    "q_text_boilerplate",
     "q_text_contamination",
-    "q_text_unigram_lm",
-    "q_udf_reg_corr",
-    "q_window_session",
-}
-
-# The round-8-graded cohort members that FIT the remaining 14 slots
-# (stalest next era, taken in their r8 registration order).
-R8_IN_PREFIX = {
-    "q_scan_csv_ratings",
-    "q_scan_csv_quoted",
-    "q_stream_ann_index_exec",
-    "q_corpus_curation",
-    "q_export_manifest",
     "q_recommend_als",
-    "q_union_all",
-    "q_cond_funcs",
-    "q_join_salted_skew",
-    "q_scan_pruned",
-    "q_map_funcs",
-    "q_filter_compound",
-    "q_topn_orders",
-    "q_window_rank",
 }
 
-# The 33 r8-graded names the 50-slot prefix could not fit — every one is
-# a relational/window/events/recsys shape whose family siblings grade in
-# or near the prefix; they lead the round-12 stale queue.
-DEFERRED_R8 = {
+# The full 33-name r8-graded queue the r11 prefix deferred (VERDICT r11
+# "Next round" #3 named it verbatim).
+STALE_R8 = {
     "q_histogram",
     "q_agg_distinct",
     "q_agg_grouping_sets",
@@ -128,6 +76,63 @@ DEFERRED_R8 = {
     "q_window_tumbling",
 }
 
+# The round-9-graded cohort members that FIT the remaining 10 slots —
+# the FIRST 10 of the r9 cohort in its original registration order (the
+# auditable stalest-first rule; no per-query picking).
+R9_IN_PREFIX = [
+    "q_stream_ann_compact_exec",
+    "q_stream_attribution_outer_exec",
+    "q_stream_attribution_full_exec",
+    "q_agg_cube",
+    "q_scan_parquet",
+    "q_project_expr",
+    "q_math_funcs",
+    "q_date_funcs",
+    "q_json_funcs",
+    "q_array_funcs",
+]
+
+# The 36 r9-graded names the 50-slot prefix could not fit; they lead the
+# round-13 stale queue in this order.
+DEFERRED_R9 = [
+    "q_agg_stats",
+    "q_agg_string_agg",
+    "q_except",
+    "q_intersect",
+    "q_window_running",
+    "q_window_sliding",
+    "q_late_data_filter",
+    "q_stream_tumbling_exec",
+    "q_stream_user_counter_exec",
+    "q_stream_session_exec",
+    "q_stream_attribution_exec",
+    "q_dedup_components_exact",
+    "q_knn_cosine_lsh_exact",
+    "q_dedup_simhash_exact",
+    "q_pagerank_exact",
+    "q_kmeans_exact",
+    "q_stream_sink_parquet_exec",
+    "q_knn_cosine",
+    "q_dedup_components_twostar",
+    "q_dedup_exact",
+    "q_embedding_label_stats",
+    "q_knn_cosine_ivf",
+    "q_knn_per_label",
+    "q_sample_reservoir_per_lang",
+    "q_sketch_countmin",
+    "q_text_bpe_tokens",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_token_stats",
+    "q_text_winnow_pairs",
+    "q_text_wordcount",
+    "q_udf_znorm_per_user",
+    "q_join_bloom",
+    "q_mixture_resample",
+    "q_pack_blocks",
+]
+
 
 def _loaded_names() -> list[str]:
     registry.load_all()
@@ -152,108 +157,61 @@ def test_flagship_is_first():
     assert _loaded_names()[0] == "q_topk_similar_items"
 
 
-def test_new_r11_lead_the_prefix():
+def test_new_r12_lead_the_prefix():
     """The never-graded new queries sit in slots 2-4 — graded even if
     the driver's cutoff ever shrinks below 50."""
-    head = set(_loaded_names()[1 : 1 + len(NEW_R11)])
-    assert head == NEW_R11
+    head = set(_loaded_names()[1 : 1 + len(NEW_R12)])
+    assert head == NEW_R12
 
 
-def test_changed_r11_precede_the_stale_queue():
-    """The three helper-refactored queries re-grade immediately after
-    the new ones: their hashes are the proof the shared-helper
-    factoring (oracle text + plan construction) changed nothing graded."""
+def test_changed_r12_precede_the_stale_queue():
+    """The three plan/oracle-changed queries re-grade immediately after
+    the new ones: their hashes are the proof the cid guard, the
+    contamination-helper factoring, and the ALS memoization changed
+    nothing graded."""
     names = _loaded_names()
-    start = 1 + len(NEW_R11)
-    assert set(names[start : start + len(CHANGED_R11)]) == CHANGED_R11
+    start = 1 + len(NEW_R12)
+    assert set(names[start : start + len(CHANGED_R12)]) == CHANGED_R12
 
 
-def test_stale_r7_queue_precedes_r8_cohort():
+def test_stale_r8_queue_precedes_r9_cohort():
     names = _loaded_names()
-    start = 1 + len(NEW_R11) + len(CHANGED_R11)
-    assert set(names[start : start + len(STALE_R7)]) == STALE_R7
+    start = 1 + len(NEW_R12) + len(CHANGED_R12)
+    assert set(names[start : start + len(STALE_R8)]) == STALE_R8
 
 
-def test_deferred_r8_leads_the_post_prefix_queue():
-    assert set(_loaded_names()[PREFIX : PREFIX + len(DEFERRED_R8)]) == DEFERRED_R8
+def test_r9_tail_fills_the_prefix_stalest_first():
+    """The last 10 prefix slots take the r9 cohort's FIRST 10 names in
+    their original order — the deferral rule is cohort age + original
+    order, auditable from the lists alone."""
+    names = _loaded_names()
+    start = 1 + len(NEW_R12) + len(CHANGED_R12) + len(STALE_R8)
+    assert names[start : start + len(R9_IN_PREFIX)] == R9_IN_PREFIX
+    assert start + len(R9_IN_PREFIX) == PREFIX
 
 
-def test_prefix_is_exactly_the_round11_verification_set():
+def test_deferred_r9_leads_the_post_prefix_queue():
+    assert _loaded_names()[PREFIX : PREFIX + len(DEFERRED_R9)] == DEFERRED_R9
+
+
+def test_prefix_is_exactly_the_round12_verification_set():
     prefix = set(_loaded_names()[:PREFIX])
     for label, group in (
         ("flagship", {"q_topk_similar_items"}),
-        ("new-r11", NEW_R11),
-        ("changed-r11", CHANGED_R11),
-        ("stale-r7", STALE_R7),
-        ("r8-cohort", R8_IN_PREFIX),
+        ("new-r12", NEW_R12),
+        ("changed-r12", CHANGED_R12),
+        ("stale-r8", STALE_R8),
+        ("r9-cohort", set(R9_IN_PREFIX)),
     ):
         assert group <= prefix, f"{label} outside prefix: {sorted(group - prefix)}"
     # The prefix is exactly these sets — no slot wasted on redundant variants.
     assert prefix == (
         {"q_topk_similar_items"}
-        | NEW_R11
-        | CHANGED_R11
-        | STALE_R7
-        | R8_IN_PREFIX
+        | NEW_R12
+        | CHANGED_R12
+        | STALE_R8
+        | set(R9_IN_PREFIX)
     )
-
-
-def test_every_deferred_r8_name_has_a_family_sibling_in_prefix():
-    """The deferral rule is auditable, not vibes: each deferred r8 name
-    maps to a named sibling that IS in this round's prefix (the family
-    query covering the same operator shape)."""
-    sibling = {
-        # scalar/agg family: histogram/percentile/distinct/grouping-set
-        # shapes — the grouped-agg TPC-H rows grade in-prefix
-        "q_histogram": "q_outer_agg_q13",
-        "q_agg_distinct": "q_notin_distinct_q16",
-        "q_agg_grouping_sets": "q_outer_agg_q13",
-        "q_agg_percentiles": "q_text_unigram_lm",
-        "q_agg_rollup": "q_outer_agg_q13",
-        "q_agg_salted_twophase": "q_join_salted_skew",
-        "q_audit_constraints": "q_join_exists_q4",
-        # embedding pair family: the GEMM tile kernel grades in-prefix
-        # via the flagship (same kernel, counts_only=False path)
-        "q_dedup_embedding": "q_topk_similar_items",
-        # events family: anomaly/session/window shapes grade in-prefix
-        "q_events_funnel": "q_events_anomaly",
-        "q_events_retention": "q_events_anomaly",
-        # recsys family: the full R2-R14 chain grades via the flagship
-        "q_item_cooccurrence": "q_topk_similar_items",
-        "q_item_rater_counts": "q_topk_similar_items",
-        "q_item_similarity": "q_topk_similar_items",
-        "q_pairwise_stats": "q_topk_similar_items",
-        "q_ratings_matrix": "q_scan_csv_ratings",
-        "q_recommend_topn": "q_topk_similar_items",
-        "q_topk_similar_dimsum_exact": "q_topk_similar_items",
-        "q_user_stats": "q_scan_csv_ratings",
-        # join family: inner/left/semi/anti/theta grade via the TPC-H
-        # join rows and q_join_inner in-prefix
-        "q_join_anti": "q_join_multi_exists_q21",
-        "q_join_asof": "q_join_inner",
-        "q_join_broadcast": "q_join_inner",
-        "q_join_fuzzy_names": "q_join_inner",
-        "q_join_left": "q_outer_agg_q13",
-        "q_join_selfpair": "q_join_inner",
-        "q_join_semi": "q_join_exists_q4",
-        "q_join_theta_range": "q_join_inner",
-        # pivot: the grouping-set shape via the TPC-H outer agg
-        "q_pivot_events": "q_outer_agg_q13",
-        # stateful dedup: the ingestion near-dup gate grades in-prefix
-        "q_stateful_dedup_events": "q_stream_neardup_docs_exec",
-        # text family: repetition shares the n-gram explode+agg shape
-        "q_text_repetition": "q_text_unigram_lm",
-        # window family: lag/lead/range/topk/tumbling — the session
-        # window + rank rows grade in-prefix
-        "q_window_lag_lead": "q_window_session",
-        "q_window_range_frame": "q_window_session",
-        "q_window_topk_per_group": "q_window_rank",
-        "q_window_tumbling": "q_window_session",
-    }
-    assert set(sibling) == DEFERRED_R8
-    prefix = set(_loaded_names()[:PREFIX])
-    for deferred, sib in sibling.items():
-        assert sib in prefix, (deferred, sib)
 
 
 def test_entry_views_preserve_order():

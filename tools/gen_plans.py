@@ -246,6 +246,29 @@ ENTRIES = [
         "single-reducer shape) never appear.",
     ),
     (
+        "q_corpus_curation_decon",
+        "Decontamination gate (round 12): the benchmark's distinct "
+        "5-shingle set arrives as a BroadcastExchange (benchmark-sized, "
+        "never shuffled against the corpus), the detector is one "
+        "distinct-shingle scan + BroadcastHashJoin + per-doc partial "
+        "aggregate, and the gate itself is a LEFT BroadcastHashJoin of "
+        "the hit relation against the memo-shared curated corpus — no "
+        "corpus×benchmark pair space, no new corpus-sized exchange "
+        "beyond the detector's own per-doc aggregate.",
+    ),
+    (
+        "q_text_pii_redact",
+        "PII-redacting rewrite (round 12): injection, staged match "
+        "counts, char/token conservation arithmetic, the ordered "
+        "regexp_replace chain and md5(redacted) are all ONE projection "
+        "chain inside whole-stage codegen — zero joins, and the only "
+        "exchange is rebalance_if_starved's round-robin spread of the "
+        "backtracking-regex projection across cores (the q_text_pii r8 "
+        "lesson; a no-op at 100 TB split counts).  Nothing is keyed, "
+        "nothing aggregates: the graded relation is the scan's "
+        "projection, embarrassingly parallel per byte.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
