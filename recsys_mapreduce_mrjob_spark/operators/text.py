@@ -2675,3 +2675,177 @@ if q_export_chunks.__doc__:  # absent under python -OO
         block=_PACK_BLOCK_TOKENS,
         shard=_EXPORT_SHARD_CHUNKS,
     )
+
+
+# ---------------------------------------------------------------------------
+# RELEASE capstone (round 12) — the terminal composition of the corpus
+# pipeline, in the order a real release runs it:
+#
+#   curate (quality → lang-ID → exact dedup → near-dup keep-one)
+#     → DECONTAMINATE (drop docs sharing a benchmark 5-shingle; hold out
+#       the benchmark docs themselves — q_corpus_curation_decon's gate)
+#     → REDACT PII (the pinned-order rule chain over the released text —
+#       q_text_pii_redact's rewrite; injection only because the synthetic
+#       corpus is PII-clean, see that query's module note)
+#     → CHUNK (width-256 / stride-192 context windows — q_text_chunks'
+#       cutter, over the REDACTED text)
+#     → seeded shuffle → two-phase rank → distributed prefix sum
+#     → per-shard manifest.
+#
+# Every stage is an independently driver-graded primitive; this query
+# chains them into the relation a data loader actually consumes, so a
+# semantics drift in ANY gate breaks this oracle too (the classifier-gate
+# composition discipline).  ``redacted_tokens`` per shard makes the
+# redaction load-bearing in the grade: tokens carrying a redaction tag
+# are counted per chunk and summed per shard, so a rewrite that stopped
+# firing (or fired on the wrong text) flips a graded column, not just a
+# byte nobody hashes.
+# ---------------------------------------------------------------------------
+
+# f-string, NOT str.format: the redaction expression interpolated below
+# carries `{2,}`-style bounded-repeat braces that .format would eat
+# (the _EXPORT_ORACLE_TAIL comment documents the hazard) — f-string
+# interpolation inserts values verbatim without re-scanning them.
+_EXPORT_RELEASE_ORACLE_TAIL = f""",
+{_contam_ctes("rl_")},
+rl_rel AS (
+    SELECT c.doc_id
+    FROM curated c LEFT JOIN rl_hits h USING (doc_id)
+    WHERE c.doc_id >= {_CONTAM_BENCH_MAX} AND h.doc_id IS NULL
+),
+rl_txt AS (
+    SELECT doc_id, {pii_redact_sql("(" + _pii_inject_sql() + ")")} AS rt
+    FROM documents JOIN rl_rel USING (doc_id)
+),
+rl_dt AS (
+    SELECT doc_id, string_split(rt, ' ') AS t FROM rl_txt
+),
+rl_ch AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               generate_series(0, (len(t) - 1) // {_CHUNK_S}),
+               i -> struct_pack(
+                   chunk_id := i,
+                   ct := t[i * {_CHUNK_S} + 1 : i * {_CHUNK_S} + {_CHUNK_W}]
+               )
+           )) AS e
+    FROM rl_dt WHERE len(t) > 0
+),
+rl_chunks AS (
+    SELECT doc_id,
+           CAST(len(e.ct) AS BIGINT) AS n_tokens,
+           doc_id * {_CHUNK_CID_MULT} + e.chunk_id AS cid,
+           CAST(len(list_filter(e.ct,
+               x -> {" OR ".join(f"contains(x, '{tag}')" for _, _, tag in PII_RULES)}
+           )) AS BIGINT) AS n_red_toks
+    FROM rl_ch
+),
+rl_ranked AS (
+    SELECT doc_id, n_tokens, n_red_toks, cid,
+           CAST(row_number() OVER (
+               ORDER BY md5(concat('{_PACK_SHUFFLE_SEED}:',
+                                   CAST(cid AS VARCHAR))), cid
+           ) AS BIGINT) AS r
+    FROM rl_chunks
+),
+rl_placed AS (
+    SELECT doc_id, n_tokens, n_red_toks, r,
+           CAST(sum(n_tokens) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                - n_tokens AS BIGINT) AS off
+    FROM rl_ranked
+)
+SELECT (r - 1) // {_EXPORT_SHARD_CHUNKS} AS shard,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(sum(n_red_toks) AS BIGINT) AS redacted_tokens,
+       min(off) // {_PACK_BLOCK_TOKENS} AS first_block,
+       max(off + n_tokens - 1) // {_PACK_BLOCK_TOKENS} AS last_block
+FROM rl_placed
+GROUP BY shard
+"""
+
+
+def _release_tag_hit(tok: Column) -> Column:
+    """True iff a (redacted) token carries any PII_RULES redaction tag —
+    the observable the release manifest counts per shard."""
+    hit = None
+    for _, _, tag in PII_RULES:
+        c = tok.contains(tag)
+        hit = c if hit is None else hit | c
+    return hit
+
+
+@register(
+    "q_export_release",
+    oracle="\nWITH RECURSIVE " + _CURATION_CTES + _EXPORT_RELEASE_ORACLE_TAIL,
+)
+def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE capstone (module note above): the full corpus release
+    in one declared query — curate, decontaminate against the held-out
+    benchmark, redact PII, cut the survivors into context windows,
+    shuffle the windows with the seeded deterministic permutation, and
+    emit the per-shard manifest with the redaction audit column
+    (``redacted_tokens``) a release log carries next to its token
+    counts.  A user of the chain's individual stages gets exactly this
+    by composing them; this query pins the composition itself.
+
+    Scale shape: q_export_chunks' algebra plus two scan-side gates — the
+    decontamination join is released-sized against the hit-sized (tiny)
+    relation, the redaction is the same zero-join codegen projection
+    q_text_pii_redact grades, and the tag count is per-chunk array
+    arithmetic.  No new corpus-sized shuffle beyond the detector's
+    per-doc aggregate (shared with q_corpus_curation_decon via
+    _contam_hits); rank and prefix sum stay bucket-parallel."""
+    from .sampling import seeded_shuffle_key, two_phase_rank
+
+    def build_ranked() -> DataFrame:
+        curated = curated_docs(spark, sf_dir).select("doc_id")
+        hits, _ = _contam_hits(spark, sf_dir)
+        released = curated.where(
+            F.col("doc_id") >= _CONTAM_BENCH_MAX
+        ).join(hits.select("doc_id"), "doc_id", "left_anti")
+        docs = load_table(spark, sf_dir, "documents").join(released, "doc_id")
+        red = docs.select(
+            "doc_id", pii_redact(_pii_inject_col()).alias("text")
+        )
+        chunks = chunk_exploded(red).select(
+            "doc_id",
+            F.size("ct").cast("long").alias("n_tokens"),
+            chunk_cid(F.col("doc_id"), F.col("chunk_id")).alias("cid"),
+            F.size(F.filter(F.col("ct"), _release_tag_hit))
+            .cast("long")
+            .alias("n_red_toks"),
+        )
+        hashed = seeded_shuffle_key(chunks, key="cid")
+        return two_phase_rank(
+            hashed,
+            partition_cols=[],
+            bucket_col="bkt",
+            order_cols=[F.col("h"), F.col("cid")],
+            rank_col="shuffle_rank",
+        ).drop("h", "bkt")
+
+    # Same memo rationale as the other export capstones: the prefix sum
+    # fans its input into multiple lazy branches.
+    ranked = memo_persist(spark, "export_ranked_release", sf_dir, build_ranked)
+    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    return (
+        placed.withColumn(
+            "shard",
+            F.expr(f"(shuffle_rank - 1) div {_EXPORT_SHARD_CHUNKS}"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.sum("n_red_toks").cast("long").alias("redacted_tokens"),
+            F.expr(f"min(start_offset) div {_PACK_BLOCK_TOKENS}").alias(
+                "first_block"
+            ),
+            F.expr(
+                f"max(start_offset + n_tokens - 1) div {_PACK_BLOCK_TOKENS}"
+            ).alias("last_block"),
+        )
+    )

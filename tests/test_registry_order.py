@@ -3,9 +3,10 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-11: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-12 contract (VERDICT r11 "Next
-round" #1, #2, #3, #5): the prefix first-grades the three queries NEW this
+round" #1, #2, #3, #5): the prefix first-grades the four queries NEW this
 round (the decontamination-gated curation composite, the PII-redacting
-rewrite, the ALS output-contract audit), then the three whose plan/oracle
+rewrite, the ALS output-contract audit, the release capstone composing
+decon + redaction into the chunk export), then the three whose plan/oracle
 changed this round (the chunk export's cid runtime guard, the
 contamination detector factored into the prefixable
 ``_contam_ctes``/``_contam_hits`` pair, the ALS recommender's memoized
@@ -29,6 +30,7 @@ NEW_R12 = {
     "q_corpus_curation_decon",
     "q_text_pii_redact",
     "q_recommend_als_audit",
+    "q_export_release",
 }
 
 # Plan/oracle changed this round — re-graded to prove identity.
@@ -76,9 +78,10 @@ STALE_R8 = {
     "q_window_tumbling",
 }
 
-# The round-9-graded cohort members that FIT the remaining 10 slots —
-# the FIRST 10 of the r9 cohort in its original registration order (the
-# auditable stalest-first rule; no per-query picking).
+# The round-9-graded cohort members that FIT the remaining 9 slots —
+# the FIRST 9 of the r9 cohort in its original registration order (the
+# auditable stalest-first rule; no per-query picking; the release
+# capstone's new-query slot displaced q_array_funcs to round 13).
 R9_IN_PREFIX = [
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
@@ -89,12 +92,12 @@ R9_IN_PREFIX = [
     "q_math_funcs",
     "q_date_funcs",
     "q_json_funcs",
-    "q_array_funcs",
 ]
 
-# The 36 r9-graded names the 50-slot prefix could not fit; they lead the
+# The 37 r9-graded names the 50-slot prefix could not fit; they lead the
 # round-13 stale queue in this order.
 DEFERRED_R9 = [
+    "q_array_funcs",
     "q_agg_stats",
     "q_agg_string_agg",
     "q_except",

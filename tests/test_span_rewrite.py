@@ -336,6 +336,71 @@ def test_chunk_cid_guard_fires_on_overflow(spark):
     assert "cid packing" in str(exc.value)
 
 
+def test_export_release_conservation(spark):
+    """The RELEASE capstone's books balance (round 12): over the
+    independently derived released set (curated, benchmark docs held
+    out, contamination hits dropped), with the deterministic injection
+    appending exactly 2 tokens per doc and redaction preserving token
+    counts —
+
+      Σ shard_tokens    == Σ_docs (n + (n_w − 1)·(W − S)),  n = n_tokens+2
+      Σ n_chunks        == Σ_docs n_w
+      Σ redacted_tokens == Σ_docs (windows containing the final token)
+
+    the last because the injected PII literal is the doc's FINAL token,
+    whose redacted tag lands once in every overlapping window that
+    covers the end position (n_w − max(0, ⌈(n−W)/S⌉) of them)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        _CONTAM_BENCH_MAX,
+        _contam_hits,
+        curated_docs,
+    )
+
+    manifest = registry.QUERIES["q_export_release"](spark, SF01).collect()
+    assert manifest
+    packed = sum(r.shard_tokens for r in manifest)
+    n_chunks_total = sum(r.n_chunks for r in manifest)
+    tags_total = sum(r.redacted_tokens for r in manifest)
+
+    curated = curated_docs(spark, SF01).select("doc_id", "n_tokens")
+    hits, _ = _contam_hits(spark, SF01)
+    released = curated.where(F.col("doc_id") >= _CONTAM_BENCH_MAX).join(
+        hits.select("doc_id"), "doc_id", "left_anti"
+    )
+    n = F.col("n_tokens") + 2  # ' contact userN@example.com' etc. = +2
+    n_w = F.floor((n - 1) / _CHUNK_S) + 1
+    i_min = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((n - _CHUNK_W + _CHUNK_S - 1) / _CHUNK_S),
+    )
+    agg = (
+        released.select(
+            n.alias("n"), n_w.alias("n_w"), (n_w - i_min).alias("tag_w")
+        )
+        .agg(
+            F.sum(
+                F.col("n") + (F.col("n_w") - 1) * (_CHUNK_W - _CHUNK_S)
+            ).alias("tok_overlap"),
+            F.sum("n_w").alias("n_w"),
+            F.sum("tag_w").alias("tag_w"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    assert packed == agg.tok_overlap
+    assert n_chunks_total == agg.n_w
+    assert tags_total == agg.tag_w
+    assert tags_total >= agg.n_docs  # every released doc ships ≥1 tag
+    assert all(
+        r.n_chunks > 0 and 0 < r.n_docs <= r.n_chunks and r.shard_tokens > 0
+        for r in manifest
+    )
+
+
 def test_pii_redact_conservation(spark):
     """The PII rewrite's books balance exactly (round 12, the span-
     rewrite conservation discipline): per doc, chars_out = chars_in −

@@ -269,6 +269,23 @@ ENTRIES = [
         "projection, embarrassingly parallel per byte.",
     ),
     (
+        "q_export_release",
+        "RELEASE capstone (round 12): the decontamination gate is a "
+        "hit-sized LEFT-ANTI BroadcastHashJoin against the memo-shared "
+        "curated relation (the benchmark shingle set broadcasts inside "
+        "the shared detector), the PII redaction + injection is the "
+        "same zero-join codegen projection q_text_pii_redact grades "
+        "(applied in the released docs' scan stage), the window cut is "
+        "scan-side split + transform + explode exactly as "
+        "q_export_chunks, and the tag count is per-chunk array "
+        "arithmetic in the same projection.  Downstream is the capstone "
+        "algebra unchanged: seeded-hash two_phase_rank over 256 prefix "
+        "buckets + rank-keyed distributed prefix sum; the only "
+        "corpus-scale exchanges are the rank/prefix bucket shuffles the "
+        "base export already pays — composing the two release gates "
+        "adds ZERO new corpus-sized exchanges.",
+    ),
+    (
         "q_join_bloom",
         "Runtime-prefiltered semi-join (round 6): the selective dim "
         "predicate pushes into the orders scan (PushedFilters), its "
