@@ -188,6 +188,18 @@ def main() -> None:
         # the per-batch cost claim is measured directly by
         # tools/bench_state_ingest.py --neardup.
         "q_export_chunks",
+        # round 12, benched from birth: the RELEASE capstone (curate →
+        # decontaminate → redact PII → window cut → shuffled rank →
+        # prefix-sum blocks → manifest with the redaction audit column).
+        # q_corpus_curation_decon and q_text_pii_redact are deliberately
+        # NOT benched standalone: the decon gate re-walks the benched
+        # curation relation plus the (tiny) detector join, and the
+        # redaction projection is a fraction of the benched q_text_pii
+        # scan — both costs appear, composed, inside this row (the
+        # q_corpus_curation_clf exclusion class).  q_recommend_als_audit
+        # is NOT benched: its wall is the ALS fit (iterative MF, no
+        # DuckDB twin semantics to compare).
+        "q_export_release",
         # round 10 (late): q_graph_triangles is deliberately NOT benched —
         # its wall at sf0.1 is ~3.4 s of pair-stats derivation (the
         # flagship's settled residual, already measured by the

@@ -34,6 +34,11 @@ Usage: python tools/bench_state_ingest.py            (default ladder)
            append-only band history scanned per probe vs the same state
            COMPACTED after the seed (compact_neardup_bands), the
            production cadence whose per-batch wall stays flat in S)
+       python tools/bench_state_ingest.py --neardup-probe 160000 2560000
+           (probe ISOLATION, VERDICT r11 #7: time just the candidate
+           join against the band state — no writes in the loop — for
+           the append-only and compacted shapes, so the data term the
+           full ladder's fixed per-batch cost drowns becomes visible)
 """
 
 from __future__ import annotations
@@ -227,6 +232,217 @@ def build_neardup_source(src: str, s_docs: int, part: str = "all") -> None:
         )
 
 
+def build_synthetic_band_state(
+    bands_v0: str, s_docs: int, skip_ids: np.ndarray
+) -> int:
+    """Write ``s_docs − len(skip_ids)`` seed docs' worth of FILLER band
+    rows (8 per doc, random 32-hex bsigs) directly as parquet — the
+    probe's data term depends on the state's SHAPE (row count, unique
+    keys, file layout), not on minhash fidelity: the ladder's generator
+    is collision-free by construction (unique per-content tokens), so a
+    non-probed seed doc's bsigs never match anything and random hex is
+    distribution-identical.  Real derivation runs only for the probed
+    contents (the caller merges those rows in) and the probe batch —
+    deriving 2.56M real signatures (~2.6 ms/doc through the portable
+    decimal minhash) would cost ~2 h for rows whose VALUES the join
+    never matches.  Files carry ~4M rows each, bsig-sorted (row-group
+    stats), modeling the post-backfill append state; returns rows
+    written."""
+    os.makedirs(bands_v0, exist_ok=True)
+    rng = np.random.default_rng(1 << 20 | s_docs)
+    step = 500_000  # docs per file → ~4M band rows
+    total = 0
+    for k, lo in enumerate(range(0, s_docs, step)):
+        hi = min(lo + step, s_docs)
+        ids = np.arange(lo, hi, dtype=np.int64)
+        ids = ids[~np.isin(ids, skip_ids)]
+        n = len(ids) * 8
+        bsig = np.frombuffer(
+            rng.bytes(n * 16).hex().encode(), dtype="S32"
+        )
+        order = np.argsort(bsig)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 8)[order]),
+                "band": pa.array(
+                    np.tile(np.arange(8, dtype=np.int32), len(ids))[order]
+                ),
+                "bsig": pa.array(bsig[order]).cast(pa.string()),
+            }
+        )
+        pq.write_table(tbl, f"{bands_v0}/part-{k:04d}.parquet")
+        total += n
+    return total
+
+
+PROBE_REPS = 5
+
+
+def run_neardup_probe(spark, base: str, s_docs: int) -> dict:
+    """Isolate the near-dup probe's DATA TERM (VERDICT r11 "Next round"
+    #7): the full-ladder rung measures whole-batch walls, where fixed
+    per-batch cost (scheduling + the ~150-bucket docs write) drowns the
+    band-history scan at every locally reachable S.  This mode times
+    JUST the candidate probe — the (band, bsig) equi-join of one
+    100-doc batch's ~800 band rows against the accumulated band state —
+    with no writes in the loop, for both state shapes:
+
+      - append-only: full scan of every v{id} append file (the
+        between-compactions shape whose cost grows with S);
+      - compacted: touched-bucket pruned read of the bsig-bucketed v-1
+        tree + the (empty, post-compaction) plain tail — the pruning
+        path whose scan volume is O(batch · bucket_size).
+
+    State building mixes synthesis with real derivation (see
+    build_synthetic_band_state): real band rows for the 50 probed seed
+    contents (the join must FIND them through the real expressions) +
+    shape-identical random-hex filler for the rest.  Candidate counts
+    are asserted identical across shapes (in practice the planted-dup
+    count — the filler provably never matches)."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        portable_band_rows,
+        portable_minhash_sig,
+    )
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        _bucket_expr,
+        _compacted_band_buckets,
+        band_state_paths,
+        compact_neardup_bands,
+    )
+
+    state = f"{base}/state"
+    bands_dir = f"{state}/bands"
+    v0 = f"{bands_dir}/v0"
+    half = BATCH_ITEMS // 2
+    dup = np.unique((7919 + 104729 * np.arange(half)) % s_docs)
+
+    t0 = time.monotonic()
+    n_band_rows = build_synthetic_band_state(v0, s_docs, dup)
+    # Real band rows for the probed seed contents, via the real chain.
+    _write_neardup_chunk(
+        f"{base}/probed_seed.parquet",
+        dup,
+        [_neardup_text(int(c)) for c in dup],
+        time.time(),
+    )
+    real_seed = portable_band_rows(
+        portable_minhash_sig(
+            spark.read.parquet(f"{base}/probed_seed.parquet").select(
+                "doc_id", "text"
+            )
+        )
+    )
+    real_seed.sort("bsig").coalesce(1).write.mode("append").parquet(v0)
+    # band_state_paths requires the commit marker Spark's own writes
+    # leave; the pyarrow filler files need it added by hand.
+    with open(f"{v0}/_SUCCESS", "w") as fh:
+        fh.write("")
+    seed_sec = time.monotonic() - t0
+    n_band_rows += real_seed.count()
+
+    # The probe batch: the ladder's mix (half planted near-dups of seed
+    # content, half novel), band rows persisted + materialized exactly
+    # as incremental_neardup's upsert does (the broadcast precondition).
+    texts = [
+        _neardup_text(int(c)).rsplit(" ", 1)[0] + " znear" for c in dup
+    ] + [_neardup_text(s_docs + j) for j in range(BATCH_ITEMS - len(dup))]
+    _write_neardup_chunk(
+        f"{base}/probe.parquet",
+        s_docs + np.arange(BATCH_ITEMS),
+        texts,
+        time.time(),
+    )
+    pdocs = spark.read.parquet(f"{base}/probe.parquet")
+    bands_new = portable_band_rows(
+        portable_minhash_sig(pdocs.select("doc_id", "text"))
+    ).persist()
+    bands_new.count()
+
+    def probe_against(bands_old) -> int:
+        ob = bands_old.alias("ob")
+        nb = bands_new.alias("nb")
+        cand = ob.join(
+            nb,
+            (F.col("ob.band") == F.col("nb.band"))
+            & (F.col("ob.bsig") == F.col("nb.bsig"))
+            & (F.col("ob.doc_id") != F.col("nb.doc_id")),
+        ).select(
+            F.least("ob.doc_id", "nb.doc_id").alias("doc_a"),
+            F.greatest("ob.doc_id", "nb.doc_id").alias("doc_b"),
+        )
+        return cand.distinct().count()
+
+    def timed_probes(read_fn) -> tuple[list, int]:
+        times, n = [], -1
+        for _ in range(PROBE_REPS):
+            t = time.monotonic()
+            n = probe_against(read_fn())
+            times.append(round(time.monotonic() - t, 3))
+        return times, n
+
+    # Shape A: append-only full scan (fresh read each rep; the OS page
+    # cache is warm — realistic for recently ingested state).
+    plain, _ = band_state_paths(bands_dir)
+    t_append, n_append = timed_probes(lambda: spark.read.parquet(*plain))
+
+    # Compact (fake the commits log so the batch-built v0 counts as
+    # committed), then shape B: touched-bucket pruned read.
+    os.makedirs(f"{state}/_checkpoint/commits", exist_ok=True)
+    with open(f"{state}/_checkpoint/commits/0", "w") as fh:
+        fh.write("")
+    band_buckets = max(64, (s_docs * 8) // 1000)
+    t0 = time.monotonic()
+    compact_neardup_bands(spark, state, n_buckets=band_buckets)
+    compact_sec = time.monotonic() - t0
+
+    def read_pruned():
+        plain2, compacted = band_state_paths(bands_dir)
+        comp_b = _compacted_band_buckets(compacted)
+        touched = {
+            r["b"]
+            for r in bands_new.select(
+                _bucket_expr(F.col("bsig"), comp_b).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        comp_paths = [
+            p
+            for b in sorted(touched)
+            if os.path.isdir(p := os.path.join(compacted, f"bkt={b}"))
+        ]
+        readers = []
+        if plain2:
+            readers.append(spark.read.parquet(*plain2))
+        if comp_paths:
+            readers.append(
+                spark.read.parquet(*comp_paths).select(
+                    "doc_id", "band", "bsig"
+                )
+            )
+        out = readers[0]
+        for r in readers[1:]:
+            out = out.unionByName(r)
+        return out
+
+    t_comp, n_comp = timed_probes(read_pruned)
+    assert n_comp == n_append, (n_comp, n_append)
+    return {
+        "mode": "neardup_probe",
+        "n_band_rows": n_band_rows,
+        "seed_sec": round(seed_sec, 3),
+        "compact_sec": round(compact_sec, 3),
+        "band_buckets": band_buckets,
+        "n_candidates": n_append,
+        "append_probe_sec": sorted(t_append)[len(t_append) // 2],
+        "append_probe_all": t_append,
+        "compacted_probe_sec": sorted(t_comp)[len(t_comp) // 2],
+        "compacted_probe_all": t_comp,
+    }
+
+
 def _batch_durations(stamps: list, end: float) -> dict:
     return {
         bid: (stamps[i + 1][1] if i + 1 < len(stamps) else end) - t
@@ -339,14 +555,24 @@ def main() -> None:
     if "--docs" in args:
         mode = "docs"
         args.remove("--docs")
-    if "--neardup" in args:
+    if "--neardup-probe" in args:
+        mode = "neardup_probe"
+        args.remove("--neardup-probe")
+    elif "--neardup" in args:
         mode = "neardup"
         args.remove("--neardup")
-    rungs = (
-        [tuple(int(x) for x in a.split(":")) for a in args]
-        if args
-        else (NEARDUP_RUNGS if mode == "neardup" else RUNGS)
-    )
+    if mode == "neardup_probe":
+        # Probe-isolation rungs take bare S (no bucket arg — the docs
+        # state never enters the measurement).
+        rungs = [
+            (int(a), 0) for a in args
+        ] or [(160_000, 0), (640_000, 0), (2_560_000, 0)]
+    else:
+        rungs = (
+            [tuple(int(x) for x in a.split(":")) for a in args]
+            if args
+            else (NEARDUP_RUNGS if mode == "neardup" else RUNGS)
+        )
 
     from recsys_mapreduce_mrjob_spark.session import session_builder
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
@@ -370,6 +596,12 @@ def main() -> None:
             src = f"{base}/src"
             out: dict[str, dict] = {"mode": mode}
             states = {}
+            if mode == "neardup_probe":
+                out = run_neardup_probe(spark, base, s_items)
+                spark.catalog.clearCache()
+                results[str(s_items)] = out
+                print(f"S={s_items}: {json.dumps(out)}", flush=True)
+                continue
             if mode == "neardup":
                 # Two shapes, both append-only bands: with and without
                 # the mid-stream compaction (the production cadence).
