@@ -585,3 +585,68 @@ def q_stream_neardup_docs_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     if final is None:  # explicit raise: assert vanishes under python -O
         raise RuntimeError("near-dup state dir is empty after the drain")
     return final.where(~F.col("dropped")).select("doc_id", "lang", "source")
+
+
+def _curated_stream_oracle() -> str:
+    """The batch curation composite's own chained CTEs (operators/text
+    ._CURATION_CTES — quality → lang-ID → exact-dedup keep-one →
+    near-dup COMPONENT keep-one), selecting the curated relation
+    row-level: the one source of truth q_corpus_curation aggregates
+    over grades the streaming execution's end state directly."""
+    from ..operators.text import _CURATION_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + _CURATION_CTES
+        + """
+SELECT doc_id, lang_pred, quality, n_tokens FROM curated
+"""
+    )
+
+
+@register("q_stream_curation_exec", oracle=_curated_stream_oracle())
+def q_stream_curation_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation ladder AT INGESTION, driver-graded — the
+    streaming side's composition capstone (round 12): the prior
+    ingestion rungs each ran one gate (exact md5 in
+    ``q_stream_dedup_docs_exec``, pairwise LSH in
+    ``q_stream_neardup_docs_exec``); a production crawl runs the WHOLE
+    ladder — quality gate → language-ID gate → exact-dedup keep-one →
+    near-dup COMPONENT keep-one — continuously, and its curated set
+    must equal what a from-scratch batch run over the accumulated
+    corpus would produce.  The harness feeds the documents table as 4
+    chunk files; each ``foreachBatch`` computes the batch's gates
+    scan-side, min-folds gate survivors into md5-keyed bucketed state
+    (duplicates die at the gate), probes the append-only band state for
+    near-dup candidates, verifies with exact Jaccard, and APPENDS the
+    verified pairs — edges, not drop flags, because the batch keeper
+    rule is per connected component (min gate-surviving doc_id per
+    cluster), components merge when a later batch bridges two earlier
+    clusters, and a retroactively changing keeper is not a per-doc
+    monotone fold.  The end-state read runs the SHARED two-star
+    component walk over the accumulated pairs-sized log
+    (``streaming/twins.py incremental_curation`` /
+    :func:`read_curated_state` — the full layout + invariance
+    argument), so the end state is bit-identical to the batch
+    ``curated`` CTE for ANY chunking and the batch composite's own
+    chained oracle grades the streaming execution exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .twins import (
+        incremental_curation,
+        read_curated_state,
+        write_doc_chunks,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_curation_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/docs_src"
+    state = f"{base}/state"
+    write_doc_chunks(spark, sf_dir, src, n_chunks=4)
+    incremental_curation(spark, src, state)
+    final = read_curated_state(spark, state)
+    if final is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("curation state dir is empty after the drain")
+    return final

@@ -1598,6 +1598,84 @@ def incremental_scd2(
     q.awaitTermination()
 
 
+def band_probe_candidates(
+    s: SparkSession, bands_new: DataFrame, bands_dir: str, batch_id: int
+) -> DataFrame:
+    """Near-dup candidate pairs for one micro-batch's band rows — the
+    probe both the near-dup ingestion fold and the curation ingestion
+    fold run (factored round 12 so the two consumers can never drift on
+    discovery semantics): the batch's (band, bsig) rows equi-join the
+    accumulated band state (append-only ``v{n}`` versions strictly below
+    ``batch_id``, plus — when :func:`compact_neardup_bands` has run —
+    only the bsig-bucketed compacted subtrees this batch's signatures
+    hash into) UNION the new×new in-batch self-join, normalized to
+    ``doc_a < doc_b`` and deduplicated.  A pair is discovered EXACTLY
+    ONCE, in the batch where its later-arriving member lands, for any
+    chunking of the corpus.  ``bands_new`` must be persisted AND
+    materialized by the caller (the InMemoryRelation's true batch-sized
+    footprint is what lets Catalyst auto-broadcast the probe side)."""
+    import os
+
+    plain_paths, compacted = band_state_paths(bands_dir, batch_id)
+    readers = []
+    if plain_paths:
+        readers.append(s.read.parquet(*plain_paths))
+    if compacted is not None:
+        # Pruned probe against the compacted tree: only the
+        # bsig buckets this batch's signatures hash into (the
+        # compaction's whole point — see compact_neardup_bands).
+        comp_b = _compacted_band_buckets(compacted)
+        touched = {
+            r["b"]
+            for r in bands_new.select(
+                _bucket_expr(F.col("bsig"), comp_b).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        comp_paths = [
+            p
+            for b in sorted(touched)
+            if os.path.isdir(p := os.path.join(compacted, f"bkt={b}"))
+        ]
+        if comp_paths:
+            readers.append(
+                s.read.parquet(*comp_paths).select("doc_id", "band", "bsig")
+            )
+    if readers:
+        bands_old = readers[0]
+        for r in readers[1:]:
+            bands_old = bands_old.unionByName(r)
+    else:
+        bands_old = s.createDataFrame([], "doc_id long, band int, bsig string")
+    # Candidates: old×new on the band key (exactly-once pair
+    # discovery — the old member landed in an earlier batch) plus
+    # new×new within the batch; normalized to doc_a < doc_b.
+    ob = bands_old.alias("ob")
+    nb = bands_new.alias("nb")
+    cand_on = ob.join(
+        nb,
+        (F.col("ob.band") == F.col("nb.band"))
+        & (F.col("ob.bsig") == F.col("nb.bsig"))
+        & (F.col("ob.doc_id") != F.col("nb.doc_id")),
+    ).select(
+        F.least("ob.doc_id", "nb.doc_id").alias("doc_a"),
+        F.greatest("ob.doc_id", "nb.doc_id").alias("doc_b"),
+    )
+    na = bands_new.alias("na")
+    nn = bands_new.alias("nn")
+    cand_nn = na.join(
+        nn,
+        (F.col("na.band") == F.col("nn.band"))
+        & (F.col("na.bsig") == F.col("nn.bsig"))
+        & (F.col("na.doc_id") < F.col("nn.doc_id")),
+    ).select(
+        F.col("na.doc_id").alias("doc_a"),
+        F.col("nn.doc_id").alias("doc_b"),
+    )
+    return cand_on.unionByName(cand_nn).distinct()
+
+
 def incremental_neardup(
     spark: SparkSession,
     src_dir: str,
@@ -1676,8 +1754,6 @@ def incremental_neardup(
     the batch pipeline) — a MinHash-estimate verification would shrink
     state to the 32-minhash vector at the price of approximate Jaccard.
     """
-    import os
-
     from ..operators.dedup import (
         portable_band_rows,
         portable_minhash_sig,
@@ -1733,71 +1809,9 @@ def incremental_neardup(
             # for a giant backfill batch that genuinely shouldn't
             # broadcast — no manual size dispatch needed).
             bands_new.count()
-            plain_paths, compacted = band_state_paths(bands_dir, batch_id)
-            readers = []
-            if plain_paths:
-                readers.append(s.read.parquet(*plain_paths))
-            if compacted is not None:
-                # Pruned probe against the compacted tree: only the
-                # bsig buckets this batch's signatures hash into (the
-                # compaction's whole point — see compact_neardup_bands).
-                comp_b = _compacted_band_buckets(compacted)
-                touched = {
-                    r["b"]
-                    for r in bands_new.select(
-                        _bucket_expr(F.col("bsig"), comp_b).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                }
-                comp_paths = [
-                    p
-                    for b in sorted(touched)
-                    if os.path.isdir(p := os.path.join(compacted, f"bkt={b}"))
-                ]
-                if comp_paths:
-                    readers.append(
-                        s.read.parquet(*comp_paths).select(
-                            "doc_id", "band", "bsig"
-                        )
-                    )
-            if readers:
-                bands_old = readers[0]
-                for r in readers[1:]:
-                    bands_old = bands_old.unionByName(r)
-            else:
-                bands_old = s.createDataFrame(
-                    [], "doc_id long, band int, bsig string"
-                )
-            # Candidates: old×new on the band key (exactly-once pair
-            # discovery — the old member landed in an earlier batch) plus
-            # new×new within the batch; normalized to doc_a < doc_b.
-            ob = bands_old.alias("ob")
-            nb = bands_new.alias("nb")
-            cand_on = (
-                ob.join(
-                    nb,
-                    (F.col("ob.band") == F.col("nb.band"))
-                    & (F.col("ob.bsig") == F.col("nb.bsig"))
-                    & (F.col("ob.doc_id") != F.col("nb.doc_id")),
-                )
-                .select(
-                    F.least("ob.doc_id", "nb.doc_id").alias("doc_a"),
-                    F.greatest("ob.doc_id", "nb.doc_id").alias("doc_b"),
-                )
-            )
-            na = bands_new.alias("na")
-            nn = bands_new.alias("nn")
-            cand_nn = na.join(
-                nn,
-                (F.col("na.band") == F.col("nn.band"))
-                & (F.col("na.bsig") == F.col("nn.bsig"))
-                & (F.col("na.doc_id") < F.col("nn.doc_id")),
-            ).select(
-                F.col("na.doc_id").alias("doc_a"),
-                F.col("nn.doc_id").alias("doc_b"),
-            )
-            cand = cand_on.unionByName(cand_nn).distinct().persist()
+            cand = band_probe_candidates(
+                s, bands_new, bands_dir, batch_id
+            ).persist()
             try:
                 # Old docs the verification (and the flag merge) touches:
                 # candidate endpoints not in this batch.
@@ -2075,3 +2089,325 @@ def compact_neardup_bands(
     for p in sources:
         shutil.rmtree(p, ignore_errors=True)
     return target
+
+
+def incremental_curation(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    on_batch=None,
+    n_buckets: int = _STATE_BUCKETS,
+) -> None:
+    """The FULL curation ladder AT INGESTION via ``foreachBatch`` —
+    quality gate → language-ID gate → exact-dedup keep-one → near-dup
+    component keep-one, maintained incrementally as documents arrive
+    (round 12; the composition capstone of the streaming side, the way
+    ``q_export_release`` is the batch side's).  The prior ingestion
+    rungs each ran ONE gate (`incremental_doc_dedup` = exact md5,
+    `incremental_neardup` = pairwise LSH); a production crawl runs the
+    whole ladder, and its end state must be bit-identical to the batch
+    composite (``operators/text.curated_docs``) so the SAME chained
+    oracle grades both executions.
+
+    Four state relations under ``state_dir``, layout per mutability:
+
+    - ``bands/``: append-only (doc_id, band, bsig) LSH rows for every
+      seen doc — identical to ``incremental_neardup``'s band state
+      (immutable facts, one sorted file per batch;
+      :func:`compact_neardup_bands` applies unchanged for the 100 TB
+      pruning path).
+    - ``pairs/``: append-only verified near-pairs (doc_a < doc_b,
+      Jaccard ≥ 0.8) — immutable facts discovered EXACTLY ONCE (in the
+      batch where the later member lands, via
+      :func:`band_probe_candidates`), so each batch appends one
+      pair-sized file.  The pair relation is ≪ corpus-sized (BASELINE
+      sf0.1: ~250 pairs off 60k docs), which is what makes keeping the
+      EDGES — not per-doc drop flags — the right state for component
+      semantics.
+    - ``shsets/``: (doc_id, sh_set, n_sh) hashed-shingle sets for docs
+      that shingle, bucketed by doc_id — read per batch only for the
+      candidate endpoints' exact-Jaccard verification (touched-bucket
+      reads); rows are immutable, so per-batch writes rewrite only the
+      buckets receiving NEW rows.
+    - ``kept/``: the gate-surviving exact-dedup state, keyed and
+      bucketed by ``content_hash``: one row per distinct md5 among
+      QUALITY+LANG survivors carrying the keeper (min doc_id) row's
+      (doc_id, lang_pred, quality, n_tokens) — the same
+      min-struct fold as ``incremental_doc_dedup`` restricted to gate
+      passers (the gates are deterministic per-doc scans, so filtering
+      each batch before the fold equals the batch semantics' dedup-over-
+      kept).  Duplicates and gate failures die at the gate: this state
+      never holds them.
+
+    Why the NEAR-dup stage stores edges instead of folding drop flags:
+    batch curation's keeper rule (r8 semantics) is per CONNECTED
+    COMPONENT — keeper = min doc_id among gate survivors of the whole
+    cluster, which pairwise flag-folding cannot express (components
+    merge when a later batch bridges two earlier clusters, and a
+    keeper can change retroactively).  "Dropped" is therefore not a
+    per-doc monotone fold; the per-batch INCREMENTAL work is the
+    expensive part — signature computation, band probing, exact
+    verification, all O(batch + candidates) — while the component walk
+    runs at READ time over the accumulated pair log
+    (:func:`read_curated_state`), a pairs-sized fixpoint exactly like
+    the batch composite's (release pipelines need the final clusters at
+    export time, not per-batch).  End-state invariance: the streamed
+    pair set equals the one-shot batch pair set for any chunking
+    (exactly-once discovery + the shared verification expressions), the
+    min-struct fold is associative/commutative/idempotent, and the
+    read-time walk is a pure function of both — so the curated relation
+    is bit-identical to the batch ``curated`` CTE for ANY arrival
+    order, and the chained batch oracle grades the streaming execution
+    exactly (the split-invariance pytest pins it).
+
+    Replay safety as everywhere in this module: reads take versions
+    strictly below the batch id; every per-batch write (two appends,
+    two touched-bucket merges) rewrites ``v{batch_id}`` idempotently.
+    """
+    from ..functions.textfns import lang_id, quality_score, token_count
+    from ..operators.dedup import (
+        portable_band_rows,
+        portable_minhash_sig,
+        portable_verify_pairs,
+    )
+    from ..operators.text import _CURATION_QUALITY_MIN
+
+    bands_dir = f"{state_dir}/bands"
+    pairs_dir = f"{state_dir}/pairs"
+    sets_dir = f"{state_dir}/shsets"
+    kept_dir = f"{state_dir}/kept"
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def keep_min(gated: DataFrame) -> DataFrame:
+        """min(struct(doc_id, lang_pred, quality, n_tokens)) per
+        content_hash, unpacked — the ONE fold definition the batch
+        partial and the merge share (same discipline as
+        incremental_doc_dedup.keep_first)."""
+        return (
+            gated.select(
+                "content_hash",
+                F.struct(
+                    "doc_id", "lang_pred", "quality", "n_tokens"
+                ).alias("first"),
+            )
+            .groupBy("content_hash")
+            .agg(F.min("first").alias("first"))
+            .select(
+                "content_hash",
+                F.col("first.doc_id").alias("doc_id"),
+                F.col("first.lang_pred").alias("lang_pred"),
+                F.col("first.quality").alias("quality"),
+                F.col("first.n_tokens").alias("n_tokens"),
+            )
+            .withColumn("bkt", _bucket_expr(F.col("content_hash"), n_buckets))
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if on_batch is not None:
+            on_batch(batch_id)
+        s = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").persist()
+        sig = portable_minhash_sig(batch).persist()
+        bands_new = portable_band_rows(sig).persist()
+        try:
+            if batch.count() == 0:
+                return  # empty batch: every state version stands
+            # Materialize before building the probe join (see
+            # band_probe_candidates: the true batch-sized footprint is
+            # what lets the probe auto-broadcast).
+            bands_new.count()
+            cand = band_probe_candidates(
+                s, bands_new, bands_dir, batch_id
+            ).persist()
+            try:
+                new_ids = batch.select("doc_id")
+                cand_ids = (
+                    cand.select(F.col("doc_a").alias("doc_id"))
+                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                    .distinct()
+                )
+                old_need = cand_ids.join(new_ids, "doc_id", "left_anti")
+                sets_new = sig.select("doc_id", "sh_set", "n_sh")
+                write_bkts = {
+                    r["bkt"]
+                    for r in sets_new.select(
+                        _bucket_expr(F.col("doc_id"), n_buckets).alias("bkt")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                read_bkts = {
+                    r["bkt"]
+                    for r in old_need.select(
+                        _bucket_expr(F.col("doc_id"), n_buckets).alias("bkt")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                set_paths = bucket_latest_paths(
+                    sets_dir,
+                    below=batch_id,
+                    buckets=write_bkts | read_bkts | {-1},
+                )
+                if -1 in set_paths:
+                    raise ValueError(
+                        f"incremental_curation: {sets_dir} holds a "
+                        "pre-bucketing full-layout version — run "
+                        "migrate_state_to_bucketed into a fresh dir first"
+                    )
+                if set_paths:
+                    sets_old = s.read.parquet(*sorted(set_paths.values()))
+                else:
+                    sets_old = s.createDataFrame(
+                        [], "doc_id long, sh_set array<long>, n_sh int"
+                    )
+                sets_old = sets_old.persist()
+                try:
+                    verify_sets = sets_new.unionByName(
+                        sets_old.join(old_need, "doc_id", "left_semi")
+                    )
+                    verified = portable_verify_pairs(cand, verify_sets).select(
+                        "doc_a", "doc_b"
+                    )
+                    # Append-only pair + band versions: one file each,
+                    # exactly this batch's rows (an empty verified set
+                    # still writes a schema-carrying file — uniform
+                    # version listing).
+                    verified.coalesce(1).write.mode("overwrite").parquet(
+                        f"{pairs_dir}/v{batch_id}"
+                    )
+                    bands_new.sort("bsig").coalesce(1).write.mode(
+                        "overwrite"
+                    ).parquet(f"{bands_dir}/v{batch_id}")
+                    # Shingle-set merge: only buckets receiving NEW rows
+                    # are rewritten (rows are immutable — the verify-only
+                    # buckets above were read, not dirtied).
+                    if write_bkts:
+                        sets_keep = sets_old.withColumn(
+                            "bkt", _bucket_expr(F.col("doc_id"), n_buckets)
+                        ).where(
+                            F.col("bkt").isin([int(b) for b in write_bkts])
+                        )
+                        merged_sets = sets_keep.unionByName(
+                            sets_new.withColumn(
+                                "bkt",
+                                _bucket_expr(F.col("doc_id"), n_buckets),
+                            )
+                        )
+                        merged_sets.repartition(
+                            len(write_bkts), "bkt"
+                        ).write.mode("overwrite").partitionBy("bkt").parquet(
+                            f"{sets_dir}/v{batch_id}"
+                        )
+                finally:
+                    sets_old.unpersist()
+            finally:
+                cand.unpersist()
+            # Gate + exact-dedup fold (independent of the pair state;
+            # runs last so a crash mid-batch leaves at most idempotently
+            # rewritable versions behind).
+            gated = keep_min(
+                batch.select(
+                    "doc_id",
+                    F.md5(F.col("text").cast("binary")).alias("content_hash"),
+                    (quality_score(F.col("text")) + F.lit(0.0)).alias(
+                        "quality"
+                    ),
+                    lang_id(F.col("text")).alias("lang_pred"),
+                    token_count(F.col("text")).cast("long").alias("n_tokens"),
+                ).where(
+                    (F.col("quality") >= _CURATION_QUALITY_MIN)
+                    & (F.col("lang_pred") != "und")
+                )
+            ).persist()
+            try:
+                touched = {
+                    r["bkt"]
+                    for r in gated.select("bkt").distinct().collect()
+                }
+                if not touched:
+                    return  # no gate survivors: kept state stands
+                kept_paths = bucket_latest_paths(
+                    kept_dir, below=batch_id, buckets=touched | {-1}
+                )
+                if -1 in kept_paths:
+                    raise ValueError(
+                        f"incremental_curation: {kept_dir} holds a "
+                        "pre-bucketing full-layout version — run "
+                        "migrate_state_to_bucketed into a fresh dir first"
+                    )
+                base = gated.drop("bkt")
+                if kept_paths:
+                    base = s.read.parquet(
+                        *sorted(kept_paths.values())
+                    ).unionByName(base)
+                keep_min(base).repartition(len(touched), "bkt").write.mode(
+                    "overwrite"
+                ).partitionBy("bkt").parquet(f"{kept_dir}/v{batch_id}")
+            finally:
+                gated.unpersist()
+        finally:
+            batch.unpersist()
+            sig.unpersist()
+            bands_new.unpersist()
+
+    _claim_bucket_layout(sets_dir, "doc_id", n_buckets)
+    _claim_bucket_layout(kept_dir, "content_hash", n_buckets)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{state_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_curated_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Assemble the curated relation from :func:`incremental_curation`'s
+    end state: gate survivors (the ``kept/`` min-fold state) anti-joined
+    against near-dup non-keepers derived by running the SHARED two-star
+    component walk (``operators/dedup.pair_component_labels``) over the
+    accumulated ``pairs/`` log — keeper = min doc_id among gate
+    SURVIVORS per component, verbatim the batch ``curated_docs`` keeper
+    rule (r8 semantics).  The walk is pairs-sized (≪ corpus), every
+    other relation here is state-sized; returns None when no batch ever
+    committed."""
+    import os
+
+    from ..operators.dedup import pair_component_labels
+
+    kept = read_bucketed_state(spark, f"{state_dir}/kept")
+    if kept is None:
+        return None
+    surv = kept.select("doc_id", "lang_pred", "quality", "n_tokens")
+    pairs_dir = f"{state_dir}/pairs"
+    versions = (
+        [
+            os.path.join(pairs_dir, d)
+            for d in sorted(os.listdir(pairs_dir))
+            if _version_of(d) is not None
+        ]
+        if os.path.isdir(pairs_dir)
+        else []
+    )
+    if not versions:
+        return surv
+    pairs = spark.read.parquet(*versions)
+    labels = pair_component_labels(pairs)
+    lab_surv = labels.join(
+        surv.select("doc_id"), labels["id"] == F.col("doc_id")
+    ).select("id", "label")
+    keepers = lab_surv.groupBy("label").agg(F.min("id").alias("keeper"))
+    non_keepers = (
+        lab_surv.join(keepers, "label")
+        .where(F.col("id") != F.col("keeper"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    return surv.join(non_keepers, "doc_id", "left_anti")

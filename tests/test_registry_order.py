@@ -6,14 +6,15 @@ receive a driver correctness row.  Round-12 contract (VERDICT r11 "Next
 round" #1, #2, #3, #5): the prefix first-grades the four queries NEW this
 round (the decontamination-gated curation composite, the PII-redacting
 rewrite, the ALS output-contract audit, the release capstone composing
-decon + redaction into the chunk export), then the three whose plan/oracle
+decon + redaction into the chunk export, and the streaming curation
+capstone running the full gate ladder at ingestion), then the three whose plan/oracle
 changed this round (the chunk export's cid runtime guard, the
 contamination detector factored into the prefixable
 ``_contam_ctes``/``_contam_hits`` pair, the ALS recommender's memoized
 output relation — identity-preserving, the re-grade is the proof), then
 the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 10
 stalest r9-graded names — after this round no query's latest grade is
-older than round 9.  The remaining 36 r9 names lead the post-prefix queue
+older than round 9.  The remaining 38 r9 names lead the post-prefix queue
 for round 13 (DEFERRED_R9 below), stalest-first in their original r9
 registration order: the deferral rule is "cohort age, then original
 order", not per-query judgment calls.
@@ -31,6 +32,7 @@ NEW_R12 = {
     "q_text_pii_redact",
     "q_recommend_als_audit",
     "q_export_release",
+    "q_stream_curation_exec",
 }
 
 # Plan/oracle changed this round — re-graded to prove identity.
@@ -78,10 +80,11 @@ STALE_R8 = {
     "q_window_tumbling",
 }
 
-# The round-9-graded cohort members that FIT the remaining 9 slots —
-# the FIRST 9 of the r9 cohort in its original registration order (the
-# auditable stalest-first rule; no per-query picking; the release
-# capstone's new-query slot displaced q_array_funcs to round 13).
+# The round-9-graded cohort members that FIT the remaining 8 slots —
+# the FIRST 8 of the r9 cohort in its original registration order (the
+# auditable stalest-first rule; no per-query picking; the release and
+# streaming-curation capstones' new-query slots displaced q_array_funcs
+# and q_json_funcs to round 13).
 R9_IN_PREFIX = [
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
@@ -91,13 +94,13 @@ R9_IN_PREFIX = [
     "q_project_expr",
     "q_math_funcs",
     "q_date_funcs",
-    "q_json_funcs",
 ]
 
-# The 37 r9-graded names the 50-slot prefix could not fit; they lead the
+# The 38 r9-graded names the 50-slot prefix could not fit; they lead the
 # round-13 stale queue in this order.
 DEFERRED_R9 = [
     "q_array_funcs",
+    "q_json_funcs",
     "q_agg_stats",
     "q_agg_string_agg",
     "q_except",
@@ -161,7 +164,7 @@ def test_flagship_is_first():
 
 
 def test_new_r12_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-4 — graded even if
+    """The never-graded new queries sit in slots 2-6 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R12)])
     assert head == NEW_R12
@@ -184,7 +187,7 @@ def test_stale_r8_queue_precedes_r9_cohort():
 
 
 def test_r9_tail_fills_the_prefix_stalest_first():
-    """The last 10 prefix slots take the r9 cohort's FIRST 10 names in
+    """The last 8 prefix slots take the r9 cohort's FIRST 8 names in
     their original order — the deferral rule is cohort age + original
     order, auditable from the lists alone."""
     names = _loaded_names()

@@ -499,3 +499,101 @@ def test_neardup_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path):
     compact_neardup_bands(spark, state, n_buckets=16)
     plain2, compacted2 = band_state_paths(f"{state}/bands")
     assert compacted2 is not None and plain2 == []
+
+
+def test_curation_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
+    """The full-ladder curation ingestion fold (round 12 — the streaming
+    side's composition capstone) under the exactly-once hazard plus its
+    order-invariance claim: a crash after batch 0 commits must replay
+    only uncommitted batches; 4 interleaved chunks (doc_id % 4 — near-dup
+    cluster members arrive in BOTH orders across batches, exercising the
+    cross-batch pair discovery and the component walk over a
+    batch-bridged pair log) must equal 1 chunk must equal the BATCH
+    composite ``curated_docs`` itself — the bit-identity that lets the
+    batch chained oracle grade the streaming execution."""
+    from recsys_mapreduce_mrjob_spark.operators.text import curated_docs
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_curation,
+        read_curated_state,
+        write_doc_chunks,
+    )
+
+    src4 = str(tmp_path / "docs4")
+    st4 = str(tmp_path / "state4")
+    write_doc_chunks(spark, smoke_dir, src4, n_chunks=4)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_curation(spark, src4, st4, on_batch=crash_on_second)
+    assert os.path.isdir(f"{st4}/bands/v0"), "batch 0 band state missing"
+
+    replayed: list[int] = []
+    incremental_curation(spark, src4, st4, on_batch=replayed.append)
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    resumed = _multiset(read_curated_state(spark, st4))
+
+    # The batch composite over the same corpus IS the oracle-graded twin.
+    batch = _multiset(
+        curated_docs(spark, smoke_dir).select(
+            "doc_id", "lang_pred", "quality", "n_tokens"
+        )
+    )
+    assert resumed == batch
+
+    # Split invariance: the whole corpus in ONE micro-batch.
+    src1 = str(tmp_path / "docs1")
+    st1 = str(tmp_path / "state1")
+    write_doc_chunks(spark, smoke_dir, src1, n_chunks=1)
+    incremental_curation(spark, src1, st1)
+    assert _multiset(read_curated_state(spark, st1)) == batch
+
+
+def test_curation_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path):
+    """The curation fold's band state shares the near-dup fold's
+    append-only layout AND its compaction lifecycle (the probe is the
+    shared ``band_probe_candidates``): drain half the corpus in 2
+    micro-batches, COMPACT the band versions into the bsig-bucketed
+    v-1, land the other half as 2 more chunks, resume — the resumed
+    batches must probe compacted tree + uncompacted tail, and the final
+    curated relation must still equal the batch composite."""
+    from recsys_mapreduce_mrjob_spark.operators.text import curated_docs
+    from recsys_mapreduce_mrjob_spark.sources.readers import load_table
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        _write_keyed_chunks,
+        band_state_paths,
+        compact_neardup_bands,
+        incremental_curation,
+        read_curated_state,
+    )
+
+    src = str(tmp_path / "docs_src")
+    state = str(tmp_path / "state")
+    docs = load_table(spark, smoke_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    _write_keyed_chunks(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 0), "doc_id", src, 2
+    )
+    incremental_curation(spark, src, state)
+
+    compact_neardup_bands(spark, state, n_buckets=16)
+    plain, compacted = band_state_paths(f"{state}/bands")
+    assert compacted is not None and compacted.endswith("v-1")
+    assert plain == [], f"merged plain versions not cleaned: {plain}"
+
+    _write_keyed_chunks(
+        docs.where(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", src, 2
+    )
+    incremental_curation(spark, src, state)
+
+    resumed = _multiset(read_curated_state(spark, state))
+    batch = _multiset(
+        curated_docs(spark, smoke_dir).select(
+            "doc_id", "lang_pred", "quality", "n_tokens"
+        )
+    )
+    assert resumed == batch
