@@ -650,3 +650,51 @@ def q_stream_curation_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     if final is None:  # explicit raise: assert vanishes under python -O
         raise RuntimeError("curation state dir is empty after the drain")
     return final
+
+
+def _semantic_oracle() -> str:
+    from ..operators.dedup import _SEMANTIC_ORACLE
+
+    return _SEMANTIC_ORACLE
+
+
+@register("q_stream_semdedup_exec", oracle=_semantic_oracle())
+def q_stream_semdedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup AT INGESTION, driver-graded — the embedding rung's
+    streaming story (round 12), completing the ingestion dedup ladder
+    (exact md5 → MinHash near-dup → full curation → embedding cosine):
+    vectors arrive as 4 chunk files; each ``foreachBatch`` runs the
+    batch GEMM tile kernel RECTANGULARLY — the batch replicated across
+    the hash-blocked vector state, one dense float64 batch×block GEMM
+    per block, cos ≥ 0.45 on the raw sims — discovering each pair
+    exactly once (old×new when the later vector lands, new×new in the
+    diagonal tile) and appending to a pairs-sized log; the end-state
+    read runs the SHARED two-star walk and emits the drop list (one row
+    per non-keeper with keeper + cluster size), bit-identical to
+    ``q_dedup_semantic`` for any chunking, so the batch exact oracle
+    grades the streaming execution (``streaming/twins.py
+    incremental_semantic_dedup`` carries the full cost-honesty
+    argument: exact 63°-threshold dedup is inherently quadratic, the
+    probe scans the vector state, and the sub-linear alternative is the
+    APPROXIMATE streaming ANN index — a different, separately graded
+    contract)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .twins import (
+        incremental_semantic_dedup,
+        read_semantic_state,
+        write_embedding_chunks,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_semdedup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/vecs_src"
+    state = f"{base}/state"
+    write_embedding_chunks(spark, sf_dir, src, n_chunks=4)
+    incremental_semantic_dedup(spark, src, state)
+    final = read_semantic_state(spark, state)
+    if final is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("semantic state dir is empty after the drain")
+    return final

@@ -597,3 +597,49 @@ def test_curation_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path)
         )
     )
     assert resumed == batch
+
+
+def test_semantic_dedup_crash_resume_and_split_invariance(spark, smoke_dir, tmp_path):
+    """The semantic (embedding-cosine) ingestion fold (round 12 — the
+    embedding rung's streaming story) under the exactly-once hazard
+    plus its order-invariance claim: a crash after batch 0 commits must
+    replay only uncommitted batches; 4 interleaved chunks (vec_id % 4 —
+    cluster members arrive across batches in both orders, exercising
+    the rectangular probe and cross-batch cluster bridging) must equal
+    1 chunk must equal the BATCH ``q_dedup_semantic`` drop list itself —
+    the bit-identity that lets the batch exact oracle grade the
+    streaming execution."""
+    from recsys_mapreduce_mrjob_spark.operators.dedup import q_dedup_semantic
+    from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        incremental_semantic_dedup,
+        read_semantic_state,
+        write_embedding_chunks,
+    )
+
+    src4 = str(tmp_path / "vecs4")
+    st4 = str(tmp_path / "state4")
+    write_embedding_chunks(spark, smoke_dir, src4, n_chunks=4)
+
+    def crash_on_second(batch_id: int) -> None:
+        if batch_id >= 1:
+            raise _InjectedCrash(f"injected crash before batch {batch_id} commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        incremental_semantic_dedup(spark, src4, st4, on_batch=crash_on_second)
+    assert os.path.isdir(f"{st4}/vecs/v0"), "batch 0 vector state missing"
+
+    replayed: list[int] = []
+    incremental_semantic_dedup(spark, src4, st4, on_batch=replayed.append)
+    assert replayed and 0 not in replayed, f"committed batch re-ran: {replayed}"
+
+    resumed = _multiset(read_semantic_state(spark, st4))
+    batch = _multiset(q_dedup_semantic(spark, smoke_dir))
+    assert resumed == batch and sum(batch.values()) > 0
+
+    # Split invariance: the whole corpus in ONE micro-batch (every pair
+    # discovered by the diagonal tile alone).
+    src1 = str(tmp_path / "vecs1")
+    st1 = str(tmp_path / "state1")
+    write_embedding_chunks(spark, smoke_dir, src1, n_chunks=1)
+    incremental_semantic_dedup(spark, src1, st1)
+    assert _multiset(read_semantic_state(spark, st1)) == batch
