@@ -37,8 +37,10 @@ def _plan(spark, sf_dir, name: str) -> str:
 # of rank-compressed FACTOR BLOCKS (not raw relations), each pair doing a
 # block-local GEMM + top-k so the full user×item score matrix never
 # materializes.  That is the documented distributed-MF scoring shape, not
-# the accidental-cross-join this audit exists to catch.
-_INTENTIONAL_BLOCK_CROSS = {"q_recommend_als"}
+# the accidental-cross-join this audit exists to catch.  The round-12
+# output-contract audit consumes the memo-shared ALS output relation, so
+# its plan inherits the same intended block cross.
+_INTENTIONAL_BLOCK_CROSS = {"q_recommend_als", "q_recommend_als_audit"}
 
 
 @pytest.mark.parametrize("name", sorted(registry.QUERIES))
