@@ -2120,7 +2120,10 @@ def incremental_curation(
       Jaccard ≥ 0.8) — immutable facts discovered EXACTLY ONCE (in the
       batch where the later member lands, via
       :func:`band_probe_candidates`), so each batch appends one
-      pair-sized file.  The pair relation is ≪ corpus-sized (BASELINE
+      pair-sized file (:func:`compact_pair_log` is the file-count
+      maintenance path — the log is never probed during ingest, so
+      compaction here is listing hygiene, not probe pruning).  The
+      pair relation is ≪ corpus-sized (BASELINE
       sf0.1: ~250 pairs off 60k docs), which is what makes keeping the
       EDGES — not per-doc drop flags — the right state for component
       semantics.
@@ -2413,7 +2416,7 @@ def read_curated_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return surv.join(non_keepers, "doc_id", "left_anti")
 
 
-def _semantic_pair_tables(mode: str):
+def _semantic_pair_kernel(mode: str):
     """Arrow tile kernels for the semantic-dedup ingestion probe — the
     SAME numeric path as the batch GEMM tile (operators/dedup
     q_dedup_embedding.score_tile: float64 cast, L2-normalize each side
@@ -2498,7 +2501,8 @@ def incremental_semantic_dedup(
       per batch.
     - ``pairs/``: verified cos ≥ 0.45 pairs (vec_a < vec_b), discovered
       EXACTLY ONCE each — old×new in the batch where the later vector
-      lands (the probe), new×new in its own batch (the diagonal tile).
+      lands (the probe), new×new in its own batch (the diagonal tile);
+      :func:`compact_pair_log` bounds the per-batch file accumulation.
 
     The probe is the batch GEMM discipline applied rectangularly: state
     vectors hash into ``n_blocks`` blocks, the (small) batch replicates
@@ -2563,7 +2567,7 @@ def incremental_semantic_dedup(
                 batch.withColumn("g", F.lit(0))
                 .groupBy("g")
                 .applyInArrow(
-                    _semantic_pair_tables("diag"),
+                    _semantic_pair_kernel("diag"),
                     schema="vec_a long, vec_b long",
                 )
             )
@@ -2588,7 +2592,7 @@ def incremental_semantic_dedup(
                     vstate.unionByName(vbatch)
                     .groupBy("blk")
                     .applyInArrow(
-                        _semantic_pair_tables("cross"),
+                        _semantic_pair_kernel("cross"),
                         schema="vec_a long, vec_b long",
                     )
                 )
@@ -2645,3 +2649,70 @@ def read_semantic_state(spark: SparkSession, state_dir: str) -> DataFrame | None
         .where(F.col("id") != F.col("keeper_vec_id"))
         .select(F.col("id").alias("vec_id"), "keeper_vec_id", "cluster_size")
     )
+
+
+def compact_pair_log(spark: SparkSession, pairs_dir: str) -> str | None:
+    """Compact an append-only pair log (the ``pairs/`` state of the
+    curation and semantic ingestion folds) — merge the committed
+    per-batch ``v{n}`` versions plus any existing compacted ``v-1``
+    into ONE ``v-1`` file and delete the merged versions.  The log is
+    only READ at end-state time (never probed during ingest), so the
+    maintenance concern is file count, not probe pruning: a
+    long-running ingest accumulates one tiny file per batch, and this
+    rare amortized rewrite keeps the listing bounded — the same
+    lifecycle discipline as ``compact_neardup_bands``, minus the
+    bucketing (the whole log is pairs-sized).
+
+    Crash-safety (write-then-swap): the merge lands in a staging dir,
+    the live ``v-1`` is displaced, staging renamed in, then displaced +
+    merged sources are deleted.  A crash between the two renames leaves
+    no ``v-1`` but every source intact — the entry-point recovery
+    restores the displaced dir and re-runs.  Only versions carrying
+    ``_SUCCESS`` merge; a compacted-then-replayed batch (checkpoint
+    commit raced the compaction) rewrites its ``v{n}`` and briefly
+    duplicates its pairs across ``v-1`` and ``v{n}`` — harmless to
+    every consumer (duplicate EDGES change neither component labels
+    nor keeper election, and ``pair_component_labels`` deduplicates
+    endpoints) and healed by the ``.distinct()`` in the next merge.
+    Returns the compacted path, or None when there is nothing to do."""
+    import os
+    import shutil
+
+    if not os.path.isdir(pairs_dir):
+        return None
+    staging = os.path.join(pairs_dir, "_compact_staging")
+    displaced = os.path.join(pairs_dir, "_compact_displaced")
+    target = os.path.join(pairs_dir, "v-1")
+    # Entry recovery: a crash between the two renames left the old
+    # compacted tree displaced and no live v-1 — restore it (sources
+    # were not yet deleted, so no pair is lost either way); any staging
+    # tree is a failed attempt, rebuilt below.
+    if os.path.isdir(displaced) and not os.path.isdir(target):
+        os.rename(displaced, target)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(displaced, ignore_errors=True)
+    sources = [
+        p
+        for d in sorted(os.listdir(pairs_dir))
+        if (v := _version_of(d)) is not None
+        and v >= 0
+        and os.path.exists(os.path.join(p := os.path.join(pairs_dir, d), "_SUCCESS"))
+    ]
+    has_target = os.path.isdir(target)
+    if not sources:
+        return target if has_target else None
+    readers = sources + ([target] if has_target else [])
+    (
+        spark.read.parquet(*readers)
+        .distinct()
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    if has_target:
+        os.rename(target, displaced)
+    os.rename(staging, target)
+    shutil.rmtree(displaced, ignore_errors=True)
+    for p in sources:
+        shutil.rmtree(p, ignore_errors=True)
+    return target

@@ -563,9 +563,11 @@ def test_curation_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path)
     from recsys_mapreduce_mrjob_spark.operators.text import curated_docs
     from recsys_mapreduce_mrjob_spark.sources.readers import load_table
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
+        _version_of,
         _write_keyed_chunks,
         band_state_paths,
         compact_neardup_bands,
+        compact_pair_log,
         incremental_curation,
         read_curated_state,
     )
@@ -584,6 +586,12 @@ def test_curation_band_compaction_and_resumed_ingest(spark, smoke_dir, tmp_path)
     plain, compacted = band_state_paths(f"{state}/bands")
     assert compacted is not None and compacted.endswith("v-1")
     assert plain == [], f"merged plain versions not cleaned: {plain}"
+
+    # The pair log compacts on the same maintenance cadence: per-batch
+    # versions merge into the reserved v-1 and are deleted.
+    assert compact_pair_log(spark, f"{state}/pairs").endswith("v-1")
+    left = [d for d in os.listdir(f"{state}/pairs") if _version_of(d) is not None]
+    assert left == ["v-1"], f"pair versions not merged: {left}"
 
     _write_keyed_chunks(
         docs.where(F.pmod("doc_id", F.lit(2)) == 1), "doc_id", src, 2
