@@ -1027,28 +1027,47 @@ def _contam_ctes(p: str = "") -> str:
 )"""
 
 
+def _contam_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 5-shingles per doc — the one corpus-scale relation under
+    the contamination detector."""
+    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
+    )
+
+
 def _contam_hits(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Spark twin of :func:`_contam_ctes`: (hits, sizes) — the shared
-    detector both the standalone report and the curation gate consume.
-    The benchmark shingle set is benchmark-sized and broadcasts; the
-    corpus side is one distinct-shingle scan + broadcast equi-join +
-    per-doc count (no corpus×benchmark pair space)."""
-    docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    bench = F.broadcast(
-        sh.where(F.col("doc_id") < _CONTAM_BENCH_MAX).select("s").distinct()
-    )
-    hits = (
-        sh.where(F.col("doc_id") >= _CONTAM_BENCH_MAX)
-        .join(bench, "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    detector the standalone report, the curation gate, and the release
+    capstone all consume.  The benchmark shingle set is benchmark-sized
+    and broadcasts; the corpus side is one distinct-shingle scan +
+    broadcast equi-join + per-doc count (no corpus×benchmark pair
+    space).  The hit relation is MEMOIZED (code-review r12): it is
+    hit-sized, and without the memo each of its three consumers rebuilt
+    the corpus-scale shingle scan — the same one-factorization
+    discipline as ``curated_docs`` / ``als_recs``.  ``sizes`` stays
+    lazy: only the standalone report consumes it, exactly once."""
+
+    def build_hits() -> DataFrame:
+        sh = _contam_shingles(spark, sf_dir)
+        bench = F.broadcast(
+            sh.where(F.col("doc_id") < _CONTAM_BENCH_MAX)
+            .select("s")
+            .distinct()
+        )
+        return (
+            sh.where(F.col("doc_id") >= _CONTAM_BENCH_MAX)
+            .join(bench, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+
+    hits = memo_persist(spark, "contam_hits", sf_dir, build_hits)
+    sizes = _contam_shingles(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
     )
     return hits, sizes
 

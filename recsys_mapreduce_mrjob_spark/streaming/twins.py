@@ -1598,22 +1598,21 @@ def incremental_scd2(
     q.awaitTermination()
 
 
-def band_probe_candidates(
-    s: SparkSession, bands_new: DataFrame, bands_dir: str, batch_id: int
-) -> DataFrame:
-    """Near-dup candidate pairs for one micro-batch's band rows — the
-    probe both the near-dup ingestion fold and the curation ingestion
-    fold run (factored round 12 so the two consumers can never drift on
-    discovery semantics): the batch's (band, bsig) rows equi-join the
-    accumulated band state (append-only ``v{n}`` versions strictly below
-    ``batch_id``, plus — when :func:`compact_neardup_bands` has run —
-    only the bsig-bucketed compacted subtrees this batch's signatures
-    hash into) UNION the new×new in-batch self-join, normalized to
-    ``doc_a < doc_b`` and deduplicated.  A pair is discovered EXACTLY
-    ONCE, in the batch where its later-arriving member lands, for any
-    chunking of the corpus.  ``bands_new`` must be persisted AND
-    materialized by the caller (the InMemoryRelation's true batch-sized
-    footprint is what lets Catalyst auto-broadcast the probe side)."""
+def band_state_reader(
+    s: SparkSession,
+    bands_new: DataFrame,
+    bands_dir: str,
+    batch_id: int | None = None,
+) -> DataFrame | None:
+    """The accumulated band-state relation a batch's probe joins — the
+    ONE read definition (code-review r12: the probe-isolation bench
+    tool re-implemented this inline, which is exactly the drift the
+    ``band_probe_candidates`` factoring exists to prevent): append-only
+    ``v{n}`` versions (strictly below ``batch_id`` when given — the
+    replay guard) unioned with, when :func:`compact_neardup_bands` has
+    run, ONLY the bsig-bucketed compacted subtrees ``bands_new``'s
+    signatures hash into (the compaction's whole point).  Returns None
+    when no state exists yet."""
     import os
 
     plain_paths, compacted = band_state_paths(bands_dir, batch_id)
@@ -1621,9 +1620,6 @@ def band_probe_candidates(
     if plain_paths:
         readers.append(s.read.parquet(*plain_paths))
     if compacted is not None:
-        # Pruned probe against the compacted tree: only the
-        # bsig buckets this batch's signatures hash into (the
-        # compaction's whole point — see compact_neardup_bands).
         comp_b = _compacted_band_buckets(compacted)
         touched = {
             r["b"]
@@ -1642,11 +1638,32 @@ def band_probe_candidates(
             readers.append(
                 s.read.parquet(*comp_paths).select("doc_id", "band", "bsig")
             )
-    if readers:
-        bands_old = readers[0]
-        for r in readers[1:]:
-            bands_old = bands_old.unionByName(r)
-    else:
+    if not readers:
+        return None
+    out = readers[0]
+    for r in readers[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def band_probe_candidates(
+    s: SparkSession, bands_new: DataFrame, bands_dir: str, batch_id: int
+) -> DataFrame:
+    """Near-dup candidate pairs for one micro-batch's band rows — the
+    probe both the near-dup ingestion fold and the curation ingestion
+    fold run (factored round 12 so the two consumers can never drift on
+    discovery semantics): the batch's (band, bsig) rows equi-join the
+    accumulated band state (append-only ``v{n}`` versions strictly below
+    ``batch_id``, plus — when :func:`compact_neardup_bands` has run —
+    only the bsig-bucketed compacted subtrees this batch's signatures
+    hash into) UNION the new×new in-batch self-join, normalized to
+    ``doc_a < doc_b`` and deduplicated.  A pair is discovered EXACTLY
+    ONCE, in the batch where its later-arriving member lands, for any
+    chunking of the corpus.  ``bands_new`` must be persisted AND
+    materialized by the caller (the InMemoryRelation's true batch-sized
+    footprint is what lets Catalyst auto-broadcast the probe side)."""
+    bands_old = band_state_reader(s, bands_new, bands_dir, batch_id)
+    if bands_old is None:
         bands_old = s.createDataFrame([], "doc_id long, band int, bsig string")
     # Candidates: old×new on the band key (exactly-once pair
     # discovery — the old member landed in an earlier batch) plus
@@ -2393,9 +2410,14 @@ def read_curated_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     pairs_dir = f"{state_dir}/pairs"
     versions = (
         [
-            os.path.join(pairs_dir, d)
+            p
             for d in sorted(os.listdir(pairs_dir))
             if _version_of(d) is not None
+            # _SUCCESS gate: a crashed batch's partial version must not
+            # feed the walk (module-wide versioned-state discipline).
+            and os.path.exists(
+                os.path.join(p := os.path.join(pairs_dir, d), "_SUCCESS")
+            )
         ]
         if os.path.isdir(pairs_dir)
         else []
@@ -2556,9 +2578,17 @@ def incremental_semantic_dedup(
                 return  # empty batch: every state version stands
             versions = (
                 [
-                    os.path.join(vecs_dir, d)
+                    p
                     for d in sorted(os.listdir(vecs_dir))
-                    if (v := _version_of(d)) is not None and v < batch_id
+                    if (v := _version_of(d)) is not None
+                    and v < batch_id
+                    # _SUCCESS gate, as everywhere: a crashed batch's
+                    # partial write must not feed its own replay.
+                    and os.path.exists(
+                        os.path.join(
+                            p := os.path.join(vecs_dir, d), "_SUCCESS"
+                        )
+                    )
                 ]
                 if os.path.isdir(vecs_dir)
                 else []
@@ -2632,9 +2662,13 @@ def read_semantic_state(spark: SparkSession, state_dir: str) -> DataFrame | None
     if not os.path.isdir(pairs_dir):
         return None
     versions = [
-        os.path.join(pairs_dir, d)
+        p
         for d in sorted(os.listdir(pairs_dir))
         if _version_of(d) is not None
+        # _SUCCESS gate: same versioned-state discipline as the folds.
+        and os.path.exists(
+            os.path.join(p := os.path.join(pairs_dir, d), "_SUCCESS")
+        )
     ]
     if not versions:
         return None

@@ -3,7 +3,7 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-11: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-12 contract (VERDICT r11 "Next
-round" #1, #2, #3, #5): the prefix first-grades the four queries NEW this
+round" #1, #2, #3, #5): the prefix first-grades the six queries NEW this
 round (the decontamination-gated curation composite, the PII-redacting
 rewrite, the ALS output-contract audit, the release capstone composing
 decon + redaction into the chunk export, the streaming curation
@@ -13,7 +13,7 @@ changed this round (the chunk export's cid runtime guard, the
 contamination detector factored into the prefixable
 ``_contam_ctes``/``_contam_hits`` pair, the ALS recommender's memoized
 output relation — identity-preserving, the re-grade is the proof), then
-the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 10
+the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 7
 stalest r9-graded names — after this round no query's latest grade is
 older than round 9.  The remaining 39 r9 names lead the post-prefix queue
 for round 13 (DEFERRED_R9 below), stalest-first in their original r9

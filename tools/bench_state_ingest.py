@@ -306,9 +306,7 @@ def run_neardup_probe(spark, base: str, s_docs: int) -> dict:
         portable_minhash_sig,
     )
     from recsys_mapreduce_mrjob_spark.streaming.twins import (
-        _bucket_expr,
-        _compacted_band_buckets,
-        band_state_paths,
+        band_state_reader,
         compact_neardup_bands,
     )
 
@@ -360,6 +358,13 @@ def run_neardup_probe(spark, base: str, s_docs: int) -> dict:
     ).persist()
     bands_new.count()
 
+    # Deliberately old×new ONLY (no in-batch self-join): the rung
+    # isolates the DATA term — how the probe cost scales with the
+    # accumulated state — and the new×new tile is a constant that
+    # cancels across the two timed shapes.  The production candidate
+    # set (band_probe_candidates) adds that tile on top of the SAME
+    # state read measured here (band_state_reader — shared, so the
+    # pruning semantics cannot drift from what ingestion runs).
     def probe_against(bands_old) -> int:
         ob = bands_old.alias("ob")
         nb = bands_new.alias("nb")
@@ -383,9 +388,13 @@ def run_neardup_probe(spark, base: str, s_docs: int) -> dict:
         return times, n
 
     # Shape A: append-only full scan (fresh read each rep; the OS page
-    # cache is warm — realistic for recently ingested state).
-    plain, _ = band_state_paths(bands_dir)
-    t_append, n_append = timed_probes(lambda: spark.read.parquet(*plain))
+    # cache is warm — realistic for recently ingested state).  Both
+    # shapes read through band_state_reader: before compaction it
+    # resolves to the plain append versions, after to the touched-
+    # bucket pruned compacted tree — the exact reads ingestion runs.
+    t_append, n_append = timed_probes(
+        lambda: band_state_reader(spark, bands_new, bands_dir)
+    )
 
     # Compact (fake the commits log so the batch-built v0 counts as
     # committed), then shape B: touched-bucket pruned read.
@@ -397,37 +406,9 @@ def run_neardup_probe(spark, base: str, s_docs: int) -> dict:
     compact_neardup_bands(spark, state, n_buckets=band_buckets)
     compact_sec = time.monotonic() - t0
 
-    def read_pruned():
-        plain2, compacted = band_state_paths(bands_dir)
-        comp_b = _compacted_band_buckets(compacted)
-        touched = {
-            r["b"]
-            for r in bands_new.select(
-                _bucket_expr(F.col("bsig"), comp_b).alias("b")
-            )
-            .distinct()
-            .collect()
-        }
-        comp_paths = [
-            p
-            for b in sorted(touched)
-            if os.path.isdir(p := os.path.join(compacted, f"bkt={b}"))
-        ]
-        readers = []
-        if plain2:
-            readers.append(spark.read.parquet(*plain2))
-        if comp_paths:
-            readers.append(
-                spark.read.parquet(*comp_paths).select(
-                    "doc_id", "band", "bsig"
-                )
-            )
-        out = readers[0]
-        for r in readers[1:]:
-            out = out.unionByName(r)
-        return out
-
-    t_comp, n_comp = timed_probes(read_pruned)
+    t_comp, n_comp = timed_probes(
+        lambda: band_state_reader(spark, bands_new, bands_dir)
+    )
     assert n_comp == n_append, (n_comp, n_append)
     return {
         "mode": "neardup_probe",
