@@ -251,7 +251,10 @@ ENTRIES = [
         "5-shingle set arrives as a BroadcastExchange (benchmark-sized, "
         "never shuffled against the corpus), the detector is one "
         "distinct-shingle scan + BroadcastHashJoin + per-doc partial "
-        "aggregate, and the gate itself is a LEFT BroadcastHashJoin of "
+        "aggregate — memo-persisted (round-12 review), so the decon "
+        "gate, the release capstone and the standalone report share ONE "
+        "factorization and later consumers read an InMemoryTableScan — "
+        "and the gate itself is a LEFT BroadcastHashJoin of "
         "the hit relation against the memo-shared curated corpus — no "
         "corpus×benchmark pair space, no new corpus-sized exchange "
         "beyond the detector's own per-doc aggregate.",
