@@ -2795,33 +2795,27 @@ def _release_tag_hit(tok: Column) -> Column:
     return hit
 
 
-@register(
-    "q_export_release",
-    oracle="\nWITH RECURSIVE " + _CURATION_CTES + _EXPORT_RELEASE_ORACLE_TAIL,
-)
-def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RELEASE capstone (module note above): the full corpus release
-    in one declared query — curate, decontaminate against the held-out
-    benchmark, redact PII, cut the survivors into context windows,
-    shuffle the windows with the seeded deterministic permutation, and
-    emit the per-shard manifest with the redaction audit column
-    (``redacted_tokens``) a release log carries next to its token
-    counts.  A user of the chain's individual stages gets exactly this
-    by composing them; this query pins the composition itself.
-
-    Scale shape: q_export_chunks' algebra plus two scan-side gates — the
-    decontamination join is released-sized against the hit-sized (tiny)
-    relation, the redaction is the same zero-join codegen projection
-    q_text_pii_redact grades, and the tag count is per-chunk array
-    arithmetic.  No new corpus-sized shuffle beyond the detector's
-    per-doc aggregate (shared with q_corpus_curation_decon via
-    _contam_hits); rank and prefix sum stay bucket-parallel."""
+def release_manifest(
+    spark: SparkSession,
+    sf_dir: str,
+    curated: DataFrame,
+    memo_name: str = "export_ranked_release",
+) -> DataFrame:
+    """The release algebra downstream of the curated relation — ONE
+    definition (factored round 12) for both curated sources: the batch
+    ``curated_docs`` memo (``q_export_release``) and the streaming
+    ingest's end state (``q_stream_release_exec``) — decontaminate
+    against the held-out benchmark, redact PII, cut the survivors into
+    context windows, seeded-shuffle the windows, two-phase rank →
+    distributed prefix sum, per-shard manifest with the
+    ``redacted_tokens`` audit column.  Takes only the curated relation's
+    ``doc_id`` column; everything else re-derives from the documents
+    table, so both callers grade against the identical chained oracle."""
     from .sampling import seeded_shuffle_key, two_phase_rank
 
     def build_ranked() -> DataFrame:
-        curated = curated_docs(spark, sf_dir).select("doc_id")
         hits, _ = _contam_hits(spark, sf_dir)
-        released = curated.where(
+        released = curated.select("doc_id").where(
             F.col("doc_id") >= _CONTAM_BENCH_MAX
         ).join(hits.select("doc_id"), "doc_id", "left_anti")
         docs = load_table(spark, sf_dir, "documents").join(released, "doc_id")
@@ -2847,7 +2841,7 @@ def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Same memo rationale as the other export capstones: the prefix sum
     # fans its input into multiple lazy branches.
-    ranked = memo_persist(spark, "export_ranked_release", sf_dir, build_ranked)
+    ranked = memo_persist(spark, memo_name, sf_dir, build_ranked)
     placed = distributed_prefix_sum(ranked, key="shuffle_rank")
     return (
         placed.withColumn(
@@ -2868,3 +2862,30 @@ def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("last_block"),
         )
     )
+
+
+@register(
+    "q_export_release",
+    oracle="\nWITH RECURSIVE " + _CURATION_CTES + _EXPORT_RELEASE_ORACLE_TAIL,
+)
+def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE capstone (module note above): the full corpus release
+    in one declared query — curate, decontaminate against the held-out
+    benchmark, redact PII, cut the survivors into context windows,
+    shuffle the windows with the seeded deterministic permutation, and
+    emit the per-shard manifest with the redaction audit column
+    (``redacted_tokens``) a release log carries next to its token
+    counts.  A user of the chain's individual stages gets exactly this
+    by composing them; this query pins the composition itself.
+
+    Scale shape: q_export_chunks' algebra plus two scan-side gates — the
+    decontamination join is released-sized against the hit-sized (tiny)
+    relation, the redaction is the same zero-join codegen projection
+    q_text_pii_redact grades, and the tag count is per-chunk array
+    arithmetic.  No new corpus-sized shuffle beyond the detector's
+    per-doc aggregate (shared with q_corpus_curation_decon via
+    _contam_hits); rank and prefix sum stay bucket-parallel.  Round 12
+    (late): the post-curation algebra is factored into
+    :func:`release_manifest` so the streaming ingest's end state can
+    feed the identical release (``q_stream_release_exec``)."""
+    return release_manifest(spark, sf_dir, curated_docs(spark, sf_dir))

@@ -26,40 +26,42 @@ ORACLES: dict[str, str] = {}
 # Grading order.  The driver grades a PREFIX of the registered names (rounds
 # 2–11: exactly the first 50), so registration order is the lever that
 # decides which operators get a driver correctness row.  Round-12 rotation
-# (VERDICT r11 "Next round" #1/#2/#3/#5): flagship first, then the six
+# (VERDICT r11 "Next round" #1/#2/#3/#5): flagship first, then the seven
 # queries NEW this round (the decontamination-gated curation composite;
 # the PII-redacting rewrite; the ALS output-contract audit; the release
 # capstone composing decon + redaction into the chunk export; the
 # streaming curation capstone running the full gate ladder at
 # ingestion; the streaming semantic-dedup fold completing the ingestion
-# dedup ladder), then the
+# dedup ladder; the ingest→release composition grading the streamed
+# curated state through the release algebra), then the
 # three whose plan/oracle changed this round (the chunk export gained the
 # cid runtime guard; the contamination detector factored into the
 # prefixable _contam_ctes/_contam_hits pair; the ALS recommender is now
 # memoized so the audit shares one fit — all identity-preserving,
 # re-graded to prove it), then the ENTIRE 33-name r8-graded queue the r11
-# prefix deferred, then the 10 stalest r9-graded names.  After this round
+# prefix deferred, then the 6 stalest r9-graded names.  After this round
 # no query's latest grade is older than r9.  tests/test_registry_order.py
 # pins this.
 # ---------------------------------------------------------------------------
 GRADING_ORDER: list[str] = [
     # -- slot 1: flagship (always first; re-graded every round) --
     "q_topk_similar_items",
-    # -- slots 2-7: NEW round 12, needing their FIRST driver row --
+    # -- slots 2-8: NEW round 12, needing their FIRST driver row --
     "q_corpus_curation_decon",
     "q_text_pii_redact",
     "q_recommend_als_audit",
     "q_export_release",
     "q_stream_curation_exec",
     "q_stream_semdedup_exec",
-    # -- slots 8-10: plan/oracle CHANGED round 12, re-graded to prove
+    "q_stream_release_exec",
+    # -- slots 9-11: plan/oracle CHANGED round 12, re-graded to prove
     #    identity (cid runtime guard; contamination CTEs factored into
     #    the prefixable _contam_ctes/_contam_hits pair; the ALS output
     #    relation memoized so the audit shares one fit) --
     "q_export_chunks",
     "q_text_contamination",
     "q_recommend_als",
-    # -- slots 11-43: the ENTIRE 33-name r8-graded queue the r11 prefix
+    # -- slots 12-44: the ENTIRE 33-name r8-graded queue the r11 prefix
     #    deferred (VERDICT r11 "Next round" #3; freshness floor rises
     #    to r9) --
     "q_histogram",
@@ -95,26 +97,26 @@ GRADING_ORDER: list[str] = [
     "q_window_range_frame",
     "q_window_topk_per_group",
     "q_window_tumbling",
-    # -- slots 44-50: the 7 stalest round-9-graded names that still fit
-    #    (the release capstone and the two streaming capstones took
-    #    three new-query slots; q_date_funcs, q_json_funcs and
-    #    q_array_funcs — next in the r9 cohort's original order — lead
-    #    the round-13 queue instead) --
+    # -- slots 45-50: the 6 stalest round-9-graded names that still fit
+    #    (the release capstone and the three streaming capstones took
+    #    four new-query slots; q_math_funcs, q_date_funcs, q_json_funcs
+    #    and q_array_funcs — next in the r9 cohort's original order —
+    #    lead the round-13 queue instead) --
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
     "q_stream_attribution_full_exec",
     "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
-    "q_math_funcs",
     # ------------------------------------------------------------------
     # Past the 50-slot grading prefix, stalest-first in the r9 cohort's
-    # ORIGINAL order: the remaining 39 r9-graded names lead the round-13
-    # stale queue (q_date_funcs and q_json_funcs joined q_array_funcs at
-    # its head when the two streaming capstones took their r12 slots),
-    # then the round-10-graded cohort, then the round-11-graded cohort
-    # (freshest — verified last round).
+    # ORIGINAL order: the remaining 40 r9-graded names lead the round-13
+    # stale queue (q_math_funcs, q_date_funcs and q_json_funcs joined
+    # q_array_funcs at its head when the three streaming capstones took
+    # their r12 slots), then the round-10-graded cohort, then the
+    # round-11-graded cohort (freshest — verified last round).
     # ------------------------------------------------------------------
+    "q_math_funcs",
     "q_date_funcs",
     "q_json_funcs",
     "q_array_funcs",

@@ -698,3 +698,58 @@ def q_stream_semdedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     if final is None:  # explicit raise: assert vanishes under python -O
         raise RuntimeError("semantic state dir is empty after the drain")
     return final
+
+
+def _release_oracle() -> str:
+    """q_export_release's own chained oracle, verbatim — the streaming-
+    fed release must produce the identical manifest, because the
+    streaming curated state is bit-identical to the batch curated CTE
+    (q_stream_curation_exec's pinned invariant) and everything
+    downstream re-derives from the documents table."""
+    from ..operators.text import _CURATION_CTES, _EXPORT_RELEASE_ORACLE_TAIL
+
+    return "\nWITH RECURSIVE " + _CURATION_CTES + _EXPORT_RELEASE_ORACLE_TAIL
+
+
+@register("q_stream_release_exec", oracle=_release_oracle())
+def q_stream_release_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS INGEST → PERIODIC RELEASE, driver-graded — the
+    end-to-end composition of the two round-12 capstones and the north
+    star of the whole streaming side: documents arrive in micro-batches
+    through the full curation ladder (``incremental_curation`` — gates
+    scan-side, exact-dedup min-fold, band-probe + append-only pair
+    log), and at release time the accumulated curated STATE feeds the
+    UNCHANGED release algebra (``operators/text.release_manifest``:
+    decontaminate → redact → chunk → seeded shuffle → two-phase rank →
+    prefix sum → per-shard manifest with the redaction audit).  The
+    batch release capstone's own chained oracle grades the whole
+    composition because the streaming curated state is bit-identical to
+    the batch ``curated`` CTE for any chunking — which is precisely
+    what makes "re-run the release off the live ingest state" a sound
+    production design instead of a full batch recompute: the expensive
+    incremental work (signatures, probes, verification) happened at
+    ingestion, and the release pays only the released-sized export
+    algebra."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.text import release_manifest
+    from .twins import (
+        incremental_curation,
+        read_curated_state,
+        write_doc_chunks,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_stream_release_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    src = f"{base}/docs_src"
+    state = f"{base}/state"
+    write_doc_chunks(spark, sf_dir, src, n_chunks=4)
+    incremental_curation(spark, src, state)
+    curated = read_curated_state(spark, state)
+    if curated is None:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError("curation state dir is empty after the drain")
+    return release_manifest(
+        spark, sf_dir, curated, memo_name="export_ranked_release_stream"
+    )

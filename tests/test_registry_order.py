@@ -3,19 +3,21 @@
 The grading driver checks a PREFIX of the registered query names (rounds
 2-11: exactly the first 50), so registration order decides which operators
 receive a driver correctness row.  Round-12 contract (VERDICT r11 "Next
-round" #1, #2, #3, #5): the prefix first-grades the six queries NEW this
+round" #1, #2, #3, #5): the prefix first-grades the seven queries NEW this
 round (the decontamination-gated curation composite, the PII-redacting
 rewrite, the ALS output-contract audit, the release capstone composing
 decon + redaction into the chunk export, the streaming curation
-capstone running the full gate ladder at ingestion, and the streaming
-semantic-dedup fold completing the ingestion dedup ladder), then the three whose plan/oracle
+capstone running the full gate ladder at ingestion, the streaming
+semantic-dedup fold completing the ingestion dedup ladder, and the
+ingest→release composition grading the streamed curated state through
+the release algebra), then the three whose plan/oracle
 changed this round (the chunk export's cid runtime guard, the
 contamination detector factored into the prefixable
 ``_contam_ctes``/``_contam_hits`` pair, the ALS recommender's memoized
 output relation — identity-preserving, the re-grade is the proof), then
-the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 7
+the ENTIRE 33-name r8-graded queue the r11 prefix deferred, then the 6
 stalest r9-graded names — after this round no query's latest grade is
-older than round 9.  The remaining 39 r9 names lead the post-prefix queue
+older than round 9.  The remaining 40 r9 names lead the post-prefix queue
 for round 13 (DEFERRED_R9 below), stalest-first in their original r9
 registration order: the deferral rule is "cohort age, then original
 order", not per-query judgment calls.
@@ -35,6 +37,7 @@ NEW_R12 = {
     "q_export_release",
     "q_stream_curation_exec",
     "q_stream_semdedup_exec",
+    "q_stream_release_exec",
 }
 
 # Plan/oracle changed this round — re-graded to prove identity.
@@ -82,11 +85,12 @@ STALE_R8 = {
     "q_window_tumbling",
 }
 
-# The round-9-graded cohort members that FIT the remaining 7 slots —
-# the FIRST 7 of the r9 cohort in its original registration order (the
+# The round-9-graded cohort members that FIT the remaining 6 slots —
+# the FIRST 6 of the r9 cohort in its original registration order (the
 # auditable stalest-first rule; no per-query picking; the release
-# capstone's and the two streaming capstones' new-query slots displaced
-# q_date_funcs, q_json_funcs and q_array_funcs to round 13).
+# capstone's and the three streaming capstones' new-query slots
+# displaced q_math_funcs, q_date_funcs, q_json_funcs and q_array_funcs
+# to round 13).
 R9_IN_PREFIX = [
     "q_stream_ann_compact_exec",
     "q_stream_attribution_outer_exec",
@@ -94,12 +98,12 @@ R9_IN_PREFIX = [
     "q_agg_cube",
     "q_scan_parquet",
     "q_project_expr",
-    "q_math_funcs",
 ]
 
-# The 39 r9-graded names the 50-slot prefix could not fit; they lead the
+# The 40 r9-graded names the 50-slot prefix could not fit; they lead the
 # round-13 stale queue in the cohort's original order.
 DEFERRED_R9 = [
+    "q_math_funcs",
     "q_date_funcs",
     "q_json_funcs",
     "q_array_funcs",
@@ -166,7 +170,7 @@ def test_flagship_is_first():
 
 
 def test_new_r12_lead_the_prefix():
-    """The never-graded new queries sit in slots 2-7 — graded even if
+    """The never-graded new queries sit in slots 2-8 — graded even if
     the driver's cutoff ever shrinks below 50."""
     head = set(_loaded_names()[1 : 1 + len(NEW_R12)])
     assert head == NEW_R12
@@ -189,7 +193,7 @@ def test_stale_r8_queue_precedes_r9_cohort():
 
 
 def test_r9_tail_fills_the_prefix_stalest_first():
-    """The last 7 prefix slots take the r9 cohort's FIRST 7 names in
+    """The last 6 prefix slots take the r9 cohort's FIRST 6 names in
     their original order — the deferral rule is cohort age + original
     order, auditable from the lists alone."""
     names = _loaded_names()

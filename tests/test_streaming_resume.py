@@ -651,3 +651,18 @@ def test_semantic_dedup_crash_resume_and_split_invariance(spark, smoke_dir, tmp_
     write_embedding_chunks(spark, smoke_dir, src1, n_chunks=1)
     incremental_semantic_dedup(spark, src1, st1)
     assert _multiset(read_semantic_state(spark, st1)) == batch
+
+
+def test_stream_release_matches_batch_release(spark, smoke_dir):
+    """The ingest→release composition (round 12): the release manifest
+    computed off the streamed curated state must equal the batch
+    release capstone's manifest row-for-row — the end-to-end identity
+    that makes 'release off the live ingest state' sound (it follows
+    from the curated-state bit-identity plus the shared
+    release_manifest algebra, and this pins the composition itself)."""
+    from recsys_mapreduce_mrjob_spark import registry
+
+    registry.load_all()
+    streamed = _multiset(registry.QUERIES["q_stream_release_exec"](spark, smoke_dir))
+    batch = _multiset(registry.QUERIES["q_export_release"](spark, smoke_dir))
+    assert streamed == batch and sum(batch.values()) > 0
