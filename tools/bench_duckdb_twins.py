@@ -165,6 +165,10 @@ def main() -> None:
             # CTEs + chunk cut + the two global windows the engine
             # replaces with bucket-parallel scans)
             "q_export_chunks",
+            # round 12: the RELEASE capstone (twin = curation CTEs +
+            # contamination CTEs + redaction chain + chunk/export
+            # algebra — the full chained oracle)
+            "q_export_release",
         )
     }
     twins["q_dedup_near"] = DEDUP_NEAR_TWIN
