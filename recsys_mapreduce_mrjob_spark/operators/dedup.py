@@ -341,10 +341,11 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hashed ONCE via md5 → first 15 hex digits → 60-bit integer (the repo's
 # established portable-hash arithmetic, operators/sampling.hash_bucket),
 # then the 32-member hash family is h_i(x) = (a_i·x + b_i) mod (2^61−1),
-# computed EXACTLY on both engines — Spark in DECIMAL(38,0) (a_i·x ≤ 2^90
-# fits), DuckDB in HUGEINT — so every minhash, band signature, candidate
-# pair and Jaccard value is bit-identical cross-engine and the driver
-# hash-grades the full LSH pipeline.
+# computed EXACTLY on both engines — Spark in overflow-free int64 steps
+# (2^61 ≡ 1 mod p splits a_i·x into in-range addends; see
+# ``portable_minhash_sig``), DuckDB in HUGEINT — so every minhash, band
+# signature, candidate pair and Jaccard value is bit-identical
+# cross-engine and the driver hash-grades the full LSH pipeline.
 # ---------------------------------------------------------------------------
 
 _MH_P = (1 << 61) - 1  # Mersenne prime 2^61 − 1
@@ -426,8 +427,8 @@ def portable_minhash_sig(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, mh0..mh{n−1}, sh_set, n_sh) via the
     engine-portable hash family (module note above): distinct 3-shingles
     → md5-prefix 60-bit longs → 32 universal-hash minima computed in
-    DECIMAL(38,0), plus the hashed-shingle SET for exact-Jaccard
-    verification.  The ONE signature definition shared by the batch LSH
+    overflow-free int64 arithmetic, plus the hashed-shingle SET for
+    exact-Jaccard verification.  The ONE signature definition shared by the batch LSH
     (``q_dedup_near_exact`` and everything downstream of its pairs) and
     the streaming ingestion fold (``streaming/twins.py
     incremental_neardup``) — the two executions must agree bit-for-bit
@@ -439,21 +440,40 @@ def portable_minhash_sig(docs: DataFrame) -> DataFrame:
         F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("s"),
     )
     hs = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
-    base = ex.select("doc_id", hs.alias("hs"))
+    # Split hs = h1·2^30 + h0 ONCE per shingle row; the 32 universal
+    # hashes below then run in pure LONG arithmetic (round 12 — the
+    # original DECIMAL(38,0) multiply/pmod per (row × 32 hashes) was the
+    # repo's most expensive projection; guide §1.2 "per-task work").
+    base = ex.select(
+        "doc_id",
+        hs.alias("hs"),
+        F.shiftright(hs, 30).alias("__h1"),
+        hs.bitwiseAND(F.lit((1 << 30) - 1)).alias("__h0"),
+    )
 
-    def dec(c):
-        return c.cast("decimal(38,0)")
+    def mh(a: int, b: int):
+        # (a·hs + b) mod p, p = 2^61−1, in overflow-free int64 steps:
+        # a < 2^30, hs = h1·2^30 + h0 < 2^60, b < p.  With y = a·h1
+        # (< 2^60):  a·hs ≡ (y mod 2^31)·2^30 + (y div 2^31) + a·h0
+        # (mod p), because y·2^30 = (y div 2^31)·2^61 + (y mod 2^31)·2^30
+        # and 2^61 ≡ 1 (mod p).  Every addend < 2^61, the 4-term sum
+        # < 2^62.6 < 2^63 — no int64 overflow — and one final pmod
+        # reduces exactly.  Bit-identical to the DECIMAL(38,0) form
+        # (exhaustively property-checked) and to the oracle's HUGEINT.
+        y = F.lit(a).cast("long") * F.col("__h1")
+        t = (
+            F.shiftleft(y.bitwiseAND(F.lit((1 << 31) - 1)), 30)
+            + F.shiftright(y, 31)
+            + F.lit(a).cast("long") * F.col("__h0")
+            + F.lit(b).cast("long")
+        )
+        return F.pmod(t, F.lit(_MH_P))
 
     return (
         base.groupBy("doc_id")
         .agg(
             *[
-                F.min(
-                    F.pmod(
-                        dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b),
-                        dec(F.lit(_MH_P)),
-                    ).cast("long")
-                ).alias(f"mh{i}")
+                F.min(mh(a, b)).alias(f"mh{i}")
                 for i, (a, b) in enumerate(_MH_SEEDS)
             ],
             F.collect_set("hs").alias("sh_set"),
@@ -535,7 +555,7 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     note).  Same fused single-pass plan shape: one groupBy computes the
     32 min-hashes AND the hashed-shingle set; banding equi-join; Jaccard
     as an ``array_intersect`` projection.  The hash family is slower than
-    xxhash64 (md5 per shingle + decimal mod per member) — the price of
+    xxhash64 (md5 per shingle + 32 modular folds per member) — the price of
     bit-identical cross-engine grading; q_dedup_near stays the
     performance registration.
     """
@@ -546,7 +566,7 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memo-persisted like the xxhash64 sig (round 6): this relation fans
     # into FOUR lazy branches (both aliases of the band self-join plus the
     # doc_a and doc_b set lookups), and ReuseExchange does not fire across
-    # the shapes — unpersisted, the md5 + 32-member decimal-mod minhash
+    # the shapes — unpersisted, the md5 + 32-member modular-fold minhash
     # derivation (the most expensive projection in the repo) recomputed up
     # to four times in every consumer of the exact pairs (near_exact,
     # components ×2, curation).  Footprint note: together with minhash_sig
@@ -1048,20 +1068,45 @@ def connected_components_twostar(
     toward one edge per non-root node — with ``localCheckpoint`` cutting
     the per-round lineage like the label-prop loop.
 
-    Termination (ADVICE r5): the loop runs TO THE FIXPOINT — it stops
-    when a round leaves the (distinct, max→min-oriented) edge set
-    unchanged, detected with a count + ``exceptAll`` emptiness check on
-    the already-``localCheckpoint``'d relation (two cheap jobs per round
-    next to the round's own shuffles).  A fixed round budget would
-    silently return wrong labels on inputs whose component structure
-    needs more rounds (a 2 000-node path graph mislabels ~97 % of its
-    vertices under a budget of 6); since the potential function strictly
-    decreases until the star fixpoint, an unchanged edge set IS
-    convergence, never a cycle.  ``max_rounds`` remains only as a safety
+    Termination (ADVICE r5, test r12): the loop runs TO THE FIXPOINT —
+    it stops exactly when the edge set IS a star forest, which is
+    equivalent to being the fixpoint of both steps: at a star forest
+    every center is its component's minimum (edges are max→min-oriented,
+    so a center below all its children is below everything reachable),
+    large-star re-emits each (child, center) edge unchanged and
+    small-star's per-center min is the center itself; conversely Kiveris
+    et al. show the fixpoint is the star graph.  The star test is ONE
+    aggregation job per round — a node violates iff it appears as a
+    child (``a``) twice, or as both child and center — replacing the
+    round-12-predecessor's count + ``exceptAll`` pair AND detecting
+    convergence one full round earlier (the old check needed an extra
+    no-op round to observe "nothing changed"; a round costs ~6 shuffles).
+    A fixed round budget would silently return wrong labels on inputs
+    whose component structure needs more rounds (a 2 000-node path graph
+    mislabels ~97 % of its vertices under a budget of 6); since the
+    potential function strictly decreases until the star fixpoint, the
+    loop always terminates.  ``max_rounds`` remains only as a safety
     cap — ``None`` (default) derives a generous O(log² n) bound from the
     edge count — and exhausting it RAISES rather than returning
     non-converged labels.
     """
+
+    def _is_star_forest(rel: DataFrame) -> bool:
+        # rel is distinct and max→min-oriented (a > b).  Star forest ⇔
+        # no node appears as a child twice (nc > 1) and no node is both
+        # a child and a center (nc ≥ 1 with extra center appearances).
+        viol = (
+            rel.select(F.col("a").alias("v"), F.lit(1).alias("c"))
+            .unionByName(rel.select(F.col("b").alias("v"), F.lit(0).alias("c")))
+            .groupBy("v")
+            .agg(F.sum("c").alias("nc"), F.count(F.lit(1)).alias("nt"))
+            .where(
+                (F.col("nc") > 1)
+                | ((F.col("nc") >= 1) & (F.col("nt") > F.col("nc")))
+            )
+        )
+        return viol.isEmpty()
+
     e = (
         edges.select(
             F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
@@ -1070,20 +1115,30 @@ def connected_components_twostar(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_count = e.count()
-    if max_rounds is None:
-        # Kiveris et al. prove O(log² n) rounds, so the safety cap is
-        # QUADRATIC in the bit length (code-review r6: a 3·log₂ m + 16
-        # cap sat asymptotically below the proven worst case and could
-        # raise mid-convergence on a legitimate adversarial graph).
-        # Far above every measured input (path-2000 converges in ~12)
-        # while still bounding a genuine non-termination bug.
-        bl = max(prev_count, 2).bit_length()
-        max_rounds = bl * bl + 16
     rounds = 0
-    while True:
-        prev = e
+    while not _is_star_forest(e):
         rounds += 1
+        if max_rounds is None and rounds > 8:
+            # Kiveris et al. prove O(log² n) rounds, so the safety cap
+            # is QUADRATIC in the bit length (code-review r6: a
+            # 3·log₂ m + 16 cap sat asymptotically below the proven
+            # worst case and could raise mid-convergence on a legitimate
+            # adversarial graph).  Derived LAZILY (round 12): every
+            # measured production input converges in 1–8 rounds, so the
+            # common path never pays the edge-count job — the cap is
+            # computed only once a fixpoint runs long, from the current
+            # (shrunken) edge set plus the 8 rounds already spent, and
+            # still bounds a genuine non-termination bug generously.
+            bl = max(e.count(), 2).bit_length()
+            max_rounds = bl * bl + 16 + rounds
+        if max_rounds is not None and rounds > max_rounds:
+            raise RuntimeError(
+                f"connected_components_twostar: no fixpoint after "
+                f"{rounds - 1} rounds (edge set is not yet a star "
+                f"forest) — raise max_rounds only if the input is a "
+                f"legitimate adversarial graph; the star-forest test is "
+                f"the only correct stopping condition"
+            )
         # -- large-star: symmetrize, group per node, point larger
         #    neighbors at min(N(u) ∪ {u}) --
         sym = e.select("a", "b").unionByName(
@@ -1118,20 +1173,6 @@ def connected_components_twostar(
             .distinct()
             .localCheckpoint(eager=True)  # cut the per-round lineage
         )
-        # -- fixpoint check: both relations are distinct sets, so equal
-        #    counts + empty difference ⇔ the round rewired nothing --
-        n_edges = e.count()
-        if n_edges == prev_count and e.exceptAll(prev).isEmpty():
-            break
-        prev_count = n_edges
-        if rounds >= max_rounds:
-            raise RuntimeError(
-                f"connected_components_twostar: no fixpoint after "
-                f"{rounds} rounds ({n_edges} edges still changing) — "
-                f"raise max_rounds only if the input is a legitimate "
-                f"adversarial graph; an unchanged edge set is the only "
-                f"correct stopping condition"
-            )
     # At the fixpoint e is the star graph: one (node, component-min) edge
     # per non-root node; roots label themselves.
     roots = e.groupBy("a").agg(F.min("b").alias("label"))

@@ -537,6 +537,69 @@ def two_phase_rank(
     )
 
 
+def two_phase_rank_offsets(
+    df: DataFrame,
+    bucket_col: str,
+    order_cols: list,
+    rank_col: str = "rnk",
+    weight_col: str = "n_tokens",
+    offset_col: str = "start_offset",
+) -> DataFrame:
+    """FUSED Blelloch pass (round 12): global ``row_number`` AND the
+    exclusive prefix sum of ``weight_col``, both in rank order, from ONE
+    bucket-parallel scan — bit-identical to :func:`two_phase_rank`
+    (no partition cols) followed by
+    :func:`..operators.text.distributed_prefix_sum` keyed on the rank,
+    because the rank order IS the (bucket, order_cols) order (the
+    coarser-bucket precondition), so summing ``weight_col`` along that
+    order inside the SAME per-bucket window and offsetting by per-bucket
+    totals yields exactly the prefix sum the second scan recomputed.
+
+    Every export capstone used to chain the two helpers: two data-sized
+    window exchanges, two bucket-counts aggregates, a min/max bounds
+    job and three broadcast joins.  Fused: ONE window exchange, ONE
+    bucket aggregate carrying (count, token total), ONE ≤256-row
+    metadata window, ONE broadcast join — the exact same integer
+    results with roughly half the stages (guide §2.4: two operations
+    keyed the same way share one exchange).  The single-reducer-free
+    scale shape is unchanged: the data relation never crosses one
+    partition; the only unpartitioned window touches one row per
+    bucket.  Same fan-out caveat as :func:`two_phase_rank` — ``df``
+    feeds the window branch and the totals branch, so memoize an
+    expensive input.
+    """
+    w_in = Window.partitionBy(bucket_col).orderBy(*order_cols)
+    w_cum = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = df.withColumn(
+        "__r_in", F.row_number().over(w_in).cast("long")
+    ).withColumn("__c_in", F.sum(weight_col).over(w_cum))
+    totals = df.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(weight_col).alias("__t")
+    )
+    w_b = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = totals.select(
+        bucket_col,
+        F.coalesce(F.sum("__n").over(w_b), F.lit(0).cast("long")).alias(
+            "__nbase"
+        ),
+        F.coalesce(F.sum("__t").over(w_b), F.lit(0).cast("long")).alias(
+            "__tbase"
+        ),
+    )
+    return (
+        within.join(F.broadcast(base), bucket_col)
+        .withColumn(rank_col, F.col("__nbase") + F.col("__r_in"))
+        .withColumn(
+            offset_col,
+            F.col("__tbase") + F.col("__c_in") - F.col(weight_col),
+        )
+        .drop("__r_in", "__c_in", "__nbase", "__tbase")
+    )
+
+
 _SHUFFLE_SEED = "42"
 _SHARD_DOCS = 1000
 

@@ -1324,36 +1324,37 @@ def q_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle chains two global single-reducer windows (row_number,
     then a running sum over it); the engine chains the two scalable
     primitives built for exactly these shapes — :func:`..operators.
-    sampling.two_phase_rank` over 256 hash-prefix buckets for the
-    permutation, then :func:`distributed_prefix_sum` keyed on the dense
-    rank (ranks 1..n are uniform, so the range buckets are perfectly
-    balanced — better than doc_id's, which tolerate gaps).  Both
-    helpers are independently bit-pinned against their single-window
-    references; at 100 TB the corpus crosses two bucket exchanges and
-    two ≤256-row metadata windows, never one partition.  One tokenize
-    scan (the memo-shared ``tokenized_per_doc``) feeds rank, offsets,
-    and totals alike.
+    sampling.two_phase_rank_offsets` — the FUSED Blelloch pass
+    (round 12) computing the 256-hash-prefix-bucket rank AND the
+    exclusive token prefix sum along the same order in one scan (the
+    predecessor chained two_phase_rank then distributed_prefix_sum:
+    two data exchanges where one suffices).  The fusion is bit-pinned
+    against the chained form; at 100 TB the corpus crosses ONE bucket
+    exchange and one ≤256-row metadata window, never one partition.
+    One tokenize scan (the memo-shared ``tokenized_per_doc``) feeds
+    rank, offsets, and totals alike.
     """
-    from .sampling import seeded_shuffle_key, tokenized_per_doc, two_phase_rank
+    from .sampling import (
+        seeded_shuffle_key,
+        tokenized_per_doc,
+        two_phase_rank_offsets,
+    )
 
-    def build_ranked() -> DataFrame:
+    def build_hashed() -> DataFrame:
         per_doc = tokenized_per_doc(spark, sf_dir).select("doc_id", "n_tokens")
-        hashed = seeded_shuffle_key(per_doc)
-        return two_phase_rank(
-            hashed,
-            partition_cols=[],
-            bucket_col="bkt",
-            order_cols=[F.col("h"), F.col("doc_id")],
-            rank_col="shuffle_rank",
-        ).drop("h", "bkt")
+        return seeded_shuffle_key(per_doc)
 
-    # Memoized: distributed_prefix_sum fans its input into THREE lazy
-    # branches (bounds aggregate, per-bucket window, bucket totals);
-    # the memo pins one evaluation of the rank's window jobs instead of
-    # relying on exchange reuse (code-review r7).  Docs-sized relation:
-    # (doc_id, n_tokens, rank).
-    ranked = memo_persist(spark, "pack_shuffled_ranked", sf_dir, build_ranked)
-    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    # Memoized: the fused rank+offset scan reads its input twice (the
+    # per-bucket window and the bucket totals); the memo pins one
+    # evaluation of the tokenize scan instead of relying on exchange
+    # reuse (code-review r7).  Docs-sized relation: (doc_id, n_tokens).
+    hashed = memo_persist(spark, "pack_shuffled_hashed", sf_dir, build_hashed)
+    placed = two_phase_rank_offsets(
+        hashed,
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
     return placed.select(
         "doc_id",
         "shuffle_rank",
@@ -1621,8 +1622,14 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation explicit (interleaved A/B: ~8% faster median, and
     # immune to plan edits that break exchange-reuse) — code-review r7.
     scored = memo_persist(spark, "ccnet_scored", sf_dir, build_scored)
+    # ONE per-lang stats aggregate (round 12): min/max ppl for the range
+    # buckets AND the lang row count for the tertile arithmetic — the
+    # predecessor ran a second groupBy + broadcast join just for ``n``
+    # (guide §2.4: two aggregations keyed the same way share one pass).
     rng = scored.groupBy("lang").agg(
-        F.min("ppl").alias("__lo"), F.max("ppl").alias("__hi")
+        F.min("ppl").alias("__lo"),
+        F.max("ppl").alias("__hi"),
+        F.count(F.lit(1)).alias("n"),
     )
     bucketed = (
         scored.join(F.broadcast(rng), "lang")
@@ -1651,10 +1658,8 @@ def q_text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=[F.asc("ppl"), F.asc("doc_id")],
         rank_col="r",
     )
-    n_per_lang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    tertiled = ranked.join(F.broadcast(n_per_lang), "lang").withColumn(
-        "tertile", F.expr("(r - 1) * 3 div n + 1")
-    )
+    # ``n`` rode through the rank with the data rows — no second join.
+    tertiled = ranked.withColumn("tertile", F.expr("(r - 1) * 3 div n + 1"))
     return (
         tertiled.withColumn(
             "bucket",
@@ -1984,7 +1989,8 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-doc shard covers.  This is the capstone composition: every
     stage is an independently driver-graded primitive (`curated_docs` /
     q_corpus_curation, `two_phase_rank` / q_global_shuffle,
-    `distributed_prefix_sum` / q_pack_blocks, shuffled chaining /
+    `distributed_prefix_sum` / q_pack_blocks — fused into one scan by
+    `two_phase_rank_offsets`, round 12 — shuffled chaining /
     q_pack_shuffled), and the oracle chains the SAME stages from the
     shared `_CURATION_CTES` body so the two pipelines cannot drift
     stage-by-stage.
@@ -1997,23 +2003,21 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest aggregate is shards-sized.  One memo-shared curated
     relation serves this query and the per-lang accounting alike.
     """
-    from .sampling import seeded_shuffle_key, two_phase_rank
+    from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
-    def build_ranked() -> DataFrame:
+    def build_hashed() -> DataFrame:
         curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
-        hashed = seeded_shuffle_key(curated)
-        return two_phase_rank(
-            hashed,
-            partition_cols=[],
-            bucket_col="bkt",
-            order_cols=[F.col("h"), F.col("doc_id")],
-            rank_col="shuffle_rank",
-        ).drop("h", "bkt")
+        return seeded_shuffle_key(curated)
 
-    # Same memo rationale as q_pack_shuffled: the prefix sum fans its
-    # input into three lazy branches.
-    ranked = memo_persist(spark, "export_ranked", sf_dir, build_ranked)
-    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    # Memoized (same fan-out rationale as q_pack_shuffled): the fused
+    # rank+offset scan reads its input twice (window + bucket totals).
+    hashed = memo_persist(spark, "export_hashed", sf_dir, build_hashed)
+    placed = two_phase_rank_offsets(
+        hashed,
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
     return (
         placed.withColumn(
             "shard",
@@ -2116,9 +2120,9 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
     `q_dedup_span_rewrite`/`_audit`, so grading all three costs one span
     computation."""
     from .dedup import _span_merged
-    from .sampling import seeded_shuffle_key, two_phase_rank
+    from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
-    def build_ranked() -> DataFrame:
+    def build_hashed() -> DataFrame:
         curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
         removed = (
             _span_merged(spark, sf_dir)
@@ -2134,17 +2138,15 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.coalesce(F.col("tokens_removed"), F.lit(0))
             ).alias("n_tokens"),
         )
-        hashed = seeded_shuffle_key(cur_rw)
-        return two_phase_rank(
-            hashed,
-            partition_cols=[],
-            bucket_col="bkt",
-            order_cols=[F.col("h"), F.col("doc_id")],
-            rank_col="shuffle_rank",
-        ).drop("h", "bkt")
+        return seeded_shuffle_key(cur_rw)
 
-    ranked = memo_persist(spark, "export_ranked_rw", sf_dir, build_ranked)
-    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    hashed = memo_persist(spark, "export_hashed_rw", sf_dir, build_hashed)
+    placed = two_phase_rank_offsets(
+        hashed,
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("doc_id")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
     return (
         placed.withColumn(
             "shard",
@@ -2644,9 +2646,9 @@ def q_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-parallel scans (no single-reducer window), the manifest
     aggregate is shards-sized; the only new relation is chunk-sized
     (≈ tokens/{s} rows per doc)."""
-    from .sampling import seeded_shuffle_key, two_phase_rank
+    from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
-    def build_ranked() -> DataFrame:
+    def build_hashed() -> DataFrame:
         curated = curated_docs(spark, sf_dir).select("doc_id")
         docs = load_table(spark, sf_dir, "documents").join(curated, "doc_id")
         chunks = chunk_exploded(docs).select(
@@ -2654,19 +2656,17 @@ def q_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ct").cast("long").alias("n_tokens"),
             chunk_cid(F.col("doc_id"), F.col("chunk_id")).alias("cid"),
         )
-        hashed = seeded_shuffle_key(chunks, key="cid")
-        return two_phase_rank(
-            hashed,
-            partition_cols=[],
-            bucket_col="bkt",
-            order_cols=[F.col("h"), F.col("cid")],
-            rank_col="shuffle_rank",
-        ).drop("h", "bkt")
+        return seeded_shuffle_key(chunks, key="cid")
 
-    # Same memo rationale as q_export_manifest: the prefix sum fans its
-    # input into three lazy branches.
-    ranked = memo_persist(spark, "export_ranked_chunks", sf_dir, build_ranked)
-    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    # Same memo rationale as q_export_manifest: the fused scan reads its
+    # input twice (window + bucket totals).
+    hashed = memo_persist(spark, "export_hashed_chunks", sf_dir, build_hashed)
+    placed = two_phase_rank_offsets(
+        hashed,
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("cid")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
     return (
         placed.withColumn(
             "shard",
@@ -2799,7 +2799,7 @@ def release_manifest(
     spark: SparkSession,
     sf_dir: str,
     curated: DataFrame,
-    memo_name: str = "export_ranked_release",
+    memo_name: str = "export_hashed_release",
 ) -> DataFrame:
     """The release algebra downstream of the curated relation — ONE
     definition (factored round 12) for both curated sources: the batch
@@ -2811,14 +2811,18 @@ def release_manifest(
     ``redacted_tokens`` audit column.  Takes only the curated relation's
     ``doc_id`` column; everything else re-derives from the documents
     table, so both callers grade against the identical chained oracle."""
-    from .sampling import seeded_shuffle_key, two_phase_rank
+    from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
-    def build_ranked() -> DataFrame:
+    def build_hashed() -> DataFrame:
         hits, _ = _contam_hits(spark, sf_dir)
         released = curated.select("doc_id").where(
             F.col("doc_id") >= _CONTAM_BENCH_MAX
         ).join(hits.select("doc_id"), "doc_id", "left_anti")
-        docs = load_table(spark, sf_dir, "documents").join(released, "doc_id")
+        # Rebalance ahead of the join: the PII redaction regex chain +
+        # window cut otherwise run in the lone scan task.
+        docs = rebalance_if_starved(
+            load_table(spark, sf_dir, "documents")
+        ).join(released, "doc_id")
         red = docs.select(
             "doc_id", pii_redact(_pii_inject_col()).alias("text")
         )
@@ -2830,19 +2834,17 @@ def release_manifest(
             .cast("long")
             .alias("n_red_toks"),
         )
-        hashed = seeded_shuffle_key(chunks, key="cid")
-        return two_phase_rank(
-            hashed,
-            partition_cols=[],
-            bucket_col="bkt",
-            order_cols=[F.col("h"), F.col("cid")],
-            rank_col="shuffle_rank",
-        ).drop("h", "bkt")
+        return seeded_shuffle_key(chunks, key="cid")
 
-    # Same memo rationale as the other export capstones: the prefix sum
-    # fans its input into multiple lazy branches.
-    ranked = memo_persist(spark, memo_name, sf_dir, build_ranked)
-    placed = distributed_prefix_sum(ranked, key="shuffle_rank")
+    # Same memo rationale as the other export capstones: the fused scan
+    # reads its input twice (window + bucket totals).
+    hashed = memo_persist(spark, memo_name, sf_dir, build_hashed)
+    placed = two_phase_rank_offsets(
+        hashed,
+        bucket_col="bkt",
+        order_cols=[F.col("h"), F.col("cid")],
+        rank_col="shuffle_rank",
+    ).drop("h", "bkt")
     return (
         placed.withColumn(
             "shard",

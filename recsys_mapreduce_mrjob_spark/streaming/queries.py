@@ -751,5 +751,5 @@ def q_stream_release_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     if curated is None:  # explicit raise: assert vanishes under python -O
         raise RuntimeError("curation state dir is empty after the drain")
     return release_manifest(
-        spark, sf_dir, curated, memo_name="export_ranked_release_stream"
+        spark, sf_dir, curated, memo_name="export_hashed_release_stream"
     )
