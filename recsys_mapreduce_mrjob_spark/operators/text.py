@@ -433,19 +433,24 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import pair_component_labels, q_dedup_near_exact
 
     def build_survivors() -> DataFrame:
+        # md5(text) is PROJECTED before the keep-one window (round 12,
+        # guide §2.3): partitioning the window on the raw expression
+        # shipped the full document text through the exchange; hashing
+        # scan-side ships ~50 bytes/row instead.  Result-identical
+        # (same key, same order, text unused downstream).
         docs = load_table(spark, sf_dir, "documents")
         scored = docs.select(
             "doc_id",
-            "text",
             (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
             lang_id(F.col("text")).alias("lang_pred"),
             token_count(F.col("text")).cast("long").alias("n_tokens"),
+            F.md5(F.col("text")).alias("__k"),
         )
         kept = scored.where(
             (F.col("quality") >= _CURATION_QUALITY_MIN)
             & (F.col("lang_pred") != "und")
         )
-        w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+        w = Window.partitionBy("__k").orderBy(F.asc("doc_id"))
         return (
             kept.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
