@@ -387,14 +387,27 @@ def render(spark, sf_dir: str) -> str:
         )
         # Session-scoped tempdir names (the persisted IVF index) change on
         # every regeneration — normalize so the freshness check compares
-        # plan SHAPE, not the tempdir suffix.
-        plan = re.sub(r"spark_ivf_index_\w+", "spark_ivf_index_<session>", plan)
-        # The materialized-CSV cache dir carries a source-data fingerprint
-        # (round 8: stale-cache guard), which changes whenever the driver
-        # regenerates testdata — same normalization rationale.
+        # plan SHAPE, not the tempdir suffix.  The TEMPDIR PREFIX is
+        # normalized too (round 13): `tempfile.gettempdir()` follows
+        # $TMPDIR, so a checker environment with a different tempdir used
+        # to fail the diff on `file:/tmp/...` vs `file:/other/...` alone.
         plan = re.sub(
-            r"spark_graft_csv/\S+",
-            "spark_graft_csv/<slug>/<fmt>-<fingerprint>",
+            r"file:\S*spark_ivf_index_\w+",
+            "file:<tmp>/spark_ivf_index_<session>",
+            plan,
+        )
+        # The materialized-CSV/JSONL cache dirs carry a source-data
+        # fingerprint (round 8: stale-cache guard), which changes whenever
+        # the driver regenerates testdata — same normalization rationale,
+        # tempdir prefix included.
+        plan = re.sub(
+            r"file:\S*spark_graft_csv/\S+",
+            "file:<tmp>/spark_graft_csv/<slug>/<fmt>-<fingerprint>",
+            plan,
+        )
+        plan = re.sub(
+            r"file:\S*spark_graft_jsonl/\S+",
+            "file:<tmp>/spark_graft_jsonl/<slug>/<fingerprint>",
             plan,
         )
         # Expression IDs (`col#1234`) come from a session-global counter,
