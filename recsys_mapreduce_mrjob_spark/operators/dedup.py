@@ -423,6 +423,27 @@ _NEAR_EXACT_ORACLE = (
 )
 
 
+def _mh_int64_term(a: int, b: int, h1, h0):
+    """(a·hs + b) mod p, p = 2^61−1, in overflow-free int64 steps, for
+    hs = h1·2^30 + h0 < 2^60 pre-split by the caller: a < 2^30, b < p.
+    With y = a·h1 (< 2^60):  a·hs ≡ (y mod 2^31)·2^30 + (y div 2^31)
+    + a·h0 (mod p), because y·2^30 = (y div 2^31)·2^61 +
+    (y mod 2^31)·2^30 and 2^61 ≡ 1 (mod p).  Every addend < 2^61, the
+    4-term sum < 2^62.6 < 2^63 — no int64 overflow — and one final pmod
+    reduces exactly.  Bit-identical to the DECIMAL(38,0) formulation and
+    to the oracle's HUGEINT — pinned on the live corpus AND by a
+    seeded randomized property test over (a, b, hs)
+    (tests/test_r12_fusions.py, ADVICE r12)."""
+    y = F.lit(a).cast("long") * h1
+    t = (
+        F.shiftleft(y.bitwiseAND(F.lit((1 << 31) - 1)), 30)
+        + F.shiftright(y, 31)
+        + F.lit(a).cast("long") * h0
+        + F.lit(b).cast("long")
+    )
+    return F.pmod(t, F.lit(_MH_P))
+
+
 def portable_minhash_sig(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, mh0..mh{n−1}, sh_set, n_sh) via the
     engine-portable hash family (module note above): distinct 3-shingles
@@ -452,22 +473,7 @@ def portable_minhash_sig(docs: DataFrame) -> DataFrame:
     )
 
     def mh(a: int, b: int):
-        # (a·hs + b) mod p, p = 2^61−1, in overflow-free int64 steps:
-        # a < 2^30, hs = h1·2^30 + h0 < 2^60, b < p.  With y = a·h1
-        # (< 2^60):  a·hs ≡ (y mod 2^31)·2^30 + (y div 2^31) + a·h0
-        # (mod p), because y·2^30 = (y div 2^31)·2^61 + (y mod 2^31)·2^30
-        # and 2^61 ≡ 1 (mod p).  Every addend < 2^61, the 4-term sum
-        # < 2^62.6 < 2^63 — no int64 overflow — and one final pmod
-        # reduces exactly.  Bit-identical to the DECIMAL(38,0) form
-        # (exhaustively property-checked) and to the oracle's HUGEINT.
-        y = F.lit(a).cast("long") * F.col("__h1")
-        t = (
-            F.shiftleft(y.bitwiseAND(F.lit((1 << 31) - 1)), 30)
-            + F.shiftright(y, 31)
-            + F.lit(a).cast("long") * F.col("__h0")
-            + F.lit(b).cast("long")
-        )
-        return F.pmod(t, F.lit(_MH_P))
+        return _mh_int64_term(a, b, F.col("__h1"), F.col("__h0"))
 
     return (
         base.groupBy("doc_id")

@@ -471,6 +471,20 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _guard_rank_columns(df: DataFrame, names: tuple[str, ...], helper: str) -> None:
+    """Refuse inputs that already carry a temp/output column one of the
+    rank helpers is about to append (ADVICE r12 — the same clash guard
+    ``seeded_shuffle_key`` uses): silently overwriting a caller's
+    ``__r_in``/``rank_col``/… would corrupt ranks and offsets with no
+    error."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{helper}: input already has column(s) {clash}; rename them "
+            "before computing ranks/offsets"
+        )
+
+
 def two_phase_rank(
     df: DataFrame,
     partition_cols: list[str],
@@ -513,6 +527,7 @@ def two_phase_rank(
     trade (q_text_ccnet_buckets).  Weigh the input's cost before
     copying either shape.
     """
+    _guard_rank_columns(df, ("__r_in", "__n", "__base", rank_col), "two_phase_rank")
     w_in = Window.partitionBy(*partition_cols, bucket_col).orderBy(*order_cols)
     within = df.withColumn("__r_in", F.row_number().over(w_in).cast("long"))
     counts = df.groupBy(*partition_cols, bucket_col).agg(
@@ -568,6 +583,11 @@ def two_phase_rank_offsets(
     feeds the window branch and the totals branch, so memoize an
     expensive input.
     """
+    _guard_rank_columns(
+        df,
+        ("__r_in", "__c_in", "__n", "__t", "__nbase", "__tbase", rank_col, offset_col),
+        "two_phase_rank_offsets",
+    )
     w_in = Window.partitionBy(bucket_col).orderBy(*order_cols)
     w_cum = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     within = df.withColumn(

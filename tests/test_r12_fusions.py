@@ -120,6 +120,75 @@ def test_minhash_int64_matches_decimal_reference(spark, smoke_dir):
     assert got_rows == want_rows
 
 
+def test_minhash_int64_term_property_random(spark):
+    """Seeded randomized property check (ADVICE r12): the overflow-free
+    int64 term must equal the DECIMAL(38,0) formulation for arbitrary
+    (a, b, hs) — not just the smoke corpus's hs values and the 32 real
+    seed constants.  Covers the full domains: a odd < 2^30, b < p,
+    hs < 2^60 (plus the edge values 0, 1, 2^60−1, p−1 crossovers)."""
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        _MH_P,
+        _mh_int64_term,
+    )
+
+    rng = random.Random(4242)
+    hs_vals = [0, 1, (1 << 60) - 1, _MH_P - 1, 1 << 30, (1 << 30) - 1] + [
+        rng.randrange(1 << 60) for _ in range(200)
+    ]
+    ab_pairs = [(1, 0), ((1 << 30) - 1, _MH_P - 1)] + [
+        (rng.randrange(1 << 30) | 1, rng.randrange(_MH_P)) for _ in range(30)
+    ]
+    df = spark.createDataFrame([(h,) for h in hs_vals], "hs long").select(
+        "hs",
+        F.shiftright(F.col("hs"), 30).alias("__h1"),
+        F.col("hs").bitwiseAND(F.lit((1 << 30) - 1)).alias("__h0"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    cols = []
+    for i, (a, b) in enumerate(ab_pairs):
+        cols.append(
+            _mh_int64_term(a, b, F.col("__h1"), F.col("__h0")).alias(f"g{i}")
+        )
+        cols.append(
+            F.pmod(
+                dec(F.lit(a)) * dec(F.col("hs")) + F.lit(b), dec(F.lit(_MH_P))
+            )
+            .cast("long")
+            .alias(f"w{i}")
+        )
+    rows = df.select(*cols).collect()
+    for r in rows:
+        for i in range(len(ab_pairs)):
+            assert r[f"g{i}"] == r[f"w{i}"], (i, ab_pairs[i], r)
+
+
+def test_rank_helpers_reject_clashing_columns(spark):
+    """The rank helpers must refuse inputs already carrying a temp or
+    output column (ADVICE r12 — the seeded_shuffle_key guard, extended):
+    silently overwriting __r_in/rank_col would corrupt ranks with no
+    error."""
+    import pytest
+
+    df = spark.range(4).select(
+        F.col("id").alias("doc_id"),
+        F.lit(1).alias("n_tokens"),
+        F.lit("00").alias("bkt"),
+        F.lit(7).alias("__r_in"),
+    )
+    with pytest.raises(ValueError, match="__r_in"):
+        two_phase_rank(df, [], "bkt", [F.col("doc_id")])
+    with pytest.raises(ValueError, match="__r_in"):
+        two_phase_rank_offsets(df, "bkt", [F.col("doc_id")])
+    ok = df.drop("__r_in")
+    with pytest.raises(ValueError, match="rnk"):
+        two_phase_rank_offsets(
+            ok.withColumn("rnk", F.lit(1)), "bkt", [F.col("doc_id")]
+        )
+
+
 def test_twostar_star_forest_input_is_already_converged(spark):
     """A star forest (including bare disjoint pairs — the semantic-dedup
     shape) is the two-star fixpoint: the loop must return the exact
