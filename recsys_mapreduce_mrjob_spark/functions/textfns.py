@@ -84,17 +84,41 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(F.lower(F.trim(text)))
 
 
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and feed it to ``body`` as a lambda
+    variable — ``element_at(transform(array(value), body), 1)``.
+
+    Why (round 13, guide §1.2 "per-task work"): an expression used
+    several times in one column tree is INLINED at each use by Catalyst,
+    and ``Generate`` (explode) stages do not subexpression-eliminate —
+    the shingle explode was re-running the regex tokenizer four times
+    per document (measured 1.4× on the explode stage at sf0.1).  A
+    higher-order-function lambda variable is bound once per row by
+    construction, in every engine.  NULL/empty propagation is identical:
+    ``array(x)`` is a 1-element array even for NULL x, the body sees the
+    same input it would have inlined, and ``element_at(..., 1)`` always
+    finds the element."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles (arrays of k-grams) for MinHash / Jaccard."""
-    toks = tokens(text)
-    n = F.size(toks)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """k-token shingles (arrays of k-grams) for MinHash / Jaccard.
+
+    The token array is bound once via :func:`bind_once` — inlining
+    ``tokens(text)`` at its three uses re-ran the regex split per use
+    inside the (non-subexpression-eliminating) explode stage."""
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(text), body)
 
 
 # PII detection/redaction rules — ONE definition feeding both the Spark

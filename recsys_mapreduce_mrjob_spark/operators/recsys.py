@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..caching import memo_persist
+from ..caching import memo_persist, memo_process
 from ..functions import similarity as S
 from ..functions.blocking import gemm_block_count as _block_count
 from ..registry import register
@@ -1190,7 +1190,7 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Memoized (round 12): the iterative fit is the expensive part and
     # the audit companion below re-reads the SAME output relation —
     # grading both must cost one factorization, not two.
-    return memo_persist(spark, "als_recs", sf_dir, build)
+    return memo_process(spark, "als_recs", sf_dir, build)
 
 
 @register(

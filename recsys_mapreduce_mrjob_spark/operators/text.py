@@ -28,7 +28,7 @@ from ..functions.textfns import (
     token_count,
     tokens,
 )
-from ..caching import memo_persist
+from ..caching import memo_checkpoint, memo_persist, memo_process
 from ..registry import register
 from ..sources.readers import load_table, rebalance_if_starved
 
@@ -415,7 +415,9 @@ curated AS (
 )"""
 
 
-def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_docs(
+    spark: SparkSession, sf_dir: str, truncate: bool = False
+) -> DataFrame:
     """The curated corpus — (doc_id, lang_pred, quality, n_tokens) after
     the quality → language-ID → exact-dedup keep-one → near-dup-cluster
     keep-one ladder.  Memoized: q_corpus_curation's per-lang accounting
@@ -432,20 +434,36 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     together, so the graded hash moved with the semantic."""
     from .dedup import pair_component_labels, q_dedup_near_exact
 
-    def build_survivors() -> DataFrame:
+    def build_scored() -> DataFrame:
         # md5(text) is PROJECTED before the keep-one window (round 12,
         # guide §2.3): partitioning the window on the raw expression
         # shipped the full document text through the exchange; hashing
         # scan-side ships ~50 bytes/row instead.  Result-identical
         # (same key, same order, text unused downstream).
-        docs = load_table(spark, sf_dir, "documents")
-        scored = docs.select(
+        #
+        # Round 13 (guide §2.5 input starvation + §4.4 duplicate
+        # evaluation): the scored projection is rebalanced across cores
+        # (the bench-scale scan is one split; no-op at real split
+        # counts) and MEMO-PERSISTED as its own narrow relation.
+        # Without the persist barrier the quality/lang filter below
+        # pushes UNDER the round-robin exchange and re-evaluates the
+        # whole scoring chain single-threaded on every document, then
+        # the surviving rows pay it AGAIN in the post-exchange
+        # projection (plan-verified; measured 2.2 s → 1.37 s for the
+        # survivors pass at sf0.1).  The persisted relation is
+        # (doc_id, quality, lang_pred, n_tokens, md5) — ~60 bytes/doc,
+        # the same width class as the survivors memo below.
+        docs = rebalance_if_starved(load_table(spark, sf_dir, "documents"))
+        return docs.select(
             "doc_id",
             (quality_score(F.col("text")) + F.lit(0.0)).alias("quality"),
             lang_id(F.col("text")).alias("lang_pred"),
             token_count(F.col("text")).cast("long").alias("n_tokens"),
             F.md5(F.col("text")).alias("__k"),
         )
+
+    def build_survivors() -> DataFrame:
+        scored = memo_persist(spark, "curation_scored", sf_dir, build_scored)
         kept = scored.where(
             (F.col("quality") >= _CURATION_QUALITY_MIN)
             & (F.col("lang_pred") != "und")
@@ -464,12 +482,23 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors = memo_persist(
             spark, "curation_survivors", sf_dir, build_survivors
         )
-        pairs = q_dedup_near_exact(spark, sf_dir)
         # Vertices = pair ENDPOINTS only (code-review r6, shared helper
         # r10): a doc in no pair is trivially its own component keeper,
         # so labeling the full corpus paid a corpus-sized scan + join
         # just to discard every label==id row.
-        labels = pair_component_labels(pairs)
+        #
+        # memo_process (round 13): the two-star loop runs driver-side
+        # jobs EAGERLY at construction; pre-r13 it effectively ran once
+        # per process anyway (the loop's eager localCheckpoints survive
+        # clearCache inside the frozen memo lineage) — the process memo
+        # makes that explicit now that the surrounding memos are
+        # epoch-scoped.  The labels relation is pair-endpoints-sized.
+        labels = memo_process(
+            spark,
+            "curation_labels",
+            sf_dir,
+            lambda: pair_component_labels(q_dedup_near_exact(spark, sf_dir)),
+        )
         # Keeper = min SURVIVING doc_id per cluster.  All three relations
         # here are pair-endpoint-sized, not corpus-sized.
         lab_surv = labels.join(
@@ -484,7 +513,23 @@ def curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return survivors.join(non_keepers, "doc_id", "left_anti")
 
-    return memo_persist(spark, "curated_docs", sf_dir, build)
+    # Two handles over ONE materialization (round 13, guide §5): every
+    # consumer shares the epoch-scoped persist; consumers with a LARGE
+    # downstream tree (the four export capstones — their plans were
+    # 0.36-0.42 M chars / 215-244 Exchange nodes, mostly this subtree's
+    # lineage re-optimized by Catalyst and re-staged by AQE per query)
+    # pass ``truncate=True`` to additionally read it through a lazy
+    # localCheckpoint, which collapses their lineage to a LogicalRDD
+    # scan.  The checkpoint's build READS THE PERSISTED HANDLE, so the
+    # curated data still materializes exactly once per clearCache epoch
+    # (each bench run recomputes from parquet — caching.memo_checkpoint)
+    # and the truncation costs one cache-read pass, not a second
+    # derivation.  Direct small consumers (the per-lang accounting)
+    # skip the extra pass.
+    curated = memo_persist(spark, "curated_docs", sf_dir, build)
+    if not truncate:
+        return curated
+    return memo_checkpoint(spark, "curated_docs_rdd", sf_dir, lambda: curated)
 
 
 @register(
@@ -2011,7 +2056,9 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
     def build_hashed() -> DataFrame:
-        curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
+        curated = curated_docs(spark, sf_dir, truncate=True).select(
+            "doc_id", "n_tokens"
+        )
         return seeded_shuffle_key(curated)
 
     # Memoized (same fan-out rationale as q_pack_shuffled): the fused
@@ -2128,7 +2175,9 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
     def build_hashed() -> DataFrame:
-        curated = curated_docs(spark, sf_dir).select("doc_id", "n_tokens")
+        curated = curated_docs(spark, sf_dir, truncate=True).select(
+            "doc_id", "n_tokens"
+        )
         removed = (
             _span_merged(spark, sf_dir)
             .groupBy("doc_id")
@@ -2425,7 +2474,7 @@ def q_corpus_curation_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed int64 of basis-point weights (order-independent), so the
     gate decision — and therefore the graded per-language sums — is
     bit-identical cross-engine."""
-    curated = curated_docs(spark, sf_dir)
+    curated = curated_docs(spark, sf_dir, truncate=True)
     scored = q_text_quality_classifier(spark, sf_dir).where(
         F.col("score_bp") > 0
     )
@@ -2502,7 +2551,7 @@ def q_corpus_curation_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     space) and a per-doc count; the gate itself is a curated-sized LEFT
     join against the hits relation (hit-sized, typically tiny) — no new
     corpus-sized shuffle beyond the detector's own per-doc aggregate."""
-    curated = curated_docs(spark, sf_dir)
+    curated = curated_docs(spark, sf_dir, truncate=True)
     hits, _ = _contam_hits(spark, sf_dir)
     tagged = curated.join(
         hits.select("doc_id", F.lit(1).alias("__hit")), "doc_id", "left"
@@ -2654,7 +2703,7 @@ def q_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import seeded_shuffle_key, two_phase_rank_offsets
 
     def build_hashed() -> DataFrame:
-        curated = curated_docs(spark, sf_dir).select("doc_id")
+        curated = curated_docs(spark, sf_dir, truncate=True).select("doc_id")
         docs = load_table(spark, sf_dir, "documents").join(curated, "doc_id")
         chunks = chunk_exploded(docs).select(
             "doc_id",
@@ -2895,4 +2944,6 @@ def q_export_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     (late): the post-curation algebra is factored into
     :func:`release_manifest` so the streaming ingest's end state can
     feed the identical release (``q_stream_release_exec``)."""
-    return release_manifest(spark, sf_dir, curated_docs(spark, sf_dir))
+    return release_manifest(
+        spark, sf_dir, curated_docs(spark, sf_dir, truncate=True)
+    )
