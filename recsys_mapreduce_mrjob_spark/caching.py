@@ -47,49 +47,74 @@ def _storage_level() -> StorageLevel | None:
 
 
 def memo_persist(
-    spark: SparkSession, relation: str, sf_dir: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    relation: str,
+    sf_dir: str,
+    build: Callable[[], DataFrame],
+    epoch_scoped: bool = False,
 ) -> DataFrame:
     """Return the persisted DataFrame for ``relation`` at ``sf_dir``,
     building (and persisting at the knob-selected level, default
     MEMORY_AND_DISK) it on first use per SparkContext.
 
-    Round 13: handles are dropped and REBUILT whenever the clearCache
-    epoch rolls (:func:`_epoch_rolled`), instead of re-registering the
-    old handle's persist.  Same recompute cost (the cleared data was
-    recomputed either way), but a rebuilt handle re-invokes ``build()``
-    — essential now that a build may consume a :func:`memo_checkpoint`
-    relation, whose truncated-lineage handle is itself epoch-scoped: a
-    frozen pre-roll lineage would reference the previous epoch's
-    checkpoint forever, resurrecting it instead of recomputing from the
-    parquet inputs."""
+    ``epoch_scoped`` (round 13): by default the handle lives for the
+    whole process — ``build()`` runs once, and a later
+    ``spark.catalog.clearCache()`` only costs a persist re-registration
+    (the DATA recomputes lazily either way; the py4j/Catalyst
+    CONSTRUCTION of a large expression tree is amortized — measured
+    ~+0.7 s/run on the LSH signature when handles were dropped per
+    epoch).  Pass ``epoch_scoped=True`` when ``build()`` consumes a
+    :func:`memo_checkpoint` relation: the checkpoint handle is
+    epoch-scoped, so a frozen lineage would reference the previous
+    epoch's checkpoint forever, resurrecting stale blocks instead of
+    recomputing from the parquet inputs — those builds must re-run per
+    epoch to re-bind to the fresh checkpoint."""
     level = _storage_level()
     if level is None:
         return build()
     app = spark.sparkContext.applicationId
-    if _epoch_rolled(spark):
-        _drop_app_handles(app)
+    if epoch_scoped:
+        if _epoch_rolled(spark):
+            _drop_epoch_handles()
+        key = (app, relation, sf_dir)
+        df = _CACHE_EPOCH.get(key)
+        if df is None:
+            df = build().persist(level)
+            _CACHE_EPOCH[key] = df
+        return df
     key = (app, relation, sf_dir)
     df = _CACHE.get(key)
     if df is None:
+        # One live context per process (driver / pytest both): entries from
+        # any other applicationId belong to a stopped session — drop them.
+        for stale in [k for k in _CACHE if k[0] != app]:
+            del _CACHE[stale]
         df = build().persist(level)
         _CACHE[key] = df
+    else:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
+            # spark.catalog.clearCache() dropped the persist out from under
+            # the memo; re-register it so downstream fan-out still shares
+            # one materialization instead of silently recomputing per branch.
+            df.persist(level)
     return df
 
 
 _CKPT: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE_EPOCH: dict[tuple[str, str, str], DataFrame] = {}
 _EPOCH_SENTINEL: dict[str, DataFrame] = {}
 
 
-def _drop_app_handles(app: str) -> None:
-    """Epoch roll: drop every memoized handle (persist AND checkpoint)
-    so the next call per relation rebuilds from ``build()``.  Entries
-    from other applicationIds belong to stopped sessions — dropped too.
-    Old checkpoint blocks are NOT eagerly unpersisted: a query
-    constructed before the roll may still execute afterwards, and its
-    frozen plan must keep reading the (deterministic, identical) blocks
-    rather than die on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; the orphaned
-    blocks are metadata-sized and freed by GC."""
-    for cache in (_CACHE, _CKPT):
+def _drop_epoch_handles() -> None:
+    """Epoch roll: drop every EPOCH-SCOPED handle (checkpoints and the
+    persists built over them) so the next call per relation rebuilds via
+    ``build()``.  Old checkpoint blocks are NOT eagerly unpersisted: a
+    query constructed before the roll may still execute afterwards, and
+    its frozen plan must keep reading the (deterministic, identical)
+    blocks rather than die on CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; the
+    orphaned blocks are metadata-sized and freed by GC."""
+    for cache in (_CACHE_EPOCH, _CKPT):
         for k in list(cache):
             del cache[k]
 
@@ -107,7 +132,15 @@ def _epoch_rolled(spark: SparkSession) -> bool:
     if sent is None:
         for k in [k for k in _EPOCH_SENTINEL if k != app]:
             del _EPOCH_SENTINEL[k]
-        _EPOCH_SENTINEL[app] = spark.range(1).persist()
+        # Deliberately unmatchable bounds: CacheManager substitutes cached
+        # relations into ANY plan whose canonicalized subtree matches, so
+        # a plain range(1) sentinel would silently reroute every query
+        # scaffolded on range(1) (observed: the count-min probe relation's
+        # plan grew an InMemoryRelation).  No real query computes this
+        # range, so the mark can never be substituted anywhere.
+        _EPOCH_SENTINEL[app] = spark.range(
+            981_173_549_002_417, 981_173_549_002_418
+        ).persist()
         return True
     lvl = sent.storageLevel
     if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
@@ -132,7 +165,7 @@ def memo_checkpoint(
     handles are keyed to the ``clearCache`` epoch via a persist-marked
     sentinel (:func:`_epoch_rolled`).  ``spark.catalog.clearCache()`` —
     the bench's between-run hygiene — rolls the epoch, every handle is
-    dropped (see :func:`_drop_app_handles` for why old blocks are left
+    dropped (see :func:`_drop_epoch_handles` for why old blocks are left
     to GC), and the next call rebuilds from the parquet inputs, exactly
     like a cleared persist.  Within one epoch the relation materializes once and every
     consumer shares it — the same sharing ``memo_persist`` provides,
@@ -145,7 +178,7 @@ def memo_checkpoint(
     app = spark.sparkContext.applicationId
     key = (app, relation, sf_dir)
     if _epoch_rolled(spark):
-        _drop_app_handles(app)
+        _drop_epoch_handles()
     df = _CKPT.get(key)
     if df is None:
         df = build().localCheckpoint(eager=False)
@@ -193,7 +226,7 @@ def memo_unpersist(relation: str) -> int:
     portable-hash exact twin is built) won't be revisited.  Returns the
     number of handles dropped."""
     n = 0
-    for cache in (_CACHE, _PROCESS, _CKPT):
+    for cache in (_CACHE, _CACHE_EPOCH, _PROCESS, _CKPT):
         keys = [k for k in cache if k[1] == relation]
         for k in keys:
             try:

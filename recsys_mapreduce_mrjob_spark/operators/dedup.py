@@ -191,6 +191,100 @@ _RARE_CAND_CTE = _rare_cand_cte()
 
 
 
+_BAND_BUCKET_CAP = 64  # LSH buckets above this fall back to the self-join
+# Past this corpus size the band relation (8 rows/doc, ~30 B/row) outgrows
+# the broadcast-join regime and the candidate stage switches to the
+# grouped bounded-bucket path (below).  ~200k docs ≈ 1.6M band rows
+# ≈ 50 MB framed — the session's 64 MB autoBroadcastJoinThreshold.
+_LSH_GROUPED_MIN_DOCS = 200_000
+
+
+def band_candidate_pairs(
+    bands: DataFrame, cap: int = _BAND_BUCKET_CAP, grouped: bool | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs from an exploded
+    (doc_id, band, bsig) relation — the LSH candidate stage shared by
+    the xxhash64 and portable MinHash variants.
+
+    SIZE-DISPATCHED (round 13, VERDICT r12 #2, guide §2.3/§2.4, the
+    q_dedup_embedding size-dispatch discipline).  Two execution shapes
+    for the same pair set:
+
+    - ``grouped=False`` (corpora whose band relation fits the broadcast
+      regime — the tested SFs): the plain equi-self-join; AQE broadcasts
+      one side, so the candidate stage adds NO shuffle at all.
+    - ``grouped=True`` (past ``_LSH_GROUPED_MIN_DOCS``): the self-join
+      would sort-merge — the band relation shuffled TWICE plus sorts —
+      to enumerate pairs that live entirely inside one (band, bsig)
+      group.  Instead, group once and explode the a < b pairs in place
+      (the q_dedup_spans pattern), with the collect_list buffer BOUNDED
+      by ``cap``: a narrow map-side-combinable count first splits off
+      buckets larger than the cap (pathological floods — e.g. millions
+      of identical boilerplate docs; the oversized subset of the
+      distinct-bucket-sized count relation is broadcastable because
+      each such bucket is a corpus anomaly), and only those fall back
+      to the self-join, where AQE skew splitting applies.  One narrow
+      count shuffle + one band-row shuffle replace two full shuffles +
+      sorts, and per-group state is ≤ cap ids.
+
+    Result-identical by construction (pinned against the self-join in
+    tests/test_r12_fusions.py, flood path included): every unordered
+    pair sharing a bucket appears in exactly one path, and the trailing
+    ``distinct`` (needed either way — a pair can collide in several
+    bands) normalizes multiplicity."""
+    if grouped is None:
+        grouped = (n_docs or 0) > _LSH_GROUPED_MIN_DOCS
+    if not grouped:
+        ba = bands.alias("ba")
+        bb = bands.alias("bb")
+        return (
+            ba.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bsig") == F.col("bb.bsig"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("doc_a"),
+                F.col("bb.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    sz = bands.groupBy("band", "bsig").agg(F.count(F.lit(1)).alias("__n"))
+    big = F.broadcast(sz.where(F.col("__n") > cap).select("band", "bsig"))
+    small = bands.join(big, ["band", "bsig"], "left_anti")
+    grouped = small.groupBy("band", "bsig").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda a: F.transform(
+                    "ids", lambda b: F.struct(a.alias("a"), b.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    pairs_small = (
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    )
+    flood = bands.join(big, ["band", "bsig"], "left_semi")
+    fa = flood.alias("fa")
+    fb = flood.alias("fb")
+    pairs_big = fa.join(
+        fb,
+        (F.col("fa.band") == F.col("fb.band"))
+        & (F.col("fa.bsig") == F.col("fb.bsig"))
+        & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+    ).select(F.col("fa.doc_id").alias("doc_a"), F.col("fb.doc_id").alias("doc_b"))
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
 @register(
     "q_dedup_jaccard_pairs",
     oracle=f"""
@@ -269,6 +363,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     sig = memo_persist(spark, "minhash_sig", sf_dir, build_sig)
+    from ..sources.readers import parquet_num_rows
+
+    _n_docs = parquet_num_rows(sf_dir, "documents")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -289,20 +386,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig"))
 
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bsig") == F.col("bb.bsig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = band_candidate_pairs(bands, n_docs=_n_docs)
 
     sets = sig.select("doc_id", "sh_set", "n_sh")
     n_common = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
@@ -582,22 +666,9 @@ def q_dedup_near_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pointing a memory-constrained driver at a much larger corpus.
     sig = memo_persist(spark, "minhash_sig_exact", sf_dir, build_sig)
     bands = portable_band_rows(sig)
+    from ..sources.readers import parquet_num_rows
 
-    ba = bands.alias("ba")
-    bb = bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band") == F.col("bb.band"))
-            & (F.col("ba.bsig") == F.col("bb.bsig"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-
+    cand = band_candidate_pairs(bands, n_docs=parquet_num_rows(sf_dir, "documents"))
     return portable_verify_pairs(cand, sig.select("doc_id", "sh_set", "n_sh"))
 
 
@@ -1414,6 +1485,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_K = 5          # shingle width (tokens)
 _SPAN_DF_CAP = 8     # drop shingles occurring more often corpus-wide
 _SPAN_MIN_TOKENS = 10  # report runs of at least this many shared tokens
+# Broadcast the df-capped occurrence keys into the kept-shingle join only
+# below this corpus size (footer-probed); the capped key set grows with
+# the corpus and must shuffle past it.
+_SPAN_OCC_BROADCAST_MAX_DOCS = 100_000
 
 _SPANS_ORACLE = f"""
 WITH ptoks AS (
@@ -1548,8 +1623,22 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("occ") >= 2) & (F.col("occ") <= _SPAN_DF_CAP))
         .select("hs")
     )
-    # AQE sizes occ_keys at runtime: small → broadcast (pos_sh never
-    # shuffles for this join; dropped shingles die map-side).
+    # Size-dispatched build side (round 13): with BOTH sides of this join
+    # under the broadcast threshold at the tested SFs, AQE's runtime
+    # choice raced on which shuffle stage finished first — the cached
+    # islands relation's final plan flapped BuildLeft (pos_sh broadcast!)
+    # vs BuildRight between identical runs, which is both the wrong side
+    # when it lands on pos_sh AND nondeterministic plan text (the PLANS.md
+    # freshness gate read stale on a coin flip).  Below the footer-probed
+    # bound the hint pins the semantically small side — the df-capped
+    # occurrence keys — so pos_sh never shuffles and dropped shingles die
+    # map-side; above it the hint is withheld (the capped key set is
+    # corpus-scale there) and the planner picks the shuffle strategy.
+    from ..sources.readers import parquet_num_rows
+
+    _nd = parquet_num_rows(sf_dir, "documents") or 0
+    if _nd <= _SPAN_OCC_BROADCAST_MAX_DOCS:
+        occ_keys = F.broadcast(occ_keys)
     kept = pos_sh.join(occ_keys, "hs")
     grouped = kept.groupBy("hs").agg(
         F.collect_list(F.struct("doc_id", "pos")).alias("os")

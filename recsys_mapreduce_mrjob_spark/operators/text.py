@@ -2063,7 +2063,9 @@ def q_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Memoized (same fan-out rationale as q_pack_shuffled): the fused
     # rank+offset scan reads its input twice (window + bucket totals).
-    hashed = memo_persist(spark, "export_hashed", sf_dir, build_hashed)
+    hashed = memo_persist(
+        spark, "export_hashed", sf_dir, build_hashed, epoch_scoped=True
+    )
     placed = two_phase_rank_offsets(
         hashed,
         bucket_col="bkt",
@@ -2194,7 +2196,9 @@ def q_export_manifest_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return seeded_shuffle_key(cur_rw)
 
-    hashed = memo_persist(spark, "export_hashed_rw", sf_dir, build_hashed)
+    hashed = memo_persist(
+        spark, "export_hashed_rw", sf_dir, build_hashed, epoch_scoped=True
+    )
     placed = two_phase_rank_offsets(
         hashed,
         bucket_col="bkt",
@@ -2714,7 +2718,9 @@ def q_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Same memo rationale as q_export_manifest: the fused scan reads its
     # input twice (window + bucket totals).
-    hashed = memo_persist(spark, "export_hashed_chunks", sf_dir, build_hashed)
+    hashed = memo_persist(
+        spark, "export_hashed_chunks", sf_dir, build_hashed, epoch_scoped=True
+    )
     placed = two_phase_rank_offsets(
         hashed,
         bucket_col="bkt",
@@ -2892,7 +2898,9 @@ def release_manifest(
 
     # Same memo rationale as the other export capstones: the fused scan
     # reads its input twice (window + bucket totals).
-    hashed = memo_persist(spark, memo_name, sf_dir, build_hashed)
+    hashed = memo_persist(
+        spark, memo_name, sf_dir, build_hashed, epoch_scoped=True
+    )
     placed = two_phase_rank_offsets(
         hashed,
         bucket_col="bkt",

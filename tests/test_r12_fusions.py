@@ -189,6 +189,51 @@ def test_rank_helpers_reject_clashing_columns(spark):
         )
 
 
+def test_band_candidate_pairs_equals_self_join(spark):
+    """The round-13 bounded-bucket candidate stage must reproduce the
+    band self-join's distinct pair set exactly — including buckets above
+    the cap (the self-join fallback path) and singleton buckets (no
+    pairs).  Synthetic band rows: one small bucket, one cap-exceeding
+    flood bucket, one singleton."""
+    from pyspark.sql import functions as F
+
+    from recsys_mapreduce_mrjob_spark.operators.dedup import (
+        band_candidate_pairs,
+    )
+
+    rows = (
+        [(i, 0, "b-small") for i in range(5)]
+        + [(100 + i, 1, "b-flood") for i in range(10)]
+        + [(999, 2, "b-single")]
+        # the same pair colliding in two bands must stay ONE pair
+        + [(0, 3, "b-dup"), (1, 3, "b-dup")]
+    )
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bsig string")
+
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    want = sorted(
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bsig") == F.col("bb.bsig"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    )
+    got = sorted(band_candidate_pairs(bands, cap=8, grouped=True).collect())
+    assert got == want and len(got) == 5 * 4 // 2 + 10 * 9 // 2
+    # and with every bucket under the cap (pure collect_list path)
+    got2 = sorted(band_candidate_pairs(bands, cap=1000, grouped=True).collect())
+    assert got2 == want
+    # size dispatch: small corpora stay on the self-join (no grouped agg)
+    small_plan = band_candidate_pairs(bands, n_docs=100)._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in small_plan
+    big_plan = band_candidate_pairs(bands, n_docs=10**7)._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in big_plan
+
+
 def test_twostar_star_forest_input_is_already_converged(spark):
     """A star forest (including bare disjoint pairs — the semantic-dedup
     shape) is the two-star fixpoint: the loop must return the exact
