@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -2555,10 +2555,21 @@ def incremental_semantic_dedup(
     Replay safety as everywhere: reads take versions strictly below the
     batch id; both appends rewrite ``v{batch_id}`` idempotently.
     """
+    import math
     import os
 
     vecs_dir = f"{state_dir}/vecs"
     pairs_dir = f"{state_dir}/pairs"
+    cents_dir = f"{state_dir}/cents"
+    # Exact-screen threshold angle: pairs below cos 0.45 are discarded by
+    # the kernel, so any state row whose CENTROID angle sits more than
+    # T = arccos(0.45) away from every batch vector's centroid angle can
+    # be skipped without reading it into the GEMM (triangle inequality:
+    # θ_qx ≥ |θ_qc − θ_xc|, so cos(q,x) ≥ 0.45 ⇒ θ_xc ∈ [θ_qc − T,
+    # θ_qc + T]).  The margin absorbs float noise in the angle
+    # computation — generous vs the ~1e-7 error of a float64 acos chain.
+    _T = math.acos(0.45)
+    _MARGIN = 1e-4
 
     stream = (
         spark.readStream.schema(
@@ -2567,6 +2578,55 @@ def incremental_semantic_dedup(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
+
+    def _load_cents(s: SparkSession):
+        """The pinned per-state quantizer: (cid, float64-normalized
+        centroid vector) rows, or None before the first batch commits
+        them.  Metadata-sized (≤16 × dim floats)."""
+        if not os.path.exists(os.path.join(cents_dir, "_SUCCESS")):
+            return None
+        rows = s.read.parquet(cents_dir).collect()
+        return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+    def _cell_angles(cents) -> Column:
+        """array<struct<t, cid>> of the row's angle to EVERY pinned
+        centroid, float64 with clipped acos — one expression shared by
+        the nearest-cell assignment (array_min: smallest angle, ties to
+        the smaller cid) and the batch-side hull aggregation; both sides
+        computing the identical angles is what makes the screen's
+        triangle-inequality bound sound."""
+        from ..functions.vectors import dot, l2_norm
+
+        nrm = l2_norm(F.col("embedding"))
+        return F.array(
+            *[
+                F.struct(
+                    F.acos(
+                        F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(-1.0),
+                                dot(
+                                    F.col("embedding"),
+                                    F.array(*[F.lit(x) for x in cvec]),
+                                )
+                                / nrm,
+                            ),
+                        )
+                    ).alias("t"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+
+    def _cell_angle_cols(df: DataFrame, cents) -> DataFrame:
+        """(vec_id, embedding, …) → + (cell, tcc): nearest pinned
+        centroid by angle and the angle to it (row-local, so
+        micro-batching cannot move an assignment — the
+        incremental_ivf_index discipline)."""
+        best = F.array_min(_cell_angles(cents))
+        return df.withColumn("cell", best["cid"]).withColumn("tcc", best["t"])
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if on_batch is not None:
@@ -2593,6 +2653,31 @@ def incremental_semantic_dedup(
                 if os.path.isdir(vecs_dir)
                 else []
             )
+            # -- pin the per-state quantizer on the first committing
+            #    batch (replay-safe: a replayed first batch re-derives
+            #    the identical rows and overwrites idempotently).  The
+            #    centroid CHOICE only affects screen selectivity, never
+            #    the pair set — the screen below is lossless for any
+            #    quantizer.
+            cents = _load_cents(s)
+            if cents is None:
+                from ..functions.vectors import l2_norm as _l2n
+
+                (
+                    batch.orderBy("vec_id")
+                    .limit(16)
+                    .select(
+                        F.col("vec_id").alias("cid"),
+                        F.transform(
+                            "embedding",
+                            lambda x: x.cast("double") / _l2n(F.col("embedding")),
+                        ).alias("cvec"),
+                    )
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(cents_dir)
+                )
+                cents = _load_cents(s)
             diag = (
                 batch.withColumn("g", F.lit(0))
                 .groupBy("g")
@@ -2601,14 +2686,47 @@ def incremental_semantic_dedup(
                     schema="vec_a long, vec_b long",
                 )
             )
+            batch_cells = _cell_angle_cols(batch, cents)
             if versions:
-                vstate = s.read.parquet(*versions).select(
-                    "vec_id",
-                    "embedding",
-                    F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias(
-                        "blk"
-                    ),
-                    F.lit(0).alias("side"),
+                # -- ANN screen, EXACT (round 13, VERDICT r12 #5): per
+                #    cell, the batch's centroid-angle hull widened by
+                #    T + margin; a state row outside its cell's hull
+                #    provably has cos < 0.45 against every batch vector
+                #    (triangle inequality above), so the filter prunes
+                #    rows BEFORE the Arrow boundary and the GEMM with
+                #    zero false negatives.  State files are written
+                #    sorted by (cell, tcc), so the pushed range
+                #    predicate also skips whole row groups.  The hulls
+                #    are ≤16 rows — collected driver-side like the IVF
+                #    probe's literal cell list.
+                hulls = (
+                    batch.select(F.explode(_cell_angles(cents)).alias("ct"))
+                    .groupBy(F.col("ct.cid").alias("cell"))
+                    .agg(
+                        F.min("ct.t").alias("lo"), F.max("ct.t").alias("hi")
+                    )
+                    .collect()
+                )
+                screen = None
+                for r in hulls:
+                    c = (F.col("cell") == int(r["cell"])) & F.col(
+                        "tcc"
+                    ).between(
+                        float(r["lo"]) - _T - _MARGIN,
+                        float(r["hi"]) + _T + _MARGIN,
+                    )
+                    screen = c if screen is None else screen | c
+                vstate = (
+                    s.read.parquet(*versions)
+                    .where(screen)
+                    .select(
+                        "vec_id",
+                        "embedding",
+                        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias(
+                            "blk"
+                        ),
+                        F.lit(0).alias("side"),
+                    )
                 )
                 vbatch = batch.select(
                     "vec_id",
@@ -2632,9 +2750,11 @@ def incremental_semantic_dedup(
             found.coalesce(1).write.mode("overwrite").parquet(
                 f"{pairs_dir}/v{batch_id}"
             )
-            batch.coalesce(1).write.mode("overwrite").parquet(
-                f"{vecs_dir}/v{batch_id}"
-            )
+            # (cell, tcc)-sorted so the probe's pushed range predicate
+            # prunes row groups inside large (seed/compacted) versions.
+            batch_cells.coalesce(1).sortWithinPartitions(
+                "cell", "tcc"
+            ).write.mode("overwrite").parquet(f"{vecs_dir}/v{batch_id}")
         finally:
             batch.unpersist()
 
